@@ -1,0 +1,248 @@
+"""Distributed inverted-index build (the analog of the reference's
+``./eval.sh index`` pass, ``colbert/indexing/encoder.py:41-161``).
+
+Pipeline (all declarative until the block-encode kernel):
+
+  web_pages scan → html/text extract + tokenize (JVM regexps, codegen)
+    → deterministic doc_id assignment (range-partition by url + per-partition
+      row_number + broadcast prefix offsets — a distributed dense rank with no
+      single-partition window)
+    → exact collection stats (N, avgdl) and per-term df  [north_star: exact]
+    → postings (term, doc_id, tf, doclen) via explode + partial-agg groupBy
+    → **salted repartition-by-term**: shuffle key is (term, bucket) where
+      bucket = doc_id // bucket_size. The doc-bucket IS the salt — a Zipf head
+      term with df ≈ 0.5·N is split across every bucket, so no reducer ever
+      sees a whole hot posting list (north_rule skew clause). Within a group,
+      postings are doc_id-sorted, so each term's blocks remain globally
+      doc-ordered across buckets.
+    → per-(term, bucket) block encode (applyInPandas, numpy varbyte): blocks
+      of ≤128 postings carrying delta+varbyte docIDs, varbyte tfs, varbyte
+      doclens, and the exact per-block max BM25 contribution (block-max
+      metadata for the WAND/MaxScore query kernel)
+    → segment parquet partitioned by bucket + manifest row per bucket
+      (term range, block/posting counts, status, watermark) → resumable.
+
+The segment layout mirrors the reference's partitioned index parts
+(``encoder.py:41,58-67``: 12 static parts, per-rank slices, barrier merge) —
+but the merge is a Spark shuffle, not a rank-0 gather.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from colbert_spark.functions.tokenizer import html_text_col, tokens_col
+from colbert_spark.index.codec import delta_encode, vb_encode
+from colbert_spark.oracle import B_DEFAULT, K1_DEFAULT
+
+BLOCK_SIZE = 128
+DEFAULT_BUCKET_SIZE = 100_000  # docs per bucket; sized so a (qid, bucket)
+# query group fits one Arrow batch comfortably even for head terms
+
+SEGMENT_SCHEMA = (
+    "term string, bucket long, block_id int, first_doc long, last_doc long, "
+    "n int, df long, doc_bytes binary, tf_bytes binary, dl_bytes binary, "
+    "max_score double"
+)
+
+
+def assign_doc_ids(df: DataFrame, key: str = "url", partitions: int | None = None) -> DataFrame:
+    """Deterministic dense doc_id = global rank of `key` (FIXTURES.md §1),
+    computed distributedly: range-partition by key, row_number within each
+    partition, then add broadcast per-partition prefix offsets. No global
+    single-partition window, so it holds at 10^12 rows.
+    """
+    p = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(p, key)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(key)
+    numbered = with_pid.withColumn("_rn", F.row_number().over(w))
+    counts = numbered.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    offs = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_off")
+    return (
+        numbered.join(F.broadcast(offs), "_pid")
+        .withColumn("doc_id", (F.col("_off") + F.col("_rn") - 1).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def derive_docs(web_pages: DataFrame, use_html: bool = False) -> DataFrame:
+    """web_pages → docs(doc_id, url, terms, doclen). Tokenization is pure JVM
+    expression (whole-stage codegen; zero Python in the hot path)."""
+    src = web_pages
+    if use_html:
+        src = src.withColumn("text", html_text_col("html"))
+    with_ids = assign_doc_ids(src.select("url", "text"))
+    return with_ids.select(
+        "doc_id",
+        "url",
+        tokens_col("text").alias("terms"),
+    ).withColumn("doclen", F.size("terms"))
+
+
+def collection_stats(docs: DataFrame) -> dict:
+    """Exact N and avgdl (north_star forbids approximations)."""
+    row = docs.agg(
+        F.count("*").alias("n_docs"), F.sum("doclen").alias("total_len")
+    ).collect()[0]
+    n = row["n_docs"]
+    return {"N": n, "avgdl": (row["total_len"] or 0) / n if n else 0.0}
+
+
+def postings_df(docs: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, doclen) — explode then partial-agg groupBy.
+
+    The groupBy key includes doc_id, so head-term skew is already spread
+    across the shuffle; map-side combine keeps the exchange small.
+    """
+    return (
+        docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
+        .groupBy("term", "doc_id", "doclen")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def term_stats(postings: DataFrame) -> DataFrame:
+    """Exact df/cf per term (partial aggregation defuses head-term skew)."""
+    return postings.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+def _encode_group(k1: float, b: float, n_docs: int, avgdl: float):
+    """applyInPandas kernel: one (term, bucket) group → block rows."""
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, bucket = key
+        pdf = pdf.sort_values("doc_id")
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        tfs = pdf["tf"].to_numpy(np.int64)
+        dls = pdf["doclen"].to_numpy(np.int64)
+        df_t = int(pdf["df"].iloc[0])
+        idf = np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        scores = idf * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+        rows = []
+        for s in range(0, len(doc_ids), BLOCK_SIZE):
+            e = min(s + BLOCK_SIZE, len(doc_ids))
+            d = doc_ids[s:e]
+            rows.append(
+                (
+                    term,
+                    bucket,
+                    s // BLOCK_SIZE,
+                    int(d[0]),
+                    int(d[-1]),
+                    e - s,
+                    df_t,
+                    vb_encode(delta_encode(d)),
+                    vb_encode(tfs[s:e]),
+                    vb_encode(dls[s:e]),
+                    float(scores[s:e].max()),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "term",
+                "bucket",
+                "block_id",
+                "first_doc",
+                "last_doc",
+                "n",
+                "df",
+                "doc_bytes",
+                "tf_bytes",
+                "dl_bytes",
+                "max_score",
+            ],
+        )
+
+    return fn
+
+
+def build_index(
+    spark: SparkSession,
+    web_pages: DataFrame,
+    index_dir: str,
+    bucket_size: int = DEFAULT_BUCKET_SIZE,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    use_html: bool = False,
+    resume: bool = True,
+    built_at: str = "1970-01-01T00:00:00Z",
+) -> dict:
+    """Full (resumable) index build. Layout under `index_dir`:
+
+      docs/        doc_id, url, doclen                    (parquet)
+      segments/    bucket=*/...block rows                 (parquet, partitioned)
+      stats.json   {N, avgdl, k1, b, bucket_size}         (driver-side json)
+      manifest/    bucket, term_lo, term_hi, n_blocks, n_postings,
+                   status, built_at                       (parquet, appended)
+
+    Resume (north_rule lineage clause): buckets present in the manifest with
+    status='done' are skipped — their postings are filtered out *before* the
+    shuffle, so no recomputation happens. Idempotent because each bucket's
+    segment files are written exactly once (parquet dir partition append).
+    """
+    import json
+
+    docs = derive_docs(web_pages, use_html=use_html).persist()
+    stats = collection_stats(docs)
+    stats.update({"k1": k1, "b": b, "bucket_size": bucket_size})
+
+    done: set[int] = set()
+    manifest_path = os.path.join(index_dir, "manifest")
+    if resume and os.path.isdir(manifest_path):
+        prev = spark.read.parquet(manifest_path).filter(F.col("status") == "done")
+        done = {r["bucket"] for r in prev.select("bucket").collect()}
+
+    docs.select("doc_id", "url", "doclen").write.mode("overwrite").parquet(
+        os.path.join(index_dir, "docs")
+    )
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+
+    posts = postings_df(docs)
+    tstats = term_stats(posts)
+    posts = posts.join(tstats.select("term", "df"), "term")
+    posts = posts.withColumn("bucket", (F.col("doc_id") / bucket_size).cast("long"))
+    if done:
+        posts = posts.filter(~F.col("bucket").isin(*[int(x) for x in done]))
+
+    segments = posts.groupBy("term", "bucket").applyInPandas(
+        _encode_group(k1, b, stats["N"], stats["avgdl"]), schema=SEGMENT_SCHEMA
+    )
+    seg_path = os.path.join(index_dir, "segments")
+    segments.write.mode("append").partitionBy("bucket").parquet(seg_path)
+
+    # manifest rows for newly built buckets (term-range watermarks, counts)
+    built = (
+        spark.read.parquet(seg_path)
+        .filter(~F.col("bucket").isin(*[int(x) for x in done]) if done else F.lit(True))
+        .groupBy("bucket")
+        .agg(
+            F.min("term").alias("term_lo"),
+            F.max("term").alias("term_hi"),
+            F.count("*").alias("n_blocks"),
+            F.sum("n").alias("n_postings"),
+        )
+        .withColumn("status", F.lit("done"))
+        .withColumn("built_at", F.lit(built_at))
+    )
+    built.write.mode("append").parquet(manifest_path)
+    tstats.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
+    docs.unpersist()
+    return stats
