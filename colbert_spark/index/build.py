@@ -122,53 +122,90 @@ def term_stats(postings: DataFrame) -> DataFrame:
     )
 
 
-def _encode_group(k1: float, b: float, n_docs: int, avgdl: float):
-    """applyInPandas kernel: one (term, bucket) group → block rows."""
+_SEG_COLUMNS = [
+    "term",
+    "bucket",
+    "block_id",
+    "first_doc",
+    "last_doc",
+    "n",
+    "df",
+    "doc_bytes",
+    "tf_bytes",
+    "dl_bytes",
+    "max_score",
+]
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, bucket = key
-        pdf = pdf.sort_values("doc_id")
-        doc_ids = pdf["doc_id"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        dls = pdf["doclen"].to_numpy(np.int64)
-        df_t = int(pdf["df"].iloc[0])
-        idf = np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
-        scores = idf * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-        rows = []
-        for s in range(0, len(doc_ids), BLOCK_SIZE):
-            e = min(s + BLOCK_SIZE, len(doc_ids))
+
+def _encode_frame(pdf: pd.DataFrame, k1: float, b: float, n_docs: int, avgdl: float) -> pd.DataFrame:
+    """Encode a (term, bucket, doc_id)-sorted frame of complete groups into
+    block rows. Vectorized: one numpy pass computes scores for the whole
+    frame; the only Python loop is over blocks (≤ rows/128 iterations)."""
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)
+    tfs = pdf["tf"].to_numpy(np.int64)
+    dls = pdf["doclen"].to_numpy(np.int64)
+    dfs = pdf["df"].to_numpy(np.int64)
+    terms = pdf["term"].to_numpy()
+    buckets = pdf["bucket"].to_numpy(np.int64)
+    idf = np.log(1.0 + (n_docs - dfs + 0.5) / (dfs + 0.5))
+    scores = idf * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+    # group boundaries: change of (term, bucket)
+    change = np.empty(len(pdf), dtype=bool)
+    change[0] = True
+    change[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
+    group_starts = np.flatnonzero(change)
+    group_ends = np.append(group_starts[1:], len(pdf))
+    rows = []
+    for gs, ge in zip(group_starts, group_ends):
+        block_id = 0
+        for s in range(gs, ge, BLOCK_SIZE):
+            e = min(s + BLOCK_SIZE, ge)
             d = doc_ids[s:e]
             rows.append(
                 (
-                    term,
-                    bucket,
-                    s // BLOCK_SIZE,
+                    terms[gs],
+                    int(buckets[gs]),
+                    block_id,
                     int(d[0]),
                     int(d[-1]),
                     e - s,
-                    df_t,
+                    int(dfs[gs]),
                     vb_encode(delta_encode(d)),
                     vb_encode(tfs[s:e]),
                     vb_encode(dls[s:e]),
                     float(scores[s:e].max()),
                 )
             )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "term",
-                "bucket",
-                "block_id",
-                "first_doc",
-                "last_doc",
-                "n",
-                "df",
-                "doc_bytes",
-                "tf_bytes",
-                "dl_bytes",
-                "max_score",
-            ],
-        )
+            block_id += 1
+    return pd.DataFrame(rows, columns=_SEG_COLUMNS)
+
+
+def _encode_partition(k1: float, b: float, n_docs: int, avgdl: float):
+    """mapInPandas kernel over (term, bucket, doc_id)-sorted partitions.
+
+    One streaming pass: the trailing (possibly incomplete) (term, bucket)
+    group of each Arrow batch is carried into the next batch, so blocks never
+    split mid-group regardless of Arrow batch boundaries. No per-group Python
+    task overhead — this is what makes the encode viable when the vocabulary
+    is 10^8 terms × 10^7 buckets at full scale.
+    """
+
+    def fn(batches):
+        tail: pd.DataFrame | None = None
+        for pdf in batches:
+            if tail is not None and len(tail):
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_term = pdf["term"].iat[-1]
+            last_bucket = pdf["bucket"].iat[-1]
+            is_tail = (pdf["term"] == last_term) & (pdf["bucket"] == last_bucket)
+            tail = pdf[is_tail]
+            body = pdf[~is_tail]
+            if len(body):
+                yield _encode_frame(body, k1, b, n_docs, avgdl)
+        if tail is not None and len(tail):
+            yield _encode_frame(tail, k1, b, n_docs, avgdl)
 
     return fn
 
@@ -222,8 +259,14 @@ def build_index(
     if done:
         posts = posts.filter(~F.col("bucket").isin(*[int(x) for x in done]))
 
-    segments = posts.groupBy("term", "bucket").applyInPandas(
-        _encode_group(k1, b, stats["N"], stats["avgdl"]), schema=SEGMENT_SCHEMA
+    # salted repartition-by-term: shuffle key (term, bucket) splits head terms
+    # across buckets, then a streaming sorted encode — one Python pass per
+    # partition instead of one per (term, bucket) group
+    shuffled = posts.repartition("term", "bucket").sortWithinPartitions(
+        "term", "bucket", "doc_id"
+    )
+    segments = shuffled.mapInPandas(
+        _encode_partition(k1, b, stats["N"], stats["avgdl"]), schema=SEGMENT_SCHEMA
     )
     seg_path = os.path.join(index_dir, "segments")
     segments.write.mode("append").partitionBy("bucket").parquet(seg_path)
