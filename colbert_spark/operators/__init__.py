@@ -1,0 +1,19 @@
+"""Operator registry: every implemented query/operator from SURVEY.md §2,
+each paired with an ANSI-SQL oracle DuckDB can run on the same tables.
+
+`QUERIES[name]` is a callable (spark, sf_dir) -> DataFrame;
+`ORACLES[name]` is the equivalent SQL (omitted for non-SQL-expressible ops,
+which get the driver's weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+from colbert_spark.operators import dedup, events, fts_documents, relational, similarity, textops
+
+_MODULES = [fts_documents, relational, dedup, textops, similarity, events]
+
+QUERIES = {}
+ORACLES = {}
+for _m in _MODULES:
+    QUERIES.update(_m.QUERIES)
+    ORACLES.update(getattr(_m, "ORACLES", {}))

@@ -1,0 +1,146 @@
+"""Text-analysis operators over `documents`: quality scoring, language-ID
+heuristic, token counting, document fingerprinting. All JVM-side expressions
+(higher-order array functions), each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from colbert_spark.functions.tokenizer import duckdb_tokens_sql, tokens_col
+from colbert_spark.sources.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "nicht"),
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "los", "y", "que"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+_TOK = duckdb_tokens_sql("text")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features: token count, mean token length, stopword
+    ratio, alnum char ratio — the webtext quality-filter feature set."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.when(n_tok > 0, F.round(tok_chars / n_tok, 6)).otherwise(0.0).alias("mean_tok_len"),
+        F.when(n_tok > 0, F.round(n_stop / n_tok, 6)).otherwise(0.0).alias("stopword_ratio"),
+        F.round(tok_chars / F.greatest(F.length("text"), F.lit(1)), 6).alias("alnum_ratio"),
+    ).orderBy("doc_id")
+
+
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: argmax of per-language marker counts with
+    deterministic tie-break (marker count desc, language asc), 'und' if no
+    marker hits. Synthetic corpora mostly hit 'en' — determinism is the
+    contract, not linguistic accuracy."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    def marker_count(markers):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = [
+        marker_count(markers).alias(f"s_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = docs.select("doc_id", "lang", *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in langs:  # first (alphabetical) language achieving the max wins
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id", F.col("lang").alias("tagged_lang"), pred.alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation document fingerprint: min md5 over 4-token windows —
+    a content-defined signature stable under doc reordering in the table."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 3, F.lit(0)))
+    windows = F.when(
+        F.size(toks) >= 4,
+        F.transform(
+            idx,
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(4)]
+                ).cast("binary")
+            ),
+        ),
+    ).otherwise(F.array(F.md5(F.col("text").cast("binary"))))
+    return docs.select(
+        "doc_id", F.array_min(windows).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def _marker_sql(lang: str) -> str:
+    quoted = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter({_TOK}, t -> t IN ({quoted})))"
+
+
+_LANGS = sorted(LANG_MARKERS)
+_PRED_CASE = (
+    "CASE WHEN best = 0 THEN 'und' "
+    + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in _LANGS)
+    + " END"
+)
+
+ORACLES = {
+    "text_quality": f"""
+        WITH feat AS (
+          SELECT doc_id, text, {_TOK} AS toks FROM documents),
+        agg AS (
+          SELECT doc_id, text, len(toks) AS n_tokens,
+                 list_sum(list_transform(toks, t -> len(t))) AS tok_chars,
+                 len(list_filter(toks, t -> t IN {STOPWORDS!r})) AS n_stop
+          FROM feat)
+        SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+               CASE WHEN n_tokens > 0 THEN round(tok_chars / n_tokens::DOUBLE, 6) ELSE 0.0 END AS mean_tok_len,
+               CASE WHEN n_tokens > 0 THEN round(n_stop / n_tokens::DOUBLE, 6) ELSE 0.0 END AS stopword_ratio,
+               round(coalesce(tok_chars, 0) / greatest(len(text), 1)::DOUBLE, 6) AS alnum_ratio
+        FROM agg ORDER BY doc_id
+    """,
+    "langid_heuristic": f"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 {", ".join(f"{_marker_sql(lang)} AS s_{lang}" for lang in _LANGS)}
+          FROM documents),
+        best AS (
+          SELECT *, greatest({", ".join(f"s_{lang}" for lang in _LANGS)}) AS best
+          FROM scored)
+        SELECT doc_id, lang AS tagged_lang, {_PRED_CASE} AS pred_lang
+        FROM best ORDER BY doc_id
+    """,
+    "doc_fingerprint": f"""
+        WITH t AS (SELECT doc_id, text, {_TOK} AS toks FROM documents),
+        fp AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 4 THEN
+                   list_min(list_transform(
+                     generate_series(1, greatest(len(toks) - 3, 0)),
+                     i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
+                 ELSE md5(text) END AS fingerprint
+          FROM t)
+        SELECT doc_id, fingerprint FROM fp ORDER BY doc_id
+    """,
+}
+
+QUERIES = {
+    "text_quality": text_quality,
+    "langid_heuristic": langid_heuristic,
+    "doc_fingerprint": doc_fingerprint,
+}
