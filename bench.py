@@ -1,0 +1,95 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline workload:
+  * index_build       — full inverted-index build (tokenize → postings →
+                        salted (term,bucket) shuffle → varbyte segments +
+                        manifest) over a deterministic synthetic web_pages
+                        corpus sized by sf (sf0.1 → 20k docs)
+  * bm25_segments     — 100-query BM25 top-100 batch over the compressed
+                        segment index (block-max MaxScore kernel)
+  * bm25_dataframe    — flagship exact-path BM25 over the documents table
+  * plus representative driver queries (TPC-H agg, minhash, knn, sessionize)
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_corpus = max(2000, int(200_000 * sf))
+
+    from colbert_spark.index.build import build_index
+    from colbert_spark.operators.dedup import minhash_signatures
+    from colbert_spark.operators.events import events_sessionize
+    from colbert_spark.operators.fts_documents import fts_bm25_topk
+    from colbert_spark.operators.relational import tpch_q1_pricing_summary
+    from colbert_spark.operators.similarity import knn_cosine_topk
+    from colbert_spark.query.wand import bm25_topk_segments
+    from colbert_spark.session import get_spark
+    from colbert_spark.sources.synth import synth_queries, write_web_pages
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    work = tempfile.mkdtemp(prefix="colbert_bench_")
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    try:
+        # corpus synthesis excluded from timings (input preparation)
+        corpus_path = os.path.join(work, "web_pages")
+        write_web_pages(spark, corpus_path, n_corpus, partitions=cpus)
+        corpus = spark.read.parquet(corpus_path)
+
+        t0 = time.perf_counter()
+        build_index(spark, corpus, os.path.join(work, "index"), bucket_size=max(n_corpus // (4 * cpus), 500))
+        timings["index_build"] = time.perf_counter() - t0
+        extra["index_docs_per_sec"] = round(n_corpus / timings["index_build"], 1)
+
+        queries = spark.createDataFrame(synth_queries(100))
+        t0 = time.perf_counter()
+        n = bm25_topk_segments(spark, os.path.join(work, "index"), queries, k=100).count()
+        timings["bm25_segments_100q"] = time.perf_counter() - t0
+        extra["bm25_qps"] = round(100 / timings["bm25_segments_100q"], 2)
+        assert n > 0
+
+        for name, fn in [
+            ("bm25_dataframe", fts_bm25_topk),
+            ("tpch_q1", tpch_q1_pricing_summary),
+            ("minhash_signatures", minhash_signatures),
+            ("knn_cosine_topk", knn_cosine_topk),
+            ("events_sessionize", events_sessionize),
+        ]:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            timings[name] = time.perf_counter() - t0
+
+        total = sum(timings.values())
+        out = {
+            "metric": "index-build + BM25 top-k + pipeline ops wall time",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": sf,
+            "cpus": cpus,
+            "corpus_docs": n_corpus,
+            **extra,
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
