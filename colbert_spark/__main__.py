@@ -1,0 +1,101 @@
+"""spark-submit entry point (north_rule: "runs via spark-submit --py-files on
+multi-executor clusters").
+
+Usage (cluster):
+  zip -r colbert_spark.zip colbert_spark
+  spark-submit --py-files colbert_spark.zip -m colbert_spark index \
+      --input /path/web_pages --output /path/index
+  spark-submit ... query --index /path/index --questions q.txt --k 10
+  spark-submit ... synth --output /path/web_pages --docs 100000
+
+Locally the same commands run with `python -m colbert_spark ...` (the session
+factory falls back to local[$SPARK_GRAFT_CPUS]). When launched by
+spark-submit against a real master, the pre-existing session (yarn/k8s/
+standalone) is reused untouched — `SparkSession.builder.getOrCreate` semantics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_synth(args) -> int:
+    from colbert_spark.session import get_spark
+    from colbert_spark.sources.synth import write_web_pages
+
+    spark = get_spark("colbert-synth")
+    kw = {"partitions": args.partitions} if args.partitions else {}
+    write_web_pages(spark, args.output, args.docs, **kw)
+    print(json.dumps({"written": args.docs, "path": args.output}))
+    return 0
+
+
+def _cmd_index(args) -> int:
+    from colbert_spark.index.build import build_index
+    from colbert_spark.session import get_spark
+
+    spark = get_spark("colbert-index")
+    web_pages = spark.read.parquet(args.input)
+    stats = build_index(
+        spark,
+        web_pages,
+        args.output,
+        bucket_size=args.bucket_size,
+        use_html=args.use_html,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+def _cmd_query(args) -> int:
+    from colbert_spark.query.wand import bm25_topk_segments
+    from colbert_spark.session import get_spark
+
+    spark = get_spark("colbert-query")
+    if args.questions == "-":
+        questions = [q.strip() for q in sys.stdin if q.strip()]
+    else:
+        with open(args.questions) as f:
+            questions = [q.strip() for q in f if q.strip()]
+    queries = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(questions)], "qid long, question string"
+    )
+    res = bm25_topk_segments(spark, args.index, queries, k=args.k)
+    for r in res.collect():
+        print(json.dumps({"qid": r["qid"], "rank": r["rank"], "doc_id": r["doc_id"], "score": r["score"]}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="colbert_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("synth", help="write a deterministic synthetic web_pages corpus")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--docs", type=int, default=10_000)
+    sp.add_argument("--partitions", type=int, default=None)
+    sp.set_defaults(fn=_cmd_synth)
+
+    ip = sub.add_parser("index", help="build the inverted index over a web_pages table")
+    ip.add_argument("--input", required=True, help="parquet/Iceberg web_pages path")
+    ip.add_argument("--output", required=True, help="index directory")
+    ip.add_argument("--bucket-size", type=int, default=100_000)
+    ip.add_argument("--use-html", action="store_true", help="extract text from the html column")
+    ip.add_argument("--no-resume", action="store_true", help="ignore the manifest and rebuild")
+    ip.set_defaults(fn=_cmd_index)
+
+    qp = sub.add_parser("query", help="BM25 top-k over a built index")
+    qp.add_argument("--index", required=True)
+    qp.add_argument("--questions", required=True, help="text file of questions, or - for stdin")
+    qp.add_argument("--k", type=int, default=10)
+    qp.set_defaults(fn=_cmd_query)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

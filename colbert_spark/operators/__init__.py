@@ -8,9 +8,28 @@ which get the driver's weaker rows-only check).
 
 from __future__ import annotations
 
-from colbert_spark.operators import dedup, events, fts_documents, relational, similarity, textops
+from colbert_spark.operators import (
+    dedup,
+    events,
+    fts_documents,
+    multimodal,
+    relational,
+    similarity,
+    textops,
+)
 
-_MODULES = [fts_documents, relational, dedup, textops, similarity, events]
+from colbert_spark import streaming as _streaming
+
+_MODULES = [
+    fts_documents,
+    relational,
+    dedup,
+    textops,
+    similarity,
+    events,
+    multimodal,
+    _streaming,
+]
 
 QUERIES = {}
 ORACLES = {}

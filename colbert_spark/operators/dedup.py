@@ -16,6 +16,10 @@ from colbert_spark.functions.tokenizer import duckdb_tokens_sql, tokens_col
 from colbert_spark.sources.tables import load_table
 
 N_HASHES = 16  # minhash permutations
+LSH_BANDS = 4  # 16 hashes → 4 bands × 4 rows (band-bucket join = scale path)
+SIMHASH_BITS = 32  # one md5 hex char per bit; packed signature fits BIGINT
+NEARDUP_COS = 0.3  # synthetic embeddings are near-orthogonal; 0.3 exercises the pair path
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
 _TOK = duckdb_tokens_sql("text")
 
 
@@ -55,22 +59,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale path: shingle explode → (doc, j) partial-agg min — a single shuffle
     keyed by (doc_id, j), no skew (uniform key)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(shingles_col(tokens_col("text"))).alias("sh")
-    ).distinct()
-    js = spark.range(N_HASHES).select(F.col("id").cast("int").alias("j"))
-    return (
-        sh.crossJoin(F.broadcast(js))
-        .select(
-            "doc_id",
-            "j",
-            F.md5(F.concat_ws(":", F.col("j"), F.col("sh")).cast("binary")).alias("h"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.min("h").alias("mh"))
-        .orderBy("doc_id", "j")
-    )
+    return _minhash_sig(spark, sf_dir).orderBy("doc_id", "j")
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,7 +93,139 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared signature builder for minhash_signatures / minhash_lsh_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(tokens_col("text"))).alias("sh")
+    ).distinct()
+    js = spark.range(N_HASHES).select(F.col("id").cast("int").alias("j"))
+    return (
+        sh.crossJoin(F.broadcast(js))
+        .select(
+            "doc_id",
+            "j",
+            F.md5(F.concat_ws(":", F.col("j"), F.col("sh")).cast("binary")).alias("h"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs — the 10^12-doc near-dup scale path.
+
+    Signatures → band keys (band = md5 of the 4 row-hashes concatenated in
+    row order) → self-join per (band, key) bucket → distinct pairs. The join
+    is keyed by the band hash, so work is proportional to bucket sizes, not
+    to n² (the quadratic `ngram_jaccard_pairs` is the exact baseline).
+    Mirrors the reference's IVF bucketing (`faiss_indexers.py:195-222`):
+    coarse buckets shortlist candidates, exact scoring refines.
+    """
+    sig = _minhash_sig(spark, sf_dir)
+    bands = (
+        sig.withColumn("band", (F.col("j") / (N_HASHES // LSH_BANDS)).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(":", F.array_sort(F.collect_list(
+            F.concat_ws("=", F.col("j"), F.col("mh"))
+        ))).cast("binary")).alias("key"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _simhash_bit(j: int):
+    """±1 pseudo-random bit for (term, j): parity of hex char j of md5(term)."""
+    c = F.substring(F.md5(F.col("term").cast("binary")), j + 1, 1)
+    return F.when(c.isin(*_ODD_HEX), F.lit(1)).otherwise(F.lit(-1))
+
+
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup signature: 32-bit packed signature per doc.
+
+    bit_j = sign of Σ_terms tf · (±1 from md5-hex parity of (term, j)).
+    One shuffle (groupBy doc_id with 32 partial-agg sums) — no per-bit
+    explode, so the exchange stays proportional to postings, not ×32.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(F.col("tf") * _simhash_bit(j)).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    packed = sums.select(
+        "doc_id",
+        sum(
+            F.when(F.col(f"b{j}") > 0, F.lit(float(2**j))).otherwise(F.lit(0.0))
+            for j in range(SIMHASH_BITS)
+        ).cast("long").alias("simhash"),
+    )
+    return packed.orderBy("doc_id")
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: label-blocked exact cosine ≥ 0.3.
+
+    The label is the blocking key (candidate pairs only within a block —
+    at scale the block key would be an LSH signature, see
+    similarity.ann_lsh_topk); exact float64 cosine refines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    e = emb.withColumn("nrm", norm).filter(F.col("nrm") > 0)
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cos_r"),
+        )
+        .filter(F.col("cos_r") >= NEARDUP_COS)
+        .orderBy("a_id", "b_id")
+    )
+
+
 _SH = _duckdb_shingles(_TOK)
+
+_BAND_ROWS = N_HASHES // LSH_BANDS
+
+_SIMHASH_BITS_SQL = ", ".join(
+    "sum(tf * (CASE WHEN substring(md5(term), {p}, 1) IN {odds} THEN 1 ELSE -1 END)) AS b{j}".format(
+        p=j + 1, odds=repr(_ODD_HEX), j=j
+    )
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_PACK_SQL = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {float(2 ** j)} ELSE 0.0 END)" for j in range(SIMHASH_BITS)
+)
 
 ORACLES = {
     "dedup_exact": """
@@ -138,8 +259,57 @@ ORACLES = {
     """,
 }
 
+ORACLES["minhash_lsh_pairs"] = f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({_SH}) AS sh FROM documents),
+    sig AS (
+      SELECT doc_id, j.j::INT AS j, min(md5(j.j || ':' || sh)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS j) j
+      GROUP BY doc_id, j.j),
+    bands AS (
+      SELECT doc_id, (j // {_BAND_ROWS})::INT AS band,
+             md5(string_agg(j || '=' || mh, ':' ORDER BY j || '=' || mh)) AS key
+      FROM sig GROUP BY doc_id, (j // {_BAND_ROWS})::INT)
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ORDER BY a_id, b_id
+"""
+
+ORACLES["simhash64"] = f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+      GROUP BY doc_id, term),
+    sums AS (
+      SELECT doc_id, {_SIMHASH_BITS_SQL}
+      FROM tf GROUP BY doc_id)
+    SELECT doc_id, ({_SIMHASH_PACK_SQL})::BIGINT AS simhash
+    FROM sums ORDER BY doc_id
+"""
+
+ORACLES["embedding_neardup"] = """
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+      FROM embeddings),
+    nz AS (SELECT * FROM e WHERE nrm > 0)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                         i -> a.v[i] * b.v[i]))
+                 / (a.nrm * b.nrm), 6) AS cos_r
+    FROM nz a JOIN nz b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                        i -> a.v[i] * b.v[i]))
+                / (a.nrm * b.nrm), 6) >= 0.3
+    ORDER BY a_id, b_id
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "simhash64": simhash64,
+    "embedding_neardup": embedding_neardup,
 }

@@ -80,6 +80,89 @@ def label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+N_PLANES = 8
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def _plane_sign(p: int, i):
+    """±1 coefficient for (plane p, dim i): md5-hex-parity of a string both
+    engines spell identically — 'p{p}:{i//32}', hex char (i%32)+1."""
+    word = F.concat_ws(
+        "", F.lit(f"p{p}:"), F.floor(i / F.lit(32)).cast("int").cast("string")
+    )
+    ch = F.substr(F.md5(word.cast("binary")), (i % F.lit(32)) + 1, F.lit(1))
+    return F.when(ch.isin(*_ODD_HEX), F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def _lsh_sig(v: Column) -> Column:
+    """Random-hyperplane signature: bit p = (Σᵢ coef(p,i)·v[i] > 0)."""
+    bits = []
+    for p in range(N_PLANES):
+        dot = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(F.sequence(F.lit(0), F.size(v) - 1), lambda i: _plane_sign(p, i)),
+                lambda x, c: x * c,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0)))
+    return sum(bits).cast("int")
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k — the 10^12-row scale path for
+    `knn_cosine_topk` (the reference's IVF-probe shortlist,
+    ``colbert/ranking/colbert_ranker.py:176-210``, in classical clothing).
+
+    Random-hyperplane signatures (md5-derived ±1 projections, identical by
+    construction in Spark and DuckDB) bucket the corpus; candidates are only
+    vectors sharing the query's signature, then exact float64 cosine ranks
+    within the bucket. The bucket join replaces the all-pairs crossJoin:
+    cost ∝ bucket occupancy (n/2^planes per bucket in expectation), and the
+    signature scan parallelizes embarrassingly.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sig = emb.withColumn("sig", _lsh_sig(F.col("v")))
+    q = sig.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "sig"
+    )
+    c = sig.filter(F.col("vec_id") >= N_QUERY_VECS).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "sig"
+    )
+    sim = F.when(
+        (_norm(F.col("qv")) > 0) & (_norm(F.col("cv")) > 0),
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+    ).otherwise(0.0)
+    scored = c.join(F.broadcast(q), "sig").select("qid", "cand_id", sim.alias("sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc(F.round(F.col("sim"), 9)), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "rank", "cand_id", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+def _duckdb_plane_sign(p: int) -> str:
+    odds = ", ".join(f"'{o}'" for o in _ODD_HEX)
+    return (
+        f"CASE WHEN substring(md5('p{p}:' || ((i-1)//32)), ((i-1)%32)+1, 1) "
+        f"IN ({odds}) THEN 1.0 ELSE -1.0 END"
+    )
+
+
+def _duckdb_sig(v: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(generate_series(1, len({v})), "
+        f"i -> {v}[i] * ({_duckdb_plane_sign(p)}))) > 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"({bits})::INT"
+
+
 ORACLES = {
     "knn_cosine_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -118,7 +201,30 @@ ORACLES = {
     """,
 }
 
+ORACLES["ann_lsh_topk"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT vec_id, v, {_duckdb_sig('v')} AS sig FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, sig FROM sig WHERE vec_id < {N_QUERY_VECS}),
+    c AS (SELECT vec_id AS cand_id, v AS cv, sig FROM sig WHERE vec_id >= {N_QUERY_VECS}),
+    scored AS (
+      SELECT qid, cand_id,
+             CASE WHEN sqrt(list_sum(list_transform(qv, x -> x*x))) > 0
+                   AND sqrt(list_sum(list_transform(cv, x -> x*x))) > 0
+             THEN list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i]))
+                  / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+                     * sqrt(list_sum(list_transform(cv, x -> x*x))))
+             ELSE 0.0 END AS sim
+      FROM c JOIN q USING (sig)),
+    ranked AS (
+      SELECT qid, cand_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY round(sim, 9) DESC, cand_id) AS rank
+      FROM scored)
+    SELECT qid, rank::BIGINT AS rank, cand_id, round(sim, 6) AS sim_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
 QUERIES = {
     "knn_cosine_topk": knn_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
     "label_centroid_sim": label_centroid_sim,
 }

@@ -87,6 +87,30 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+BPE_CHUNK = 4  # BPE-ish budget: a word costs ceil(len/4) subword tokens
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting for training-data budgeting: whitespace tokens,
+    grammar tokens (the engine tokenizer), and a BPE-ish subword estimate
+    (Σ ceil(len(term)/4) — the ~4-chars-per-token heuristic). All JVM
+    expressions; at 100 TB this is a single scan with no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    ws = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    bpe = F.aggregate(
+        F.transform(toks, lambda t: F.ceil(F.length(t) / BPE_CHUNK)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.length(F.trim(F.col("text"))) > 0, ws).otherwise(0).cast("long").alias("ws_tokens"),
+        F.size(toks).cast("long").alias("grammar_tokens"),
+        bpe.alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
 def _marker_sql(lang: str) -> str:
     quoted = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
     return f"len(list_filter({_TOK}, t -> t IN ({quoted})))"
@@ -139,8 +163,20 @@ ORACLES = {
     """,
 }
 
+ORACLES["token_count"] = f"""
+    WITH t AS (SELECT doc_id, text, {_TOK} AS toks FROM documents)
+    SELECT doc_id,
+           (CASE WHEN len(trim(text)) > 0
+                 THEN len(regexp_split_to_array(trim(text), '\\s+'))
+                 ELSE 0 END)::BIGINT AS ws_tokens,
+           len(toks)::BIGINT AS grammar_tokens,
+           coalesce(list_sum(list_transform(toks, x -> ceil(len(x) / {BPE_CHUNK}.0)::BIGINT)), 0)::BIGINT AS bpe_tokens
+    FROM t ORDER BY doc_id
+"""
+
 QUERIES = {
     "text_quality": text_quality,
     "langid_heuristic": langid_heuristic,
     "doc_fingerprint": doc_fingerprint,
+    "token_count": token_count,
 }

@@ -1,0 +1,93 @@
+"""Structured Streaming path: the batch `events_hourly_agg` semantics run
+incrementally (`readStream` file source → watermarked tumbling window →
+memory sink), proving the engine's operators compose under streaming
+execution. The reference has no streaming (its server loop,
+``colbert/training/dense_server_client.py:51-66``, is request/response) —
+this is the Spark-native extension a continuously-crawled web corpus needs:
+the same hourly rollup keeps running as new WARC drops land in the table.
+
+The file source replays the parquet table as a bounded stream
+(`Trigger.AvailableNow` — process everything available, then stop), which is
+exactly how a backfill over historic crawl data runs on a real cluster; for
+an unbounded feed the same query keeps running with the 1-hour watermark
+bounding state.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental tumbling-window rollup, run to completion over the bounded
+    stream and returned as a batch DataFrame (bit-compatible with the batch
+    `events_hourly_agg` / its SQL oracle).
+
+    Watermark bounds state for the unbounded case; complete output mode
+    against the memory sink gives the full final table for the bounded one.
+    """
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")  # file source wants a dir
+        .parquet(sf_dir)
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    sink = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("hour_start", "event_type")
+
+
+ORACLES = {
+    "streaming_hourly_agg": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type, count(*)::BIGINT AS n,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type
+    """,
+}
+
+QUERIES = {
+    "streaming_hourly_agg": streaming_hourly_agg,
+}
