@@ -9,17 +9,20 @@ Pipeline (all declarative until the block-encode kernel):
       single-partition window)
     → exact collection stats (N, avgdl) and per-term df  [north_star: exact]
     → postings (term, doc_id, tf, doclen) via explode + partial-agg groupBy
-    → **salted repartition-by-term**: shuffle key is (term, bucket) where
-      bucket = doc_id // bucket_size. The doc-bucket IS the salt — a Zipf head
-      term with df ≈ 0.5·N is split across every bucket, so no reducer ever
-      sees a whole hot posting list (north_rule skew clause). Within a group,
-      postings are doc_id-sorted, so each term's blocks remain globally
-      doc-ordered across buckets.
+    → **salted repartition-by-term**: the shuffle key is the doc-bucket
+      (bucket = doc_id // bucket_size). The doc-bucket IS the salt — a Zipf
+      head term with df ≈ 0.5·N is split across every bucket, so no reducer
+      ever sees a whole hot posting list (north_rule skew clause), and the
+      exchange is balanced by construction (buckets are uniform doc-range
+      slices). Within a (term, bucket) group, postings are doc_id-sorted, so
+      each term's blocks remain globally doc-ordered across buckets.
     → per-(term, bucket) block encode (applyInPandas, numpy varbyte): blocks
       of ≤128 postings carrying delta+varbyte docIDs, varbyte tfs, varbyte
       doclens, and the exact per-block max BM25 contribution (block-max
       metadata for the WAND/MaxScore query kernel)
-    → segment parquet partitioned by bucket + manifest row per bucket
+    → segment parquet (one file per shuffle partition, rows sorted by
+      (term, bucket) so term predicates prune row groups) + manifest row
+      per bucket
       (term range, block/posting counts, status, watermark) → resumable.
 
 The segment layout mirrors the reference's partitioned index parts
@@ -37,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from colbert_spark.functions.tokenizer import html_text_col, tokens_col
-from colbert_spark.index.codec import delta_encode, vb_encode
+from colbert_spark.index.codec import vb_encode_concat
 from colbert_spark.oracle import B_DEFAULT, K1_DEFAULT
 
 BLOCK_SIZE = 128
@@ -107,6 +110,9 @@ def postings_df(docs: DataFrame) -> DataFrame:
 
     The groupBy key includes doc_id, so head-term skew is already spread
     across the shuffle; map-side combine keeps the exchange small.
+    (Query-path helper; the index build itself ships RAW exploded tokens into
+    its one shuffle and run-length-counts tf inside the encode kernel —
+    see `build_index`.)
     """
     return (
         docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
@@ -119,6 +125,17 @@ def term_stats(postings: DataFrame) -> DataFrame:
     """Exact df/cf per term (partial aggregation defuses head-term skew)."""
     return postings.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+def term_stats_from_tokens(tokens: DataFrame) -> DataFrame:
+    """Exact df/cf per term straight from raw (term, doc_id) tokens.
+
+    df = countDistinct(doc_id): two-phase exact distinct — the partial
+    aggregation spreads head terms across the map side, so the Zipf head
+    never lands on one reducer un-combined."""
+    return tokens.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"), F.count("*").alias("cf")
     )
 
 
@@ -139,45 +156,80 @@ _SEG_COLUMNS = [
 
 def _encode_frame(pdf: pd.DataFrame, k1: float, b: float, n_docs: int, avgdl: float) -> pd.DataFrame:
     """Encode a (term, bucket, doc_id)-sorted frame of complete groups into
-    block rows. Vectorized: one numpy pass computes scores for the whole
-    frame; the only Python loop is over blocks (≤ rows/128 iterations)."""
-    doc_ids = pdf["doc_id"].to_numpy(np.int64)
-    tfs = pdf["tf"].to_numpy(np.int64)
-    dls = pdf["doclen"].to_numpy(np.int64)
-    dfs = pdf["df"].to_numpy(np.int64)
-    terms = pdf["term"].to_numpy()
-    buckets = pdf["bucket"].to_numpy(np.int64)
+    block rows. Input rows are RAW exploded tokens (one row per occurrence);
+    tf is recovered by run-length counting the sorted (term, bucket, doc_id)
+    runs — the map-side-combine work, done here instead of a second shuffle.
+    Fully vectorized: run-length collapse, block segmentation, scoring, and
+    the varbyte encode are each ONE numpy pass over the whole frame; per-block
+    payloads are value-aligned slices of the single concatenated encode
+    (LEB128 is self-delimiting). No per-group or per-block Python loop."""
+    raw_docs = pdf["doc_id"].to_numpy(np.int64)
+    raw_terms = pdf["term"].to_numpy()
+    raw_buckets = pdf["bucket"].to_numpy(np.int64)
+    # run boundaries of identical (term, bucket, doc_id) = one posting
+    new_run = np.empty(len(pdf), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (
+        (raw_terms[1:] != raw_terms[:-1])
+        | (raw_buckets[1:] != raw_buckets[:-1])
+        | (raw_docs[1:] != raw_docs[:-1])
+    )
+    starts = np.flatnonzero(new_run)
+    tfs = np.diff(np.append(starts, len(pdf)))
+    doc_ids = raw_docs[starts]
+    terms = raw_terms[starts]
+    buckets = raw_buckets[starts]
+    dls = pdf["doclen"].to_numpy(np.int64)[starts]
+    dfs = pdf["df"].to_numpy(np.int64)[starts]
     idf = np.log(1.0 + (n_docs - dfs + 0.5) / (dfs + 0.5))
     scores = idf * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-    # group boundaries: change of (term, bucket)
-    change = np.empty(len(pdf), dtype=bool)
+    # group boundaries: change of (term, bucket) over the collapsed postings
+    n_post = len(terms)
+    change = np.empty(n_post, dtype=bool)
     change[0] = True
     change[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
     group_starts = np.flatnonzero(change)
-    group_ends = np.append(group_starts[1:], len(pdf))
-    rows = []
-    for gs, ge in zip(group_starts, group_ends):
-        block_id = 0
-        for s in range(gs, ge, BLOCK_SIZE):
-            e = min(s + BLOCK_SIZE, ge)
-            d = doc_ids[s:e]
-            rows.append(
-                (
-                    terms[gs],
-                    int(buckets[gs]),
-                    block_id,
-                    int(d[0]),
-                    int(d[-1]),
-                    e - s,
-                    int(dfs[gs]),
-                    vb_encode(delta_encode(d)),
-                    vb_encode(tfs[s:e]),
-                    vb_encode(dls[s:e]),
-                    float(scores[s:e].max()),
-                )
-            )
-            block_id += 1
-    return pd.DataFrame(rows, columns=_SEG_COLUMNS)
+    group_sizes = np.diff(np.append(group_starts, n_post))
+    # block segmentation, fully vectorized: a block starts at every group
+    # start and every BLOCK_SIZE-th posting within a group
+    group_of = np.repeat(np.arange(group_starts.size), group_sizes)
+    off_in_group = np.arange(n_post) - group_starts[group_of]
+    block_starts = np.flatnonzero(off_in_group % BLOCK_SIZE == 0)
+    block_ends = np.append(block_starts[1:], n_post)
+    block_ids = (off_in_group[block_starts] // BLOCK_SIZE).astype(np.int32)
+    ns = (block_ends - block_starts).astype(np.int32)
+    # per-block docID deltas (first of each block kept raw), then ONE global
+    # varbyte pass per column; per-block payloads are value-aligned slices
+    deltas = np.empty_like(doc_ids)
+    deltas[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+    deltas[block_starts] = doc_ids[block_starts]
+    max_scores = np.maximum.reduceat(scores, block_starts)
+
+    def _sliced(vals: np.ndarray) -> list[bytes]:
+        buf, sizes = vb_encode_concat(vals)
+        offs = np.zeros(n_post + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offs[1:])
+        raw = buf.tobytes()
+        lo = offs[block_starts]
+        hi = offs[block_ends]
+        return [raw[s:e] for s, e in zip(lo.tolist(), hi.tolist())]
+
+    return pd.DataFrame(
+        {
+            "term": terms[block_starts],
+            "bucket": buckets[block_starts],
+            "block_id": block_ids,
+            "first_doc": doc_ids[block_starts],
+            "last_doc": doc_ids[block_ends - 1],
+            "n": ns,
+            "df": dfs[block_starts],
+            "doc_bytes": _sliced(deltas),
+            "tf_bytes": _sliced(tfs),
+            "dl_bytes": _sliced(dls),
+            "max_score": max_scores,
+        }
+    )
 
 
 def _encode_partition(k1: float, b: float, n_docs: int, avgdl: float):
@@ -224,7 +276,7 @@ def build_index(
     """Full (resumable) index build. Layout under `index_dir`:
 
       docs/        doc_id, url, doclen                    (parquet)
-      segments/    bucket=*/...block rows                 (parquet, partitioned)
+      segments/    block rows sorted by (term, bucket)    (parquet)
       stats.json   {N, avgdl, k1, b, bucket_size}         (driver-side json)
       manifest/    bucket, term_lo, term_hi, n_blocks, n_postings,
                    status, built_at                       (parquet, appended)
@@ -246,46 +298,77 @@ def build_index(
         prev = spark.read.parquet(manifest_path).filter(F.col("status") == "done")
         done = {r["bucket"] for r in prev.select("bucket").collect()}
 
-    docs.select("doc_id", "url", "doclen").write.mode("overwrite").parquet(
-        os.path.join(index_dir, "docs")
-    )
+    os.makedirs(index_dir, exist_ok=True)
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f)
 
-    posts = postings_df(docs)
-    tstats = term_stats(posts)
-    posts = posts.join(tstats.select("term", "df"), "term")
+    # raw exploded tokens go straight into the ONE postings shuffle; tf is
+    # recovered by run-length counting in the encode kernel (map-side combine
+    # moved into the kernel — saves a whole groupBy exchange of the postings)
+    tokens = docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
+    tstats = term_stats_from_tokens(tokens).persist()
+    # plain join: AQE converts it to broadcast while the vocabulary is small
+    # and falls back to a skew-split shuffle join at web-scale vocabularies
+    posts = tokens.join(tstats.select("term", "df"), "term")
     posts = posts.withColumn("bucket", (F.col("doc_id") / bucket_size).cast("long"))
     if done:
         posts = posts.filter(~F.col("bucket").isin(*[int(x) for x in done]))
 
-    # salted repartition-by-term: shuffle key (term, bucket) splits head terms
-    # across buckets, then a streaming sorted encode — one Python pass per
-    # partition instead of one per (term, bucket) group
-    shuffled = posts.repartition("term", "bucket").sortWithinPartitions(
-        "term", "bucket", "doc_id"
+    # salted repartition-by-term, realized as a shuffle on the doc-bucket:
+    # a Zipf head term with df ≈ 0.5·N is split across EVERY bucket (the salt),
+    # while each bucket is a uniform doc-range slice — so the exchange is
+    # balanced by construction, no reducer ever sees a whole hot posting
+    # list, and each bucket lands in exactly ONE partition (⇒ exactly one
+    # segment file per bucket below, the resume/lineage unit). The streaming
+    # sorted encode is one Python pass per partition, not per group.
+    shuffled = posts.repartition("bucket").sortWithinPartitions(
+        "bucket", "term", "doc_id"
     )
     segments = shuffled.mapInPandas(
         _encode_partition(k1, b, stats["N"], stats["avgdl"]), schema=SEGMENT_SCHEMA
     )
     seg_path = os.path.join(index_dir, "segments")
-    segments.write.mode("append").partitionBy("bucket").parquet(seg_path)
 
-    # manifest rows for newly built buckets (term-range watermarks, counts)
-    built = (
-        spark.read.parquet(seg_path)
-        .filter(~F.col("bucket").isin(*[int(x) for x in done]) if done else F.lit(True))
-        .groupBy("bucket")
-        .agg(
-            F.min("term").alias("term_lo"),
-            F.max("term").alias("term_hi"),
-            F.count("*").alias("n_blocks"),
-            F.sum("n").alias("n_postings"),
+    def _write_segments_and_manifest() -> None:
+        segments.write.mode("append").partitionBy("bucket").parquet(seg_path)
+        # manifest rows for newly built buckets (term-range watermarks, counts)
+        built = (
+            spark.read.parquet(seg_path)
+            .filter(~F.col("bucket").isin(*[int(x) for x in done]) if done else F.lit(True))
+            .groupBy("bucket")
+            .agg(
+                F.min("term").alias("term_lo"),
+                F.max("term").alias("term_hi"),
+                F.count("*").alias("n_blocks"),
+                F.sum("n").alias("n_postings"),
+            )
+            .withColumn("status", F.lit("done"))
+            .withColumn("built_at", F.lit(built_at))
         )
-        .withColumn("status", F.lit("done"))
-        .withColumn("built_at", F.lit(built_at))
-    )
-    built.write.mode("append").parquet(manifest_path)
-    tstats.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
+        built.write.mode("append").parquet(manifest_path)
+
+    def _write_docs() -> None:
+        docs.select("doc_id", "url", "doclen").write.mode("overwrite").parquet(
+            os.path.join(index_dir, "docs")
+        )
+
+    def _write_tstats() -> None:
+        tstats.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
+
+    # the three sinks are independent — submit them from concurrent driver
+    # threads so the small jobs fill the scheduler gaps of the big one
+    # (driver-side dead time between stages is the scaling killer on short
+    # stages; on a real cluster this is the standard multi-job pattern)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [
+            pool.submit(_write_segments_and_manifest),
+            pool.submit(_write_docs),
+            pool.submit(_write_tstats),
+        ]
+        for fut in futures:
+            fut.result()  # re-raise the first failure
+    tstats.unpersist()
     docs.unpersist()
     return stats

@@ -15,15 +15,19 @@ from __future__ import annotations
 import numpy as np
 
 
-def vb_encode(values: np.ndarray) -> bytes:
+def vb_encode_concat(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """LEB128 varbyte-encode a non-negative int64 array (vectorized).
 
-    Each value is split into 7-bit groups, little-endian; all groups except
-    the last of a value have the continuation bit (0x80) set.
+    Returns ``(buf, nbytes)``: the concatenated byte stream as a uint8 array
+    and the per-value byte count — callers slice ``buf`` at
+    ``cumsum(nbytes)`` boundaries to split one global encode into per-block
+    payloads (LEB128 is self-delimiting, so any value-aligned slice decodes
+    independently). This is what lets the index build encode a whole Arrow
+    batch in ONE numpy pass instead of one call per posting block.
     """
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     # number of 7-bit groups per value (>=1)
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -51,7 +55,13 @@ def vb_encode(values: np.ndarray) -> bytes:
         rem[active] >>= np.uint64(7)
         active = active[more]
         g += 1
-    return out.tobytes()
+    return out, nbytes
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """LEB128 varbyte-encode a non-negative int64 array → one byte string."""
+    buf, _ = vb_encode_concat(values)
+    return buf.tobytes()
 
 
 def vb_decode(buf: bytes) -> np.ndarray:

@@ -58,9 +58,20 @@ def _bm25(tfs: np.ndarray, dls: np.ndarray, idf: float, k1: float, b: float, avg
     return idf * t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dls / avgdl))
 
 
+_EMPTY = pd.DataFrame(
+    {
+        "qid": pd.Series([], dtype="int64"),
+        "doc_id": pd.Series([], dtype="int64"),
+        "score": pd.Series([], dtype="float64"),
+    }
+)
+
+
 def make_kernel(k: int, k1: float, b: float, n_docs: int, avgdl: float):
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = int(key[0])
+    """Score one complete (qid, bucket) group frame → per-bucket top-k rows."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["qid"].iat[0])
         terms = sorted(pdf["term"].unique())
         # per-term metadata
         tinfo = {}
@@ -103,13 +114,7 @@ def make_kernel(k: int, k1: float, b: float, n_docs: int, avgdl: float):
                 blocks_cache[(t, row.block_id)] = dec
                 cand_parts.append(dec[0])
         if not cand_parts:
-            return pd.DataFrame(
-                {
-                    "qid": pd.Series([], dtype="int64"),
-                    "doc_id": pd.Series([], dtype="int64"),
-                    "score": pd.Series([], dtype="float64"),
-                }
-            )
+            return _EMPTY
         cands = np.unique(np.concatenate(cand_parts))
 
         # --- exact re-score of candidates, lexicographic term order (matches
@@ -164,7 +169,36 @@ def bm25_topk_segments(
         return spark.createDataFrame([], "qid long, rank int, doc_id long, score double")
     hit = segments.filter(F.col("term").isin(terms)).join(F.broadcast(qt), "term")
     kernel = make_kernel(k, stats["k1"], stats["b"], stats["N"], stats["avgdl"])
-    partial = hit.groupBy("qid", "bucket").applyInPandas(kernel, KERNEL_OUT_SCHEMA)
+
+    def stream(batches):
+        """One streaming pass per partition: the trailing (possibly
+        incomplete) (qid, bucket) group of each Arrow batch carries into the
+        next, so a group never splits and Python overhead is per-partition,
+        not per-group (same pattern as the index-build encode kernel)."""
+        tail: pd.DataFrame | None = None
+        for pdf in batches:
+            if tail is not None and len(tail):
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_q = pdf["qid"].iat[-1]
+            last_b = pdf["bucket"].iat[-1]
+            is_tail = (pdf["qid"] == last_q) & (pdf["bucket"] == last_b)
+            tail = pdf[is_tail]
+            body = pdf[~is_tail]
+            if len(body):
+                out = [
+                    kernel(g)
+                    for _, g in body.groupby(["qid", "bucket"], sort=False)
+                ]
+                yield pd.concat(out, ignore_index=True) if out else _EMPTY
+        if tail is not None and len(tail):
+            yield kernel(tail)
+
+    shuffled = hit.repartition("qid", "bucket").sortWithinPartitions(
+        "qid", "bucket", "term", "first_doc"
+    )
+    partial = shuffled.mapInPandas(stream, KERNEL_OUT_SCHEMA)
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         partial.withColumn("rank", F.row_number().over(w))

@@ -36,8 +36,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # FAIR scheduling: the index build submits independent sink jobs from
+        # concurrent driver threads; FAIR lets their tasks interleave instead
+        # of head-of-line blocking behind the big segment job
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches: the pandas kernels are O(batch) with small
+        # constants, so fewer/larger batches cut per-batch overhead
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+        # commit algorithm v2: task outputs move to the destination at task
+        # commit instead of a serial driver-side rename pass at job commit —
+        # the v1 rename loop is pure driver dead-time that grows with task
+        # count (i.e. anti-scales with parallelism)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
