@@ -110,12 +110,111 @@ def fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fts_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize top-k hits back to document attributes — the reference's
+    pid → passage-text lookup (``dense_server_client.py:47,92-103``) as a
+    join. The docs side is the big table: plain join (broadcast the tiny
+    top-k side at scale), never a collect."""
+    topk = fts_bm25_topk(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return topk.join(docs, "doc_id").select(
+        "qid", "rank", "doc_id", "lang", "source", "n_chars"
+    ).orderBy("qid", "rank")
+
+
+def fts_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-quality evaluation (reference A8, ``dureader_utils.py:51-73``
+    MRR@10 / recall): golden set per query = docs containing ALL query terms
+    (boolean-AND semantics); metrics over the BM25 top-10."""
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    qterms = queries.select(
+        "qid", F.explode(F.array_distinct(tokens_col("question"))).alias("term")
+    )
+    nq = qterms.groupBy("qid").agg(F.count("*").alias("n_terms"))
+    posts = docs.select("doc_id", F.explode("terms").alias("term")).distinct()
+    golden = (
+        posts.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.count("*").alias("n_hit"))
+        .join(F.broadcast(nq), "qid")
+        .filter(F.col("n_hit") == F.col("n_terms"))
+        .select("qid", "doc_id")
+    )
+    g_sizes = golden.groupBy("qid").agg(F.count("*").alias("n_golden"))
+    topk = fts_bm25_topk(spark, sf_dir)
+    hits = topk.join(golden, ["qid", "doc_id"]).select("qid", "rank")
+    agg = hits.groupBy("qid").agg(
+        F.count("*").alias("hits_at_10"),
+        F.round(1.0 / F.min("rank"), 6).alias("mrr_at_10_r"),
+    )
+    return (
+        g_sizes.join(agg, "qid", "left")
+        .select(
+            "qid",
+            "n_golden",
+            F.coalesce("hits_at_10", F.lit(0)).cast("long").alias("hits_at_10"),
+            F.round(
+                F.coalesce("hits_at_10", F.lit(0)) / F.col("n_golden"), 6
+            ).alias("recall_r"),
+            F.coalesce("mrr_at_10_r", F.lit(0.0)).alias("mrr_at_10_r"),
+        )
+        .orderBy("qid")
+    )
+
+
+def fts_doclen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact doclen percentile buckets (reference A4,
+    ``colbert_ranker.py:36-41`` stride bucketing): 25/50/75th percentiles as
+    skew diagnostics for partition sizing."""
+    docs = _docs(spark, sf_dir)
+    return docs.agg(
+        F.round(F.percentile("doclen", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("doclen", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("doclen", F.lit(0.75)), 6).alias("p75"),
+        F.max("doclen").cast("long").alias("max_dl"),
+    )
+
+
 def _values_clause() -> str:
     return ", ".join(f"({qid}, '{q}')" for qid, q in DOC_QUERIES)
 
 
 _TOK = duckdb_tokens_sql("text")
 _QTOK = duckdb_tokens_sql("question")
+
+
+def _bm25_ctes() -> str:
+    """Shared DuckDB CTE chain ending in `ranked(qid, doc_id, score, rank)`."""
+    return f"""
+        WITH q(qid, question) AS (VALUES {_values_clause()}),
+        tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+        dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        qt AS (SELECT qid, unnest({_QTOK}) AS term FROM q),
+        qtf AS (SELECT qid, term, count(*) AS qtf FROM qt GROUP BY qid, term),
+        scored AS (
+          SELECT qtf.qid::BIGINT AS qid, tf.doc_id,
+                 sum(qtf.qtf * ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({K1_DEFAULT} + 1.0)
+                     / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl))
+                 ) AS score
+          FROM qtf
+          JOIN df USING (term)
+          JOIN tf USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY qtf.qid, tf.doc_id),
+        ranked AS (
+          SELECT qid, doc_id, score,
+                 row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+          FROM scored)
+    """
+
 
 ORACLES = {
     "fts_doclen": f"""
@@ -163,9 +262,54 @@ ORACLES = {
     """,
 }
 
+ORACLES["fts_topk_docs"] = f"""
+    {_bm25_ctes()}
+    SELECT r.qid, r.rank::BIGINT AS rank, r.doc_id, d.lang, d.source, d.n_chars
+    FROM ranked r JOIN documents d USING (doc_id)
+    WHERE r.rank <= {TOPK}
+    ORDER BY r.qid, r.rank
+"""
+
+ORACLES["fts_eval_recall"] = f"""
+    {_bm25_ctes()},
+    qterms AS (SELECT DISTINCT qid, unnest({_QTOK}) AS term FROM q),
+    nq AS (SELECT qid, count(*) AS n_terms FROM qterms GROUP BY qid),
+    posts AS (SELECT DISTINCT doc_id, term FROM tok),
+    golden AS (
+      SELECT p.qid, p.doc_id FROM (
+        SELECT qterms.qid, posts.doc_id, count(*) AS n_hit
+        FROM posts JOIN qterms USING (term)
+        GROUP BY qterms.qid, posts.doc_id) p
+      JOIN nq ON p.qid = nq.qid AND p.n_hit = nq.n_terms),
+    g_sizes AS (SELECT qid, count(*) AS n_golden FROM golden GROUP BY qid),
+    top10 AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= {TOPK}),
+    hits AS (
+      SELECT t.qid, count(*) AS hits_at_10, round(1.0 / min(t.rank), 6) AS mrr_at_10_r
+      FROM top10 t JOIN golden g ON t.qid = g.qid AND t.doc_id = g.doc_id
+      GROUP BY t.qid)
+    SELECT g.qid::BIGINT AS qid, g.n_golden::BIGINT AS n_golden,
+           coalesce(h.hits_at_10, 0)::BIGINT AS hits_at_10,
+           round(coalesce(h.hits_at_10, 0) / g.n_golden::DOUBLE, 6) AS recall_r,
+           coalesce(h.mrr_at_10_r, 0.0) AS mrr_at_10_r
+    FROM g_sizes g LEFT JOIN hits h USING (qid)
+    ORDER BY qid
+"""
+
+ORACLES["fts_doclen_percentiles"] = f"""
+    WITH dl AS (SELECT len({_TOK}) AS doclen FROM documents)
+    SELECT round(quantile_cont(doclen, 0.25), 6) AS p25,
+           round(quantile_cont(doclen, 0.50), 6) AS p50,
+           round(quantile_cont(doclen, 0.75), 6) AS p75,
+           max(doclen)::BIGINT AS max_dl
+    FROM dl
+"""
+
 QUERIES = {
     "fts_doclen": fts_doclen,
     "fts_collection_stats": fts_collection_stats,
     "fts_term_df": fts_term_df,
     "fts_bm25_topk": fts_bm25_topk,
+    "fts_topk_docs": fts_topk_docs,
+    "fts_eval_recall": fts_eval_recall,
+    "fts_doclen_percentiles": fts_doclen_percentiles,
 }
