@@ -48,38 +48,69 @@ DEFAULT_BUCKET_SIZE = 100_000  # docs per bucket; sized so a (qid, bucket)
 # query group fits one Arrow batch comfortably even for head terms
 
 SEGMENT_SCHEMA = (
-    "term string, bucket long, block_id int, first_doc long, last_doc long, "
+    "term_id long, bucket long, block_id int, first_doc long, last_doc long, "
     "n int, df long, doc_bytes binary, tf_bytes binary, dl_bytes binary, "
     "max_score double"
 )
 
 
-def assign_doc_ids(df: DataFrame, key: str = "url", partitions: int | None = None) -> DataFrame:
-    """Deterministic dense doc_id = global rank of `key` (FIXTURES.md §1),
-    computed distributedly: range-partition by key, row_number within each
-    partition, then add broadcast per-partition prefix offsets. No global
-    single-partition window, so it holds at 10^12 rows.
+def assign_dense_rank(
+    df: DataFrame,
+    key: str,
+    out_col: str,
+    partitions: int | None = None,
+    unique: bool = False,
+) -> DataFrame:
+    """Deterministic dense rank of `key` as `out_col`, computed distributedly:
+    range-partition by key, row_number within each partition, then add
+    broadcast per-partition prefix offsets. No global single-partition
+    window, so it holds at 10^12 rows. Used for doc ids (rank over url) and
+    the term dictionary (rank over term ⇒ term_id order == lexicographic
+    term order, which the scorers rely on for float-summation order).
     """
-    p = partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(p, key)
+    spark = df.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    # rank over the SLIM distinct-key projection, then join the mapping back —
+    # the wide payload columns never enter the range shuffle or the cache.
+    # `unique=True` skips the distinct shuffle when the caller guarantees
+    # key uniqueness (urls in web_pages, terms in the dictionary input).
+    keys = df.select(key) if unique else df.select(key).distinct()
+    ranged = keys.repartitionByRange(p, key)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(key)
-    numbered = with_pid.withColumn("_rn", F.row_number().over(w))
-    counts = numbered.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    offs = counts.withColumn(
-        "_off",
-        F.coalesce(
-            F.sum("_cnt").over(
-                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select("_pid", "_off")
-    return (
-        numbered.join(F.broadcast(offs), "_pid")
-        .withColumn("doc_id", (F.col("_off") + F.col("_rn") - 1).cast("long"))
-        .drop("_pid", "_rn", "_off")
+    # persist + materialize BEFORE branching: the numbered stage feeds both
+    # the per-partition counts and the final mapping. Range partitioning
+    # samples with a per-execution seed, so if the two consumers re-executed
+    # it independently (AQE compiles them as separate query stages) they
+    # could see DIFFERENT partition boundaries — offsets from one run applied
+    # to row numbers of another ⇒ duplicate/skipped ranks. Freezing the cache
+    # makes the rank deterministic; at true scale this stage would be
+    # checkpointed to a table instead of memory.
+    numbered = with_pid.withColumn("_rn", F.row_number().over(w)).persist()
+    cnt_rows = sorted(
+        (r["_pid"], r["_cnt"])
+        for r in numbered.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
     )
+    offsets, acc = [], 0
+    for pid, cnt in cnt_rows:
+        offsets.append((pid, acc))
+        acc += cnt
+    offs = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    mapping = (
+        numbered.join(F.broadcast(offs), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_rn") - 1).cast("long"))
+        .select(key, out_col)
+    )
+    out = df.join(mapping, key)  # AQE broadcasts the slim mapping when small
+    # expose the internal cache so callers can release it once their own
+    # downstream materialization (e.g. docs.persist) has happened
+    out._dense_rank_cache = numbered
+    return out
+
+
+def assign_doc_ids(df: DataFrame, key: str = "url", partitions: int | None = None) -> DataFrame:
+    """Deterministic dense doc_id = global rank of `key` (FIXTURES.md §1)."""
+    return assign_dense_rank(df, key, "doc_id", partitions, unique=True)
 
 
 def derive_docs(web_pages: DataFrame, use_html: bool = False) -> DataFrame:
@@ -89,11 +120,13 @@ def derive_docs(web_pages: DataFrame, use_html: bool = False) -> DataFrame:
     if use_html:
         src = src.withColumn("text", html_text_col("html"))
     with_ids = assign_doc_ids(src.select("url", "text"))
-    return with_ids.select(
+    out = with_ids.select(
         "doc_id",
         "url",
         tokens_col("text").alias("terms"),
     ).withColumn("doclen", F.size("terms"))
+    out._dense_rank_cache = getattr(with_ids, "_dense_rank_cache", None)
+    return out
 
 
 def collection_stats(docs: DataFrame) -> dict:
@@ -139,35 +172,29 @@ def term_stats_from_tokens(tokens: DataFrame) -> DataFrame:
     )
 
 
-_SEG_COLUMNS = [
-    "term",
-    "bucket",
-    "block_id",
-    "first_doc",
-    "last_doc",
-    "n",
-    "df",
-    "doc_bytes",
-    "tf_bytes",
-    "dl_bytes",
-    "max_score",
-]
-
-
-def _encode_frame(pdf: pd.DataFrame, k1: float, b: float, n_docs: int, avgdl: float) -> pd.DataFrame:
-    """Encode a (term, bucket, doc_id)-sorted frame of complete groups into
-    block rows. Input rows are RAW exploded tokens (one row per occurrence);
-    tf is recovered by run-length counting the sorted (term, bucket, doc_id)
-    runs — the map-side-combine work, done here instead of a second shuffle.
-    Fully vectorized: run-length collapse, block segmentation, scoring, and
-    the varbyte encode are each ONE numpy pass over the whole frame; per-block
-    payloads are value-aligned slices of the single concatenated encode
-    (LEB128 is self-delimiting). No per-group or per-block Python loop."""
-    raw_docs = pdf["doc_id"].to_numpy(np.int64)
-    raw_terms = pdf["term"].to_numpy()
-    raw_buckets = pdf["bucket"].to_numpy(np.int64)
+def _encode_arrays(
+    raw_docs: np.ndarray,
+    raw_terms: np.ndarray,
+    raw_buckets: np.ndarray,
+    raw_dls: np.ndarray,
+    raw_dfs: np.ndarray,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+) -> pd.DataFrame:
+    """Encode (bucket, term_id, doc_id)-sorted RAW token arrays (one row per
+    occurrence) into block rows. tf is recovered by run-length counting the
+    sorted (term_id, bucket, doc_id) runs — the map-side-combine work, done
+    here instead of a second shuffle. Fully vectorized: run-length collapse,
+    block segmentation, scoring, and the varbyte encode are each ONE numpy
+    pass; per-block payloads are value-aligned slices of the single
+    concatenated encode (LEB128 is self-delimiting). No per-group or
+    per-block Python loop; every column is fixed-width int64/float64 (the
+    term dictionary keeps strings out of the hot path entirely)."""
+    n_raw = len(raw_docs)
     # run boundaries of identical (term, bucket, doc_id) = one posting
-    new_run = np.empty(len(pdf), dtype=bool)
+    new_run = np.empty(n_raw, dtype=bool)
     new_run[0] = True
     new_run[1:] = (
         (raw_terms[1:] != raw_terms[:-1])
@@ -175,12 +202,12 @@ def _encode_frame(pdf: pd.DataFrame, k1: float, b: float, n_docs: int, avgdl: fl
         | (raw_docs[1:] != raw_docs[:-1])
     )
     starts = np.flatnonzero(new_run)
-    tfs = np.diff(np.append(starts, len(pdf)))
+    tfs = np.diff(np.append(starts, n_raw))
     doc_ids = raw_docs[starts]
     terms = raw_terms[starts]
     buckets = raw_buckets[starts]
-    dls = pdf["doclen"].to_numpy(np.int64)[starts]
-    dfs = pdf["df"].to_numpy(np.int64)[starts]
+    dls = raw_dls[starts]
+    dfs = raw_dfs[starts]
     idf = np.log(1.0 + (n_docs - dfs + 0.5) / (dfs + 0.5))
     scores = idf * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
     # group boundaries: change of (term, bucket) over the collapsed postings
@@ -217,7 +244,7 @@ def _encode_frame(pdf: pd.DataFrame, k1: float, b: float, n_docs: int, avgdl: fl
 
     return pd.DataFrame(
         {
-            "term": terms[block_starts],
+            "term_id": terms[block_starts],
             "bucket": buckets[block_starts],
             "block_id": block_ids,
             "first_doc": doc_ids[block_starts],
@@ -233,31 +260,40 @@ def _encode_frame(pdf: pd.DataFrame, k1: float, b: float, n_docs: int, avgdl: fl
 
 
 def _encode_partition(k1: float, b: float, n_docs: int, avgdl: float):
-    """mapInPandas kernel over (term, bucket, doc_id)-sorted partitions.
+    """mapInPandas kernel over bucket-keyed partitions of UNSORTED raw tokens.
 
-    One streaming pass: the trailing (possibly incomplete) (term, bucket)
-    group of each Arrow batch is carried into the next batch, so blocks never
-    split mid-group regardless of Arrow batch boundaries. No per-group Python
-    task overhead — this is what makes the encode viable when the vocabulary
-    is 10^8 terms × 10^7 buckets at full scale.
+    The partition's token arrays are gathered and sorted HERE with one
+    np.lexsort over int64 keys instead of a JVM `sortWithinPartitions` —
+    Tungsten's external sort on these volumes was spilling at its page-size
+    granularity and dominated task CPU; a columnar radix-style sort of
+    fixed-width keys is several times cheaper and spill-free. The memory
+    contract is explicit: one partition's tokens must fit the worker (the
+    build sizes partitions via bucket_size exactly for this — at 100 TB you
+    pick bucket_size so a bucket's postings ≈ a worker's memory budget).
     """
 
     def fn(batches):
-        tail: pd.DataFrame | None = None
+        docs_l, terms_l, buckets_l, dls_l, dfs_l = [], [], [], [], []
         for pdf in batches:
-            if tail is not None and len(tail):
-                pdf = pd.concat([tail, pdf], ignore_index=True)
             if not len(pdf):
                 continue
-            last_term = pdf["term"].iat[-1]
-            last_bucket = pdf["bucket"].iat[-1]
-            is_tail = (pdf["term"] == last_term) & (pdf["bucket"] == last_bucket)
-            tail = pdf[is_tail]
-            body = pdf[~is_tail]
-            if len(body):
-                yield _encode_frame(body, k1, b, n_docs, avgdl)
-        if tail is not None and len(tail):
-            yield _encode_frame(tail, k1, b, n_docs, avgdl)
+            docs_l.append(pdf["doc_id"].to_numpy(np.int64))
+            terms_l.append(pdf["term_id"].to_numpy(np.int64))
+            buckets_l.append(pdf["bucket"].to_numpy(np.int64))
+            dls_l.append(pdf["doclen"].to_numpy(np.int64))
+            dfs_l.append(pdf["df"].to_numpy(np.int64))
+        if not docs_l:
+            return
+        docs = np.concatenate(docs_l)
+        terms = np.concatenate(terms_l)
+        buckets = np.concatenate(buckets_l)
+        dls = np.concatenate(dls_l)
+        dfs = np.concatenate(dfs_l)
+        order = np.lexsort((docs, terms, buckets))
+        yield _encode_arrays(
+            docs[order], terms[order], buckets[order], dls[order], dfs[order],
+            k1, b, n_docs, avgdl,
+        )
 
     return fn
 
@@ -288,8 +324,12 @@ def build_index(
     """
     import json
 
-    docs = derive_docs(web_pages, use_html=use_html).persist()
-    stats = collection_stats(docs)
+    docs = derive_docs(web_pages, use_html=use_html)
+    rank_cache = getattr(docs, "_dense_rank_cache", None)
+    docs = docs.persist()
+    stats = collection_stats(docs)  # materializes the docs cache
+    if rank_cache is not None:
+        rank_cache.unpersist()  # rank stage no longer needed once docs are hot
     stats.update({"k1": k1, "b": b, "bucket_size": bucket_size})
 
     done: set[int] = set()
@@ -306,10 +346,22 @@ def build_index(
     # recovered by run-length counting in the encode kernel (map-side combine
     # moved into the kernel — saves a whole groupBy exchange of the postings)
     tokens = docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
-    tstats = term_stats_from_tokens(tokens).persist()
+    # term DICTIONARY: exact df/cf + dense term_id (rank over term ⇒ id order
+    # == lexicographic order, preserving the scorers' float-summation order).
+    # Strings never enter the postings shuffle, the sort, or the Python
+    # kernel — fixed-width int64 keys throughout the hot path.
+    tdict_ranked = assign_dense_rank(
+        term_stats_from_tokens(tokens), "term", "term_id", unique=True
+    )
+    tdict_cache = getattr(tdict_ranked, "_dense_rank_cache", None)
+    tdict = tdict_ranked.persist()
+    tdict.count()  # materialize BEFORE the concurrent sink jobs below, so no
+    # two jobs race to first-fill the cache
+    if tdict_cache is not None:
+        tdict_cache.unpersist()
     # plain join: AQE converts it to broadcast while the vocabulary is small
     # and falls back to a skew-split shuffle join at web-scale vocabularies
-    posts = tokens.join(tstats.select("term", "df"), "term")
+    posts = tokens.join(tdict.select("term", "term_id", "df"), "term").drop("term")
     posts = posts.withColumn("bucket", (F.col("doc_id") / bucket_size).cast("long"))
     if done:
         posts = posts.filter(~F.col("bucket").isin(*[int(x) for x in done]))
@@ -317,13 +369,22 @@ def build_index(
     # salted repartition-by-term, realized as a shuffle on the doc-bucket:
     # a Zipf head term with df ≈ 0.5·N is split across EVERY bucket (the salt),
     # while each bucket is a uniform doc-range slice — so the exchange is
-    # balanced by construction, no reducer ever sees a whole hot posting
-    # list, and each bucket lands in exactly ONE partition (⇒ exactly one
-    # segment file per bucket below, the resume/lineage unit). The streaming
-    # sorted encode is one Python pass per partition, not per group.
-    shuffled = posts.repartition("bucket").sortWithinPartitions(
-        "bucket", "term", "doc_id"
+    # balanced by construction and no reducer ever sees a whole hot posting
+    # list. `sub` sub-splits each bucket into contiguous doc ranges so the
+    # shuffle has ≳8 keys per slot — hash-collision variance over few keys is
+    # itself a skew source (observed 10× task spread with buckets alone).
+    # The streaming sorted encode is one Python pass per partition.
+    p_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_buckets = max(1, -(-stats["N"] // bucket_size))
+    n_sub = max(1, -(-16 * p_shuffle // n_buckets))  # ≥16 keys/slot → ±12% load
+    posts = posts.withColumn(
+        "sub", ((F.col("doc_id") % bucket_size) * n_sub / bucket_size).cast("int")
     )
+    # no JVM sort: the encode kernel lexsorts its partition's fixed-width
+    # int64 keys in numpy (see _encode_partition) — cheaper and spill-free.
+    # Partition count pinned: AQE would otherwise coalesce the encode stage
+    # to its 64MB advisory size and throttle kernel parallelism.
+    shuffled = posts.repartition(p_shuffle, "bucket", "sub")
     segments = shuffled.mapInPandas(
         _encode_partition(k1, b, stats["N"], stats["avgdl"]), schema=SEGMENT_SCHEMA
     )
@@ -337,8 +398,8 @@ def build_index(
             .filter(~F.col("bucket").isin(*[int(x) for x in done]) if done else F.lit(True))
             .groupBy("bucket")
             .agg(
-                F.min("term").alias("term_lo"),
-                F.max("term").alias("term_hi"),
+                F.min("term_id").alias("term_lo"),
+                F.max("term_id").alias("term_hi"),
                 F.count("*").alias("n_blocks"),
                 F.sum("n").alias("n_postings"),
             )
@@ -352,8 +413,8 @@ def build_index(
             os.path.join(index_dir, "docs")
         )
 
-    def _write_tstats() -> None:
-        tstats.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
+    def _write_tdict() -> None:
+        tdict.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict"))
 
     # the three sinks are independent — submit them from concurrent driver
     # threads so the small jobs fill the scheduler gaps of the big one
@@ -365,10 +426,10 @@ def build_index(
         futures = [
             pool.submit(_write_segments_and_manifest),
             pool.submit(_write_docs),
-            pool.submit(_write_tstats),
+            pool.submit(_write_tdict),
         ]
         for fut in futures:
             fut.result()  # re-raise the first failure
-    tstats.unpersist()
+    tdict.unpersist()
     docs.unpersist()
     return stats

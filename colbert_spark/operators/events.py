@@ -81,7 +81,63 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON source surface (SURVEY §2.1 S2, the reference's load_json /
+    JSONL loaders): parse the `props` JSON column with an explicit schema
+    (from_json — JVM-side Jackson, no UDF) and aggregate the extracted field."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("k", F.from_json("props", "k INT")["k"])
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-sum window (SURVEY §2.4 A3, the reference's doclens →
+    offsets accumulate): per-user running total of `value` in event-time
+    order, last 5 users' first 20 events for a bounded contract surface."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("running_r", F.round(F.sum("value").over(w), 6))
+        .withColumn("seq", F.row_number().over(wn))
+        .filter(F.col("seq") <= 20)
+        .select("user_id", F.col("seq").cast("long").alias("seq"), "event_id", "running_r")
+        .orderBy("user_id", "seq")
+    )
+
+
 ORACLES = {
+    "events_props_json": """
+        SELECT event_type,
+               count(json_extract(props, '$.k'))::BIGINT AS n_with_k,
+               sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+               min(json_extract(props, '$.k')::INT)::BIGINT AS min_k,
+               max(json_extract(props, '$.k')::INT)::BIGINT AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "events_running_total": """
+        WITH seqd AS (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+                 round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_r
+          FROM events WHERE user_id < 5)
+        SELECT user_id, seq::BIGINT AS seq, event_id, running_r
+        FROM seqd WHERE seq <= 20 ORDER BY user_id, seq
+    """,
     "events_hourly_agg": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
@@ -118,4 +174,6 @@ QUERIES = {
     "events_hourly_agg": events_hourly_agg,
     "events_sessionize": events_sessionize,
     "events_type_pivot": events_type_pivot,
+    "events_props_json": events_props_json,
+    "events_running_total": events_running_total,
 }

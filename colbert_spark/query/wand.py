@@ -72,11 +72,13 @@ def make_kernel(k: int, k1: float, b: float, n_docs: int, avgdl: float):
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["qid"].iat[0])
-        terms = sorted(pdf["term"].unique())
+        # term_id order == lexicographic term order (dictionary is a dense
+        # rank over term), so float accumulation order matches the oracle
+        terms = sorted(pdf["term_id"].unique())
         # per-term metadata
         tinfo = {}
         for t in terms:
-            tp = pdf[pdf["term"] == t].sort_values("first_doc")
+            tp = pdf[pdf["term_id"] == t].sort_values("first_doc")
             qtf = float(tp["qtf"].iloc[0])
             df_t = int(tp["df"].iloc[0])
             idf = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
@@ -103,7 +105,8 @@ def make_kernel(k: int, k1: float, b: float, n_docs: int, avgdl: float):
 
         # --- candidate generation with block-max skipping
         cand_parts = []
-        blocks_cache: dict[tuple, tuple] = {}
+        blocks_cache: dict[tuple, tuple] = {}  # keyed by frame row index —
+        # block_id alone is not unique across a bucket's sub-splits
         for t in essential:
             tp, qtf, idf, ub_t = tinfo[t]
             rest = total_ub - ub_t
@@ -111,7 +114,7 @@ def make_kernel(k: int, k1: float, b: float, n_docs: int, avgdl: float):
                 if qtf * row.max_score + rest < theta:
                     continue  # block-max skip: cannot reach θ even maximally
                 dec = _decode_block(row)
-                blocks_cache[(t, row.block_id)] = dec
+                blocks_cache[row.Index] = dec
                 cand_parts.append(dec[0])
         if not cand_parts:
             return _EMPTY
@@ -129,7 +132,7 @@ def make_kernel(k: int, k1: float, b: float, n_docs: int, avgdl: float):
                 hi = np.searchsorted(cands, row.last_doc, side="right")
                 if lo == hi:
                     continue  # no candidate inside this block's range
-                dec = blocks_cache.get((t, row.block_id))
+                dec = blocks_cache.get(row.Index)
                 if dec is None:
                     dec = _decode_block(row)
                 docs, tfs, dls = dec
@@ -150,7 +153,8 @@ def load_index(spark: SparkSession, index_dir: str):
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     segments = spark.read.parquet(os.path.join(index_dir, "segments"))
-    return segments, stats
+    term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
+    return segments, term_dict, stats
 
 
 def bm25_topk_segments(
@@ -160,14 +164,29 @@ def bm25_topk_segments(
     k: int = 10,
 ) -> DataFrame:
     """→ (qid, rank, doc_id, score) from the compressed segment index."""
-    segments, stats = load_index(spark, index_dir)
+    segments, term_dict, stats = load_index(spark, index_dir)
     qt = query_terms_df(queries)
-    # driver-side term list (tiny) → isin pushes down to the parquet scan,
-    # pruning row groups by term min/max; broadcast join attaches (qid, qtf)
+    # dictionary lookup: query term strings → term_ids via the vocab-sized
+    # term_dict (isin pushdown prunes its scan); ids then push down into the
+    # segments scan, pruning row groups by term_id min/max — a fixed-width
+    # int predicate instead of string comparisons
     terms = [r["term"] for r in qt.select("term").distinct().collect()]
     if not terms:
         return spark.createDataFrame([], "qid long, rank int, doc_id long, score double")
-    hit = segments.filter(F.col("term").isin(terms)).join(F.broadcast(qt), "term")
+    tid_rows = (
+        term_dict.filter(F.col("term").isin(terms)).select("term", "term_id").collect()
+    )
+    if not tid_rows:
+        return spark.createDataFrame([], "qid long, rank int, doc_id long, score double")
+    tids = [r["term_id"] for r in tid_rows]
+    qt_ids = qt.join(
+        F.broadcast(
+            spark.createDataFrame([(r["term"], r["term_id"]) for r in tid_rows],
+                                  "term string, term_id long")
+        ),
+        "term",
+    ).select("qid", "term_id", "qtf")
+    hit = segments.filter(F.col("term_id").isin(tids)).join(F.broadcast(qt_ids), "term_id")
     kernel = make_kernel(k, stats["k1"], stats["b"], stats["N"], stats["avgdl"])
 
     def stream(batches):
@@ -196,7 +215,7 @@ def bm25_topk_segments(
             yield kernel(tail)
 
     shuffled = hit.repartition("qid", "bucket").sortWithinPartitions(
-        "qid", "bucket", "term", "first_doc"
+        "qid", "bucket", "term_id", "first_doc"
     )
     partial = shuffled.mapInPandas(stream, KERNEL_OUT_SCHEMA)
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -50,7 +50,10 @@ def get_spark(
         # the v1 rename loop is pure driver dead-time that grows with task
         # count (i.e. anti-scales with parallelism)
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver heap IS the executor heap for every task
+        # thread — size it like an executor fleet, not a driver (8g across 32
+        # sort tasks spills constantly and anti-scales with parallelism)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
