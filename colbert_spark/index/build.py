@@ -4,26 +4,29 @@
 Pipeline (all declarative until the block-encode kernel):
 
   web_pages scan → html/text extract + tokenize (JVM regexps, codegen)
-    → deterministic doc_id assignment (range-partition by url + per-partition
-      row_number + broadcast prefix offsets — a distributed dense rank with no
-      single-partition window)
-    → exact collection stats (N, avgdl) and per-term df  [north_star: exact]
-    → postings (term, doc_id, tf, doclen) via explode + partial-agg groupBy
-    → **salted repartition-by-term**: the shuffle key is the doc-bucket
-      (bucket = doc_id // bucket_size). The doc-bucket IS the salt — a Zipf
+    → deterministic doc_id assignment (distributed dense rank over url —
+      slim-key range partition + per-partition row_number + prefix offsets;
+      no single-partition window)
+    → exact collection stats (N, avgdl)  [north_star: exact]
+    → term DICTIONARY: exact df/cf per term + dense term_id (rank over term,
+      so id order == lexicographic order — the scorers' float-accumulation
+      order); strings never enter the hot path after this point
+    → raw exploded tokens (term_id, doc_id, doclen, df) into ONE shuffle.
+      **Salted repartition-by-term**, realized as a shuffle on the doc-bucket
+      (bucket = doc_id // bucket_size, sub-split for ≥16 keys/slot): a Zipf
       head term with df ≈ 0.5·N is split across every bucket, so no reducer
       ever sees a whole hot posting list (north_rule skew clause), and the
       exchange is balanced by construction (buckets are uniform doc-range
-      slices). Within a (term, bucket) group, postings are doc_id-sorted, so
-      each term's blocks remain globally doc-ordered across buckets.
-    → per-(term, bucket) block encode (applyInPandas, numpy varbyte): blocks
-      of ≤128 postings carrying delta+varbyte docIDs, varbyte tfs, varbyte
-      doclens, and the exact per-block max BM25 contribution (block-max
-      metadata for the WAND/MaxScore query kernel)
-    → segment parquet (one file per shuffle partition, rows sorted by
-      (term, bucket) so term predicates prune row groups) + manifest row
-      per bucket
-      (term range, block/posting counts, status, watermark) → resumable.
+      slices).
+    → block encode (mapInPandas, numpy): np.lexsort over int64 keys (no JVM
+      sort, no sorter spill), run-length tf recovery, blocks of ≤128 postings
+      carrying delta+varbyte docIDs, varbyte tfs, varbyte doclens, and the
+      exact per-block max BM25 contribution (block-max metadata for the
+      WAND/MaxScore query kernel)
+    → segment parquet partitioned by bucket (each bucket = one resume unit)
+      + manifest row per bucket (term_id range watermarks, block/posting
+      counts, status) → resumable; docs / term_dict / segments sinks run as
+      concurrent driver jobs under FAIR scheduling.
 
 The segment layout mirrors the reference's partitioned index parts
 (``encoder.py:41,58-67``: 12 static parts, per-rank slices, barrier merge) —
