@@ -47,13 +47,18 @@ from colbert_spark.index.codec import vb_encode_concat
 from colbert_spark.oracle import B_DEFAULT, K1_DEFAULT
 
 BLOCK_SIZE = 128
-DEFAULT_BUCKET_SIZE = 100_000  # docs per bucket; sized so a (qid, bucket)
-# query group fits one Arrow batch comfortably even for head terms
+DEFAULT_BUCKET_SIZE = 100_000  # docs per bucket; sized so a bucket's postings
+# fit one worker's memory budget (the encode/query kernels' memory contract)
+DEFAULT_TSHARDS = 8  # term shards per bucket: segments are laid out as
+# bucket=<b>/tshard=<term_id mod TSHARDS>/ so a query touching q terms prunes
+# whole partition DIRECTORIES down to ≤min(q, TSHARDS) shards per bucket —
+# the on-disk analog of the reference's nprobe-of-partitions IVF probing
+# (``colbert/indexing/faiss_indexers.py:173-174``, nprobe=128 of ~2000 lists)
 
 SEGMENT_SCHEMA = (
-    "term_id long, bucket long, block_id int, first_doc long, last_doc long, "
-    "n int, df long, doc_bytes binary, tf_bytes binary, dl_bytes binary, "
-    "max_score double"
+    "term_id long, bucket long, tshard int, block_id int, first_doc long, "
+    "last_doc long, n int, df long, doc_bytes binary, tf_bytes binary, "
+    "dl_bytes binary, max_score double"
 )
 
 
@@ -185,6 +190,7 @@ def _encode_arrays(
     b: float,
     n_docs: int,
     avgdl: float,
+    tshards: int = DEFAULT_TSHARDS,
 ) -> pd.DataFrame:
     """Encode (bucket, term_id, doc_id)-sorted RAW token arrays (one row per
     occurrence) into block rows. tf is recovered by run-length counting the
@@ -249,6 +255,7 @@ def _encode_arrays(
         {
             "term_id": terms[block_starts],
             "bucket": buckets[block_starts],
+            "tshard": (terms[block_starts] % tshards).astype(np.int32),
             "block_id": block_ids,
             "first_doc": doc_ids[block_starts],
             "last_doc": doc_ids[block_ends - 1],
@@ -262,7 +269,9 @@ def _encode_arrays(
     )
 
 
-def _encode_partition(k1: float, b: float, n_docs: int, avgdl: float):
+def _encode_partition(
+    k1: float, b: float, n_docs: int, avgdl: float, tshards: int = DEFAULT_TSHARDS
+):
     """mapInPandas kernel over bucket-keyed partitions of UNSORTED raw tokens.
 
     The partition's token arrays are gathered and sorted HERE with one
@@ -292,10 +301,12 @@ def _encode_partition(k1: float, b: float, n_docs: int, avgdl: float):
         buckets = np.concatenate(buckets_l)
         dls = np.concatenate(dls_l)
         dfs = np.concatenate(dfs_l)
-        order = np.lexsort((docs, terms, buckets))
+        # sort includes the term shard so the emitted rows arrive at the
+        # dynamic-partition writer already grouped by (bucket, tshard)
+        order = np.lexsort((docs, terms, terms % tshards, buckets))
         yield _encode_arrays(
             docs[order], terms[order], buckets[order], dls[order], dfs[order],
-            k1, b, n_docs, avgdl,
+            k1, b, n_docs, avgdl, tshards,
         )
 
     return fn
@@ -311,14 +322,26 @@ def build_index(
     use_html: bool = False,
     resume: bool = True,
     built_at: str = "1970-01-01T00:00:00Z",
+    tshards: int = DEFAULT_TSHARDS,
 ) -> dict:
     """Full (resumable) index build. Layout under `index_dir`:
 
       docs/        doc_id, url, doclen                    (parquet)
-      segments/    block rows sorted by (term, bucket)    (parquet)
-      stats.json   {N, avgdl, k1, b, bucket_size}         (driver-side json)
+      segments/    bucket=<b>/tshard=<t>/ partition dirs of block rows,
+                   each file sorted by (term_id, first_doc)  (parquet)
+      stats.json   {N, avgdl, k1, b, bucket_size, tshards} (driver-side json)
       manifest/    bucket, term_lo, term_hi, n_blocks, n_postings,
                    status, built_at                       (parquet, appended)
+
+    Segment-row semantics: (term_id, bucket, block_id) is NOT unique — each
+    build sub-split (the `sub` load-balancing key below) restarts block_id at
+    0 for the same (term_id, bucket). Blocks of one (term_id, bucket) from
+    different sub-splits are doc-range-DISJOINT; a reader must merge them
+    ordered by first_doc (the query kernel sorts by first_doc and never keys
+    on block_id).
+
+    The tshard partition dir (term_id mod tshards) gives query-time
+    DIRECTORY pruning: a q-term query reads ≤min(q, tshards) shards/bucket.
 
     Resume (north_rule lineage clause): buckets present in the manifest with
     status='done' are skipped — their postings are filtered out *before* the
@@ -333,7 +356,7 @@ def build_index(
     stats = collection_stats(docs)  # materializes the docs cache
     if rank_cache is not None:
         rank_cache.unpersist()  # rank stage no longer needed once docs are hot
-    stats.update({"k1": k1, "b": b, "bucket_size": bucket_size})
+    stats.update({"k1": k1, "b": b, "bucket_size": bucket_size, "tshards": tshards})
 
     done: set[int] = set()
     manifest_path = os.path.join(index_dir, "manifest")
@@ -379,7 +402,12 @@ def build_index(
     # The streaming sorted encode is one Python pass per partition.
     p_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_buckets = max(1, -(-stats["N"] // bucket_size))
-    n_sub = max(1, -(-16 * p_shuffle // n_buckets))  # ≥16 keys/slot → ±12% load
+    # the term shard joins the shuffle key: (bucket, tshard) is both the
+    # on-disk partition dir AND a shuffle slice, so every (bucket, tshard)
+    # file is written whole by the task(s) that own it — no cross-task
+    # partitionBy fan-out (tasks × dirs tiny-file explosion)
+    posts = posts.withColumn("tshard", (F.col("term_id") % tshards).cast("int"))
+    n_sub = max(1, -(-16 * p_shuffle // (n_buckets * tshards)))  # ≥16 keys/slot
     posts = posts.withColumn(
         "sub", ((F.col("doc_id") % bucket_size) * n_sub / bucket_size).cast("int")
     )
@@ -387,14 +415,15 @@ def build_index(
     # int64 keys in numpy (see _encode_partition) — cheaper and spill-free.
     # Partition count pinned: AQE would otherwise coalesce the encode stage
     # to its 64MB advisory size and throttle kernel parallelism.
-    shuffled = posts.repartition(p_shuffle, "bucket", "sub")
+    shuffled = posts.repartition(p_shuffle, "bucket", "tshard", "sub")
     segments = shuffled.mapInPandas(
-        _encode_partition(k1, b, stats["N"], stats["avgdl"]), schema=SEGMENT_SCHEMA
+        _encode_partition(k1, b, stats["N"], stats["avgdl"], tshards),
+        schema=SEGMENT_SCHEMA,
     )
     seg_path = os.path.join(index_dir, "segments")
 
     def _write_segments_and_manifest() -> None:
-        segments.write.mode("append").partitionBy("bucket").parquet(seg_path)
+        segments.write.mode("append").partitionBy("bucket", "tshard").parquet(seg_path)
         # manifest rows for newly built buckets (term-range watermarks, counts)
         built = (
             spark.read.parquet(seg_path)

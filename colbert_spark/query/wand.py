@@ -1,16 +1,23 @@
-"""Block-max top-k query kernel over compressed posting segments.
+"""Batched block-max top-k query engine over compressed posting segments.
 
 The classical analog of the reference's two-stage pruned retrieval
 (``colbert/ranking/colbert_ranker.py:176-210``: IVF probe with nprobe ≪
-partitions shortlists candidates cheaply, then exact MaxSim re-ranks): here
-per-block max-score metadata lets the scorer skip postings blocks that cannot
-beat the running top-k threshold, then exact BM25 re-scores the survivors.
+partitions shortlists candidates cheaply, then exact MaxSim re-ranks) and of
+its batched query service (``colbert/training/dense_server_client.py:21-66``:
+client batches of 1024 queries against one loaded index): per-block max-score
+metadata lets the scorer skip postings blocks that cannot beat the running
+top-k threshold, then exact BM25 re-scores the survivors — for ALL queries of
+the batch in one pass over the index.
 
 Algorithm: **block-max MaxScore** (same family as block-max WAND; chosen
 because MaxScore's essential/non-essential split vectorizes cleanly with
 numpy, where WAND's pivot walk is per-doc sequential). Exactness argument:
 
-  * seed θ = k-th best exact single-term score from the highest-impact term;
+  * seed θ = k-th best EXACT single-term score among postings of the
+    highest-upper-bound term, decoding that term's blocks in descending
+    block-max order only until ≥k postings are seen (exact scores are lower
+    bounds of the docs' final scores, so their k-th best is a valid lower
+    bound of the true k-th best — never over-prunes);
   * terms sorted by upper bound ub_t = qtf·max_block_score ascending; the
     largest prefix with Σ ub < θ is "non-essential" — a doc appearing ONLY in
     non-essential terms scores < θ and cannot enter the top-k;
@@ -20,14 +27,34 @@ numpy, where WAND's pivot walk is per-doc sequential). Exactness argument:
   * surviving candidates are re-scored EXACTLY against all query terms
     (decoding only blocks whose [first_doc, last_doc] range contains a
     candidate — the skip-pointer use of the block metadata), accumulated in
-    float64 in lexicographic term order — the same addition order as the
+    float64 in ascending term_id order (== lexicographic term order — the
+    dictionary is a dense rank over term), the same addition order as the
     pure-Python oracle, so scores are bit-identical, and ties break
     (−score, doc_id).
 
-Distribution: the kernel runs per (qid, bucket) group — a bucket holds a
-bounded doc range, so head terms are already split across buckets (the build's
-salt) and every group fits one Arrow batch. Per-bucket top-k then a global
-Window per qid: global top-k ⊆ union of per-bucket top-k.
+Batch distribution (the 10^12-doc × 10^4-query design):
+
+  * the ENTIRE query batch is resolved to term_ids with ONE broadcast join
+    (qt ⋈ term_dict) and collected once — the query batch is small by
+    definition; the INDEX is never collected;
+  * segments are pruned at the source: partition-directory pruning on
+    `tshard` (term_id mod `stats["tshards"]` — the analog of the reference's
+    nprobe=128-of-2000 IVF list probing) plus parquet row-group pruning on
+    the pushed `term_id` range/in filters;
+  * ONE shuffle keyed by `bucket` alone — each matching block's compressed
+    bytes cross the exchange exactly once, regardless of how many queries
+    share its term (the old per-qid replication was O(#queries × blocks));
+  * the kernel receives one bucket's blocks, groups them by term_id ONCE,
+    decodes every needed block AT MOST ONCE into a bucket-level cache, and
+    runs MaxScore for every query in the broadcast batch against that cache
+    (document-at-a-time per bucket, shared decode);
+  * per-bucket top-k then a global Window per qid: global top-k ⊆ union of
+    per-bucket top-k.
+
+`IndexSearcher.warm()` keeps the bucket-partitioned, sorted segments persisted
+in memory, so repeated batches pay ZERO exchange — the per-batch plan is
+filter → mapInPandas → window (the analog of the reference's resident index
+server, ``dense_server_client.py:81-111``).
 """
 
 from __future__ import annotations
@@ -44,19 +71,7 @@ from colbert_spark.index.codec import vb_decode
 from colbert_spark.query.bm25 import query_terms_df
 
 KERNEL_OUT_SCHEMA = "qid long, doc_id long, score double"
-
-
-def _decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    docs = np.cumsum(vb_decode(row.doc_bytes))
-    tfs = vb_decode(row.tf_bytes)
-    dls = vb_decode(row.dl_bytes)
-    return docs, tfs, dls
-
-
-def _bm25(tfs: np.ndarray, dls: np.ndarray, idf: float, k1: float, b: float, avgdl: float):
-    t = tfs.astype(np.float64)
-    return idf * t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dls / avgdl))
-
+TOPK_SCHEMA = "qid long, rank int, doc_id long, score double"
 
 _EMPTY = pd.DataFrame(
     {
@@ -67,84 +82,147 @@ _EMPTY = pd.DataFrame(
 )
 
 
-def make_kernel(k: int, k1: float, b: float, n_docs: int, avgdl: float):
-    """Score one complete (qid, bucket) group frame → per-bucket top-k rows."""
+def _bm25(tfs: np.ndarray, dls: np.ndarray, idf: float, k1: float, b: float, avgdl: float):
+    t = tfs.astype(np.float64)
+    return idf * t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dls / avgdl))
+
+
+class _TermBlocks:
+    """Per-(bucket, term) block metadata + shared lazy decode cache.
+
+    Blocks for one (term_id, bucket) may come from several build sub-splits
+    (doc-range-disjoint, block_id restarting per split), so they are keyed by
+    frame row position, not block_id."""
+
+    __slots__ = ("idf", "unit_max", "firsts", "lasts", "maxs", "rows", "_dec")
+
+    def __init__(self, sub: pd.DataFrame, n_docs: int):
+        df_t = int(sub["df"].iloc[0])
+        self.idf = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
+        self.firsts = sub["first_doc"].to_numpy(np.int64)
+        self.lasts = sub["last_doc"].to_numpy(np.int64)
+        self.maxs = sub["max_score"].to_numpy(np.float64)
+        self.unit_max = float(self.maxs.max())
+        self.rows = (
+            sub["doc_bytes"].to_numpy(),
+            sub["tf_bytes"].to_numpy(),
+            sub["dl_bytes"].to_numpy(),
+        )
+        self._dec: dict[int, tuple] = {}
+
+    def decode(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        dec = self._dec.get(i)
+        if dec is None:
+            docs = np.cumsum(vb_decode(self.rows[0][i]))
+            tfs = vb_decode(self.rows[1][i])
+            dls = vb_decode(self.rows[2][i])
+            dec = (docs, tfs, dls)
+            self._dec[i] = dec
+        return dec
+
+
+def _score_query_in_bucket(
+    terms: list[tuple[_TermBlocks, float]],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """MaxScore for ONE query against one bucket's (already grouped, shared-
+    decode) term blocks. `terms` is ordered by ascending term_id. Returns
+    (doc_ids, scores) of the per-bucket top-k."""
+    ubs = np.array([tb.unit_max * qtf for tb, qtf in terms])
+    order = np.argsort(ubs, kind="stable")
+    total_ub = float(ubs.sum())
+
+    # --- seed θ: exact-score the highest-impact term's best blocks until ≥k
+    # postings are seen (descending block-max order maximizes θ early)
+    seed_tb, seed_qtf = terms[order[-1]]
+    seed_scores: list[np.ndarray] = []
+    seen = 0
+    for i in np.argsort(-seed_tb.maxs, kind="stable"):
+        docs, tfs, dls = seed_tb.decode(int(i))
+        seed_scores.append(seed_qtf * _bm25(tfs, dls, seed_tb.idf, k1, b, avgdl))
+        seen += len(docs)
+        if seen >= k:
+            break
+    theta = 0.0
+    if seen >= k:
+        seed = np.concatenate(seed_scores)
+        theta = float(np.partition(seed, len(seed) - k)[len(seed) - k])
+
+    # --- essential terms: smallest suffix whose excluded prefix sums < θ
+    sorted_ubs = ubs[order]
+    prefix = np.concatenate([[0.0], np.cumsum(sorted_ubs)])
+    j = int(np.searchsorted(prefix, theta, side="left"))
+    essential = order[max(j - 1, 0):]
+
+    # --- candidate generation with block-max skipping
+    cand_parts = []
+    for ti in essential:
+        tb, qtf = terms[ti]
+        rest = total_ub - ubs[ti]
+        keep = np.flatnonzero(qtf * tb.maxs + rest >= theta)
+        for i in keep:
+            cand_parts.append(tb.decode(int(i))[0])
+    if not cand_parts:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    cands = np.unique(np.concatenate(cand_parts))
+
+    # --- exact re-score of candidates, ascending-term_id order (matches the
+    # oracle's float64 accumulation order bit-for-bit)
+    scores = np.zeros(len(cands), dtype=np.float64)
+    lo_doc, hi_doc = cands[0], cands[-1]
+    for tb, qtf in terms:
+        hit = np.flatnonzero((tb.firsts <= hi_doc) & (tb.lasts >= lo_doc))
+        for i in hit:
+            docs, tfs, dls = tb.decode(int(i))
+            idx = np.searchsorted(cands, docs)
+            valid = (idx < len(cands)) & (cands[np.minimum(idx, len(cands) - 1)] == docs)
+            if valid.any():
+                contrib = qtf * _bm25(tfs[valid], dls[valid], tb.idf, k1, b, avgdl)
+                scores[idx[valid]] += contrib
+
+    top = min(k, len(cands))
+    sel = np.lexsort((cands, -scores))[:top]
+    return cands[sel], scores[sel]
+
+
+def make_batch_kernel(query_batch, k: int, k1: float, b: float, n_docs: int, avgdl: float):
+    """Kernel for one complete bucket frame: group blocks by term once, share
+    decodes across ALL queries in the batch, emit per-bucket top-k per qid.
+
+    `query_batch` is a broadcast (or plain) list of (qid, term_ids, qtfs)
+    with term_ids ascending."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = int(pdf["qid"].iat[0])
-        # term_id order == lexicographic term order (dictionary is a dense
-        # rank over term), so float accumulation order matches the oracle
-        terms = sorted(pdf["term_id"].unique())
-        # per-term metadata
-        tinfo = {}
-        for t in terms:
-            tp = pdf[pdf["term_id"] == t].sort_values("first_doc")
-            qtf = float(tp["qtf"].iloc[0])
-            df_t = int(tp["df"].iloc[0])
-            idf = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
-            ub = qtf * float(tp["max_score"].max())
-            tinfo[t] = (tp, qtf, idf, ub)
-        order = sorted(terms, key=lambda t: tinfo[t][3])  # ub ascending
-        ubs = np.array([tinfo[t][3] for t in order])
-        total_ub = float(ubs.sum())
-
-        # --- seed: exact-score the highest-impact term fully
-        seed_t = order[-1]
-        tp, qtf, idf, _ = tinfo[seed_t]
-        seed_scores = []
-        for row in tp.itertuples():
-            docs, tfs, dls = _decode_block(row)
-            seed_scores.append(qtf * _bm25(tfs, dls, idf, k1, b, avgdl))
-        seed = np.concatenate(seed_scores) if seed_scores else np.empty(0)
-        theta = float(np.partition(seed, len(seed) - k)[len(seed) - k]) if len(seed) >= k else 0.0
-
-        # --- essential terms: smallest suffix whose excluded prefix sums < θ
-        prefix = np.concatenate([[0.0], np.cumsum(ubs)])
-        j = int(np.searchsorted(prefix, theta, side="left"))  # prefix[j-1] < θ ≤ prefix[j]
-        essential = order[max(j - 1, 0) :]
-
-        # --- candidate generation with block-max skipping
-        cand_parts = []
-        blocks_cache: dict[tuple, tuple] = {}  # keyed by frame row index —
-        # block_id alone is not unique across a bucket's sub-splits
-        for t in essential:
-            tp, qtf, idf, ub_t = tinfo[t]
-            rest = total_ub - ub_t
-            for row in tp.itertuples():
-                if qtf * row.max_score + rest < theta:
-                    continue  # block-max skip: cannot reach θ even maximally
-                dec = _decode_block(row)
-                blocks_cache[row.Index] = dec
-                cand_parts.append(dec[0])
-        if not cand_parts:
+        batch = query_batch.value if hasattr(query_batch, "value") else query_batch
+        groups: dict[int, _TermBlocks] = {}
+        for tid, sub in pdf.groupby("term_id", sort=False):
+            groups[int(tid)] = _TermBlocks(sub.sort_values("first_doc"), n_docs)
+        out_q, out_d, out_s = [], [], []
+        for qid, tids, qtfs in batch:
+            terms = [
+                (groups[t], float(qtf))
+                for t, qtf in zip(tids, qtfs)
+                if t in groups
+            ]
+            if not terms:
+                continue
+            docs, scores = _score_query_in_bucket(terms, k, k1, b, avgdl)
+            if len(docs):
+                out_q.append(np.full(len(docs), qid, dtype=np.int64))
+                out_d.append(docs)
+                out_s.append(scores)
+        if not out_q:
             return _EMPTY
-        cands = np.unique(np.concatenate(cand_parts))
-
-        # --- exact re-score of candidates, lexicographic term order (matches
-        # the oracle's float64 accumulation order bit-for-bit)
-        scores = np.zeros(len(cands), dtype=np.float64)
-        for t in terms:
-            tp, qtf, idf, _ = tinfo[t]
-            for row in tp.itertuples():
-                if row.first_doc > cands[-1] or row.last_doc < cands[0]:
-                    continue
-                lo = np.searchsorted(cands, row.first_doc, side="left")
-                hi = np.searchsorted(cands, row.last_doc, side="right")
-                if lo == hi:
-                    continue  # no candidate inside this block's range
-                dec = blocks_cache.get(row.Index)
-                if dec is None:
-                    dec = _decode_block(row)
-                docs, tfs, dls = dec
-                idx = np.searchsorted(cands, docs)
-                valid = (idx < len(cands)) & (cands[np.minimum(idx, len(cands) - 1)] == docs)
-                if valid.any():
-                    contrib = qtf * _bm25(tfs[valid], dls[valid], idf, k1, b, avgdl)
-                    scores[idx[valid]] += contrib
-
-        top = min(k, len(cands))
-        sel = np.lexsort((cands, -scores))[:top]
-        return pd.DataFrame({"qid": qid, "doc_id": cands[sel], "score": scores[sel]})
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
 
     return kernel
 
@@ -157,70 +235,128 @@ def load_index(spark: SparkSession, index_dir: str):
     return segments, term_dict, stats
 
 
+class IndexSearcher:
+    """Warm/batched query service over one built index.
+
+    Construct once, `search()` many times. The cold path prunes the parquet
+    scan (tshard partition dirs + term_id row groups) and pays one bucket
+    shuffle per batch; after `warm()` the bucket-partitioned sorted segments
+    stay persisted, so each batch is filter → kernel → window with ZERO
+    exchange of index data (the reference's resident index server,
+    ``dense_server_client.py:21-66``)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.segments, self.term_dict, self.stats = load_index(spark, index_dir)
+        self._warm: DataFrame | None = None
+
+    def warm(self) -> "IndexSearcher":
+        if self._warm is None:
+            p = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            self._warm = (
+                self.segments.repartition(p, "bucket")
+                .sortWithinPartitions("bucket", "term_id", "first_doc")
+                .persist()
+            )
+            self._warm.count()
+        return self
+
+    def close(self) -> None:
+        if self._warm is not None:
+            self._warm.unpersist()
+            self._warm = None
+
+    def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
+        """queries(qid, question) → (qid, rank, doc_id, score), rank 1..k by
+        (−score, doc_id). Queries whose terms are all absent yield no rows."""
+        spark = self.spark
+        # ONE job resolves the whole batch: qt ⋈ term_dict as a broadcast
+        # join (the vocab-side scan prunes via the join, never collected);
+        # only the tiny per-batch (qid, term_id, qtf) table is collected.
+        qt = query_terms_df(queries)
+        qrows = (
+            self.term_dict.join(F.broadcast(qt), "term")
+            .select("qid", "term_id", "qtf")
+            .collect()
+        )
+        if not qrows:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        by_qid: dict[int, list[tuple[int, int]]] = {}
+        for r in qrows:
+            by_qid.setdefault(r["qid"], []).append((r["term_id"], r["qtf"]))
+        batch = []
+        for qid, pairs in by_qid.items():
+            pairs.sort()  # ascending term_id == oracle accumulation order
+            tids = np.array([p[0] for p in pairs], dtype=np.int64)
+            qtfs = np.array([p[1] for p in pairs], dtype=np.float64)
+            batch.append((qid, tids, qtfs))
+        all_tids = sorted({int(r["term_id"]) for r in qrows})
+
+        if self._warm is not None:
+            # persisted bucket-partitioned sort: filter is narrow, grouping
+            # contiguity is preserved — no exchange at all
+            hit = self._warm.filter(F.col("term_id").isin(all_tids))
+            shuffled = hit
+        else:
+            seg = self.segments
+            if "tshard" in seg.columns and self.stats.get("tshards"):
+                shards = sorted({t % self.stats["tshards"] for t in all_tids})
+                seg = seg.filter(F.col("tshard").isin(shards))  # dir pruning
+            hit = seg.filter(
+                F.col("term_id").isin(all_tids)
+                & F.col("term_id").between(all_tids[0], all_tids[-1])
+            )
+            # explicit partition count: AQE would coalesce the (small,
+            # compressed) exchange to one partition and serialize the
+            # decode/score kernel
+            p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            shuffled = hit.repartition(p, "bucket").sortWithinPartitions(
+                "bucket", "term_id", "first_doc"
+            )
+
+        bc = spark.sparkContext.broadcast(batch)
+        kernel = make_batch_kernel(
+            bc, k, self.stats["k1"], self.stats["b"], self.stats["N"], self.stats["avgdl"]
+        )
+
+        def stream(batches):
+            """One streaming pass per partition: the trailing (possibly
+            incomplete) bucket group of each Arrow batch carries into the
+            next, so a bucket never splits and Python overhead is
+            per-partition, not per-bucket."""
+            tail: pd.DataFrame | None = None
+            for pdf in batches:
+                if tail is not None and len(tail):
+                    pdf = pd.concat([tail, pdf], ignore_index=True)
+                if not len(pdf):
+                    continue
+                last_b = pdf["bucket"].iat[-1]
+                is_tail = pdf["bucket"] == last_b
+                tail = pdf[is_tail]
+                body = pdf[~is_tail]
+                if len(body):
+                    out = [kernel(g) for _, g in body.groupby("bucket", sort=False)]
+                    yield pd.concat(out, ignore_index=True) if out else _EMPTY
+            if tail is not None and len(tail):
+                yield kernel(tail)
+
+        partial = shuffled.mapInPandas(stream, KERNEL_OUT_SCHEMA)
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "doc_id", "score")
+        )
+
+
 def bm25_topk_segments(
     spark: SparkSession,
     index_dir: str,
     queries: DataFrame,
     k: int = 10,
 ) -> DataFrame:
-    """→ (qid, rank, doc_id, score) from the compressed segment index."""
-    segments, term_dict, stats = load_index(spark, index_dir)
-    qt = query_terms_df(queries)
-    # dictionary lookup: query term strings → term_ids via the vocab-sized
-    # term_dict (isin pushdown prunes its scan); ids then push down into the
-    # segments scan, pruning row groups by term_id min/max — a fixed-width
-    # int predicate instead of string comparisons
-    terms = [r["term"] for r in qt.select("term").distinct().collect()]
-    if not terms:
-        return spark.createDataFrame([], "qid long, rank int, doc_id long, score double")
-    tid_rows = (
-        term_dict.filter(F.col("term").isin(terms)).select("term", "term_id").collect()
-    )
-    if not tid_rows:
-        return spark.createDataFrame([], "qid long, rank int, doc_id long, score double")
-    tids = [r["term_id"] for r in tid_rows]
-    qt_ids = qt.join(
-        F.broadcast(
-            spark.createDataFrame([(r["term"], r["term_id"]) for r in tid_rows],
-                                  "term string, term_id long")
-        ),
-        "term",
-    ).select("qid", "term_id", "qtf")
-    hit = segments.filter(F.col("term_id").isin(tids)).join(F.broadcast(qt_ids), "term_id")
-    kernel = make_kernel(k, stats["k1"], stats["b"], stats["N"], stats["avgdl"])
-
-    def stream(batches):
-        """One streaming pass per partition: the trailing (possibly
-        incomplete) (qid, bucket) group of each Arrow batch carries into the
-        next, so a group never splits and Python overhead is per-partition,
-        not per-group (same pattern as the index-build encode kernel)."""
-        tail: pd.DataFrame | None = None
-        for pdf in batches:
-            if tail is not None and len(tail):
-                pdf = pd.concat([tail, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
-            last_q = pdf["qid"].iat[-1]
-            last_b = pdf["bucket"].iat[-1]
-            is_tail = (pdf["qid"] == last_q) & (pdf["bucket"] == last_b)
-            tail = pdf[is_tail]
-            body = pdf[~is_tail]
-            if len(body):
-                out = [
-                    kernel(g)
-                    for _, g in body.groupby(["qid", "bucket"], sort=False)
-                ]
-                yield pd.concat(out, ignore_index=True) if out else _EMPTY
-        if tail is not None and len(tail):
-            yield kernel(tail)
-
-    shuffled = hit.repartition("qid", "bucket").sortWithinPartitions(
-        "qid", "bucket", "term_id", "first_doc"
-    )
-    partial = shuffled.mapInPandas(stream, KERNEL_OUT_SCHEMA)
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "rank", "doc_id", "score")
-    )
+    """→ (qid, rank, doc_id, score) from the compressed segment index
+    (one-shot convenience wrapper; batch services should hold an
+    `IndexSearcher` and call `search` repeatedly)."""
+    return IndexSearcher(spark, index_dir).search(queries, k)
