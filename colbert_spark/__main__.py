@@ -1,12 +1,13 @@
 """spark-submit entry point (north_rule: "runs via spark-submit --py-files on
 multi-executor clusters").
 
-Usage (cluster):
+Usage (cluster — via the repo-root `main.py` application file; spark-submit
+has no `-m` module flag):
   zip -r colbert_spark.zip colbert_spark
-  spark-submit --py-files colbert_spark.zip -m colbert_spark index \
+  spark-submit --py-files colbert_spark.zip main.py index \
       --input /path/web_pages --output /path/index
-  spark-submit ... query --index /path/index --questions q.txt --k 10
-  spark-submit ... synth --output /path/web_pages --docs 100000
+  spark-submit --py-files colbert_spark.zip main.py query --index /path/index --questions q.txt --k 10
+  spark-submit --py-files colbert_spark.zip main.py synth --output /path/web_pages --docs 100000
 
 Locally the same commands run with `python -m colbert_spark ...` (the session
 factory falls back to local[$SPARK_GRAFT_CPUS]). When launched by

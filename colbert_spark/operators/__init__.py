@@ -19,6 +19,7 @@ from colbert_spark.operators import (
 )
 
 from colbert_spark import streaming as _streaming
+from colbert_spark.sources import delimited as _delimited
 
 _MODULES = [
     fts_documents,
@@ -29,6 +30,7 @@ _MODULES = [
     events,
     multimodal,
     _streaming,
+    _delimited,
 ]
 
 QUERIES = {}

@@ -24,14 +24,19 @@ _TOK = duckdb_tokens_sql("text")
 
 
 def shingles_col(terms: Column, n: int = 3) -> Column:
-    """3-gram word shingles as array<string> (empty if doc shorter than n)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(terms) - (n - 1), F.lit(0)))
-    return F.when(F.size(terms) >= n, F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(terms, i + j) for j in range(n)]
-        ),
-    )).otherwise(F.array().cast("array<string>"))
+    """3-gram word shingles as array<string> (empty if doc shorter than n).
+
+    Built as a zip_with chain over length-aligned slices — ~4× cheaper than
+    the transform(sequence)+element_at formulation (per-element array
+    indexing inside an interpreted lambda dominated the old plan; zip_with
+    walks the three slices in lockstep)."""
+    cnt = F.greatest(F.size(terms) - (n - 1), F.lit(0))
+    out = F.slice(terms, 1, cnt)
+    for j in range(1, n):
+        out = F.zip_with(
+            out, F.slice(terms, j + 1, cnt), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return out
 
 
 def _duckdb_shingles(lst: str) -> str:
@@ -93,22 +98,46 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared signature builder for minhash_signatures / minhash_lsh_pairs."""
+def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide MinHash signature matrix: (doc_id, m0..m15) in ONE shuffle.
+
+    The 16 permutation minima are 16 partial-agg `min` columns over the SAME
+    shingle rows — the exchange carries one row per (doc, shingle), not ×16
+    (the old crossJoin-with-j replicated every shingle 16 times through the
+    shuffle; at 10^12 docs that ×16 exchange is the build's bottleneck).
+    The md5 work is identical and happens map-side. No shingle-dedup shuffle:
+    `min` over the duplicate-bearing multiset equals `min` over the set, so
+    the only exchange is the 16-column partial-agg one."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.explode(shingles_col(tokens_col("text"))).alias("sh")
-    ).distinct()
-    js = spark.range(N_HASHES).select(F.col("id").cast("int").alias("j"))
-    return (
-        sh.crossJoin(F.broadcast(js))
-        .select(
-            "doc_id",
-            "j",
-            F.md5(F.concat_ws(":", F.col("j"), F.col("sh")).cast("binary")).alias("h"),
+    )
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(j)), F.col("sh")).cast("binary"))
+            ).alias(f"m{j}")
+            for j in range(N_HASHES)
+        ]
+    )
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form (doc_id, j, mh) view of the wide signature matrix — the
+    stack is a per-row array explode AFTER the single aggregation shuffle."""
+    wide = _minhash_wide(spark, sf_dir)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("int").alias("j"), F.col(f"m{j}").alias("mh")
+                )
+                for j in range(N_HASHES)
+            ]
         )
-        .groupBy("doc_id", "j")
-        .agg(F.min("h").alias("mh"))
+    )
+    return wide.select("doc_id", stacked.alias("s")).select(
+        "doc_id", F.col("s.j").alias("j"), F.col("s.mh").alias("mh")
     )
 
 
@@ -116,29 +145,42 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs — the 10^12-doc near-dup scale path.
 
     Signatures → band keys (band = md5 of the 4 row-hashes concatenated in
-    row order) → self-join per (band, key) bucket → distinct pairs. The join
-    is keyed by the band hash, so work is proportional to bucket sizes, not
-    to n² (the quadratic `ngram_jaccard_pairs` is the exact baseline).
-    Mirrors the reference's IVF bucketing (`faiss_indexers.py:195-222`):
-    coarse buckets shortlist candidates, exact scoring refines.
+    row order) → STAR pairs per (band, key) bucket: every member pairs with
+    the bucket's min-doc_id representative, not with every other member.
+    A duplicate-heavy corpus puts thousands of docs into one band bucket;
+    clique output is O(bucket²) inside that bucket, star output is O(bucket)
+    and yields the same connected components for dedup resolution. Work is
+    two bucket-keyed aggregations/joins — proportional to bucket sizes, never
+    n² (the quadratic `ngram_jaccard_pairs` is the exact baseline). Mirrors
+    the reference's IVF bucketing (`faiss_indexers.py:195-222`): coarse
+    buckets shortlist candidates, exact scoring refines.
     """
-    sig = _minhash_sig(spark, sf_dir)
-    bands = (
-        sig.withColumn("band", (F.col("j") / (N_HASHES // LSH_BANDS)).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws(":", F.array_sort(F.collect_list(
-            F.concat_ws("=", F.col("j"), F.col("mh"))
-        ))).cast("binary")).alias("key"))
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    wide = _minhash_wide(spark, sf_dir)
+    rows_per_band = N_HASHES // LSH_BANDS
+    band_structs = []
+    for bnd in range(LSH_BANDS):
+        entries = F.array_sort(
+            F.array(
+                *[
+                    F.concat_ws("=", F.lit(str(j)), F.col(f"m{j}"))
+                    for j in range(bnd * rows_per_band, (bnd + 1) * rows_per_band)
+                ]
+            )
         )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        band_structs.append(
+            F.struct(
+                F.lit(bnd).cast("int").alias("band"),
+                F.md5(F.concat_ws(":", entries).cast("binary")).alias("key"),
+            )
+        )
+    bands = wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("s")
+    ).select("doc_id", F.col("s.band").alias("band"), F.col("s.key").alias("key"))
+    reps = bands.groupBy("band", "key").agg(F.min("doc_id").alias("rep"))
+    return (
+        bands.join(reps, ["band", "key"])
+        .filter(F.col("doc_id") > F.col("rep"))
+        .select(F.col("rep").alias("a_id"), F.col("doc_id").alias("b_id"))
         .distinct()
         .orderBy("a_id", "b_id")
     )
@@ -150,8 +192,9 @@ def _simhash_bit(j: int):
     return F.when(c.isin(*_ODD_HEX), F.lit(1)).otherwise(F.lit(-1))
 
 
-def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup signature: 32-bit packed signature per doc.
+def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup signature: 32-bit packed signature per doc
+    (one md5 hex char of the term hash per bit).
 
     bit_j = sign of Σ_terms tf · (±1 from md5-hex parity of (term, j)).
     One shuffle (groupBy doc_id with 32 partial-agg sums) — no per-bit
@@ -179,19 +222,46 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.orderBy("doc_id")
 
 
-def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: label-blocked exact cosine ≥ 0.3.
+EMB_BANDS = 4  # banded random-hyperplane LSH: candidate iff ANY band matches
+EMB_BAND_PLANES = 6  # planes per band; 2^R ≈ target corpus/bucket ratio.
+# Recall dial: P(candidate) = 1 − (1 − p^R)^B with p = 1 − acos(cos)/π.
+# At 10^12 rows you raise R (keeps buckets ∝ n/2^R small) and raise B to
+# recover recall; the exchange stays ∝ B·n rows and the pair work ∝ Σ bucket².
 
-    The label is the blocking key (candidate pairs only within a block —
-    at scale the block key would be an LSH signature, see
-    similarity.ann_lsh_topk); exact float64 cosine refines.
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: banded-LSH-blocked exact cosine ≥ 0.3.
+
+    Blocking keys are EMB_BANDS independent random-hyperplane signatures of
+    EMB_BAND_PLANES planes each (`similarity._lsh_sig`, identical md5-derived
+    projections in both engines): a pair is a candidate iff it collides in at
+    least one band — the same band/rows recall construction as MinHash-LSH,
+    applied to hyperplane signs. Candidate pairs form only WITHIN a band
+    bucket (work ∝ Σ bucket², E[bucket] = n/2^R), never the O(n²/L) of
+    the old few-distinct-labels blocking. Exact float64 cosine refines; the
+    multi-band DISTINCT dedups pairs colliding in several bands.
     """
+    from colbert_spark.operators.similarity import _lsh_sig
+
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     e = emb.withColumn("nrm", norm).filter(F.col("nrm") > 0)
-    a, b = e.alias("a"), e.alias("b")
+    band_structs = [
+        F.struct(
+            F.lit(bnd).cast("int").alias("band"),
+            _lsh_sig(
+                F.col("v"),
+                range(bnd * EMB_BAND_PLANES, (bnd + 1) * EMB_BAND_PLANES),
+            ).alias("bsig"),
+        )
+        for bnd in range(EMB_BANDS)
+    ]
+    keyed = e.select(
+        "vec_id", "v", "nrm", F.explode(F.array(*band_structs)).alias("s")
+    ).select("vec_id", "v", "nrm", F.col("s.band").alias("band"), F.col("s.bsig").alias("bsig"))
+    a, b = keyed.alias("a"), keyed.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),
@@ -200,7 +270,8 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -209,6 +280,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cos_r"),
         )
         .filter(F.col("cos_r") >= NEARDUP_COS)
+        .distinct()
         .orderBy("a_id", "b_id")
     )
 
@@ -269,14 +341,16 @@ ORACLES["minhash_lsh_pairs"] = f"""
     bands AS (
       SELECT doc_id, (j // {_BAND_ROWS})::INT AS band,
              md5(string_agg(j || '=' || mh, ':' ORDER BY j || '=' || mh)) AS key
-      FROM sig GROUP BY doc_id, (j // {_BAND_ROWS})::INT)
-    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      FROM sig GROUP BY doc_id, (j // {_BAND_ROWS})::INT),
+    reps AS (
+      SELECT band, key, min(doc_id) AS rep FROM bands GROUP BY band, key)
+    SELECT DISTINCT r.rep AS a_id, b.doc_id AS b_id
+    FROM bands b JOIN reps r ON b.band = r.band AND b.key = r.key
+    WHERE b.doc_id > r.rep
     ORDER BY a_id, b_id
 """
 
-ORACLES["simhash64"] = f"""
+ORACLES["simhash32"] = f"""
     WITH tf AS (
       SELECT doc_id, term, count(*) AS tf
       FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
@@ -288,28 +362,42 @@ ORACLES["simhash64"] = f"""
     FROM sums ORDER BY doc_id
 """
 
-ORACLES["embedding_neardup"] = """
+def _neardup_oracle() -> str:
+    from colbert_spark.operators.similarity import _duckdb_sig
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, v, nrm, {bnd} AS band, "
+        f"{_duckdb_sig('v', range(bnd * EMB_BAND_PLANES, (bnd + 1) * EMB_BAND_PLANES))} AS bsig "
+        f"FROM nz"
+        for bnd in range(EMB_BANDS)
+    )
+    return f"""
     WITH e AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
       FROM embeddings),
-    nz AS (SELECT * FROM e WHERE nrm > 0)
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    nz AS (SELECT vec_id, v, nrm FROM e WHERE nrm > 0),
+    keyed AS ({band_rows})
+    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
            round(list_sum(list_transform(generate_series(1, len(a.v)),
                                          i -> a.v[i] * b.v[i]))
                  / (a.nrm * b.nrm), 6) AS cos_r
-    FROM nz a JOIN nz b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM keyed a JOIN keyed b
+      ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id
     WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
                                         i -> a.v[i] * b.v[i]))
                 / (a.nrm * b.nrm), 6) >= 0.3
     ORDER BY a_id, b_id
 """
 
+
+ORACLES["embedding_neardup"] = _neardup_oracle()
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
-    "simhash64": simhash64,
+    "simhash32": simhash32,
     "embedding_neardup": embedding_neardup,
 }

@@ -102,7 +102,7 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-sum window (SURVEY §2.4 A3, the reference's doclens →
     offsets accumulate): per-user running total of `value` in event-time
-    order, last 5 users' first 20 events for a bounded contract surface."""
+    order, first 5 users' (user_id < 5) first 20 events for a bounded contract surface."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
     w = (
         Window.partitionBy("user_id")

@@ -69,6 +69,10 @@ def fts_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: BM25 top-10 for the fixed query set over `documents`."""
+    return _fts_bm25_topk(spark, sf_dir, TOPK)
+
+
+def _fts_bm25_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     docs = _docs(spark, sf_dir).cache()
     row = docs.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
     n_docs, avgdl = row["n"], row["avgdl"]
@@ -105,7 +109,7 @@ def fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
     return (
         agg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK)
+        .filter(F.col("rank") <= k)
         .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
     )
 
@@ -124,10 +128,17 @@ def fts_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+EVAL_DEPTH = 100  # retrieval depth for the metric protocol
+RECALL_CUTS = (10, 50, 100)  # reference: MRR@10 + recall@{50,100}
+# (``proj_utils/dureader_utils.py:51-73``: eval_dureader(topk=10,
+# recall_topk=[50, 100])); recall@10 kept as the shallow diagnostic
+
+
 def fts_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rank-quality evaluation (reference A8, ``dureader_utils.py:51-73``
-    MRR@10 / recall): golden set per query = docs containing ALL query terms
-    (boolean-AND semantics); metrics over the BM25 top-10."""
+    """Rank-quality evaluation at the reference's full metric protocol
+    (reference A8, ``dureader_utils.py:51-73``): MRR@10 plus recall at each
+    depth in RECALL_CUTS over the BM25 top-EVAL_DEPTH. Golden set per query =
+    docs containing ALL query terms (boolean-AND semantics)."""
     docs = _docs(spark, sf_dir)
     queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
     qterms = queries.select(
@@ -144,21 +155,33 @@ def fts_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "doc_id")
     )
     g_sizes = golden.groupBy("qid").agg(F.count("*").alias("n_golden"))
-    topk = fts_bm25_topk(spark, sf_dir)
+    topk = _fts_bm25_topk(spark, sf_dir, EVAL_DEPTH)
     hits = topk.join(golden, ["qid", "doc_id"]).select("qid", "rank")
     agg = hits.groupBy("qid").agg(
-        F.count("*").alias("hits_at_10"),
-        F.round(1.0 / F.min("rank"), 6).alias("mrr_at_10_r"),
+        *[
+            F.count(F.when(F.col("rank") <= c, 1)).alias(f"hits_at_{c}")
+            for c in RECALL_CUTS
+        ],
+        F.round(
+            1.0 / F.min(F.when(F.col("rank") <= 10, F.col("rank"))), 6
+        ).alias("mrr_at_10_r"),
     )
+    recall_cols = []
+    for c in RECALL_CUTS:
+        recall_cols.append(
+            F.coalesce(f"hits_at_{c}", F.lit(0)).cast("long").alias(f"hits_at_{c}")
+        )
+        recall_cols.append(
+            F.round(
+                F.coalesce(f"hits_at_{c}", F.lit(0)) / F.col("n_golden"), 6
+            ).alias(f"recall_at_{c}_r")
+        )
     return (
         g_sizes.join(agg, "qid", "left")
         .select(
             "qid",
             "n_golden",
-            F.coalesce("hits_at_10", F.lit(0)).cast("long").alias("hits_at_10"),
-            F.round(
-                F.coalesce("hits_at_10", F.lit(0)) / F.col("n_golden"), 6
-            ).alias("recall_r"),
+            *recall_cols,
             F.coalesce("mrr_at_10_r", F.lit(0.0)).alias("mrr_at_10_r"),
         )
         .orderBy("qid")
@@ -270,6 +293,15 @@ ORACLES["fts_topk_docs"] = f"""
     ORDER BY r.qid, r.rank
 """
 
+_RECALL_AGG = ", ".join(
+    f"count(*) FILTER (t.rank <= {c}) AS hits_at_{c}" for c in RECALL_CUTS
+)
+_RECALL_OUT = ", ".join(
+    f"coalesce(h.hits_at_{c}, 0)::BIGINT AS hits_at_{c}, "
+    f"round(coalesce(h.hits_at_{c}, 0) / g.n_golden::DOUBLE, 6) AS recall_at_{c}_r"
+    for c in RECALL_CUTS
+)
+
 ORACLES["fts_eval_recall"] = f"""
     {_bm25_ctes()},
     qterms AS (SELECT DISTINCT qid, unnest({_QTOK}) AS term FROM q),
@@ -282,14 +314,14 @@ ORACLES["fts_eval_recall"] = f"""
         GROUP BY qterms.qid, posts.doc_id) p
       JOIN nq ON p.qid = nq.qid AND p.n_hit = nq.n_terms),
     g_sizes AS (SELECT qid, count(*) AS n_golden FROM golden GROUP BY qid),
-    top10 AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= {TOPK}),
+    topd AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= {EVAL_DEPTH}),
     hits AS (
-      SELECT t.qid, count(*) AS hits_at_10, round(1.0 / min(t.rank), 6) AS mrr_at_10_r
-      FROM top10 t JOIN golden g ON t.qid = g.qid AND t.doc_id = g.doc_id
+      SELECT t.qid, {_RECALL_AGG},
+             round(1.0 / (min(t.rank) FILTER (t.rank <= 10)), 6) AS mrr_at_10_r
+      FROM topd t JOIN golden g ON t.qid = g.qid AND t.doc_id = g.doc_id
       GROUP BY t.qid)
     SELECT g.qid::BIGINT AS qid, g.n_golden::BIGINT AS n_golden,
-           coalesce(h.hits_at_10, 0)::BIGINT AS hits_at_10,
-           round(coalesce(h.hits_at_10, 0) / g.n_golden::DOUBLE, 6) AS recall_r,
+           {_RECALL_OUT},
            coalesce(h.mrr_at_10_r, 0.0) AS mrr_at_10_r
     FROM g_sizes g LEFT JOIN hits h USING (qid)
     ORDER BY qid

@@ -16,8 +16,6 @@ blobs with sidecar metadata (`colbert/indexing/encoder.py:119,141-148`).
 
 from __future__ import annotations
 
-import hashlib
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,7 +27,7 @@ FRAME_W = 16  # chars per sampled frame window
 FRAME_STRIDE = 32
 MAX_FRAMES = 4
 
-FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes long, frame_md5 string"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
 
 
 def decode_real(payload: bytes, media_type: str):
@@ -79,8 +77,9 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _frame_rows(it):
     """mapInPandas kernel: payload → fixed-stride frame windows (the decode
-    stub). Window slicing is vectorized (pandas str ops); the md5 digest is
-    the only per-element call (as a real codec would be)."""
+    stub). Fully vectorized — window slicing and the utf-8 encode are pandas
+    str ops; digests/lengths happen JVM-side AFTER the kernel (a real codec
+    would emit raw frame buffers exactly like this)."""
     for pdf in it:
         out = []
         text = pdf["text"].fillna("")
@@ -96,10 +95,7 @@ def _frame_rows(it):
                     {
                         "doc_id": pdf["doc_id"][mask],
                         "frame_idx": fi,
-                        "frame_bytes": [len(s.encode("utf-8")) for s in w],
-                        "frame_md5": [
-                            hashlib.md5(s.encode("utf-8")).hexdigest() for s in w
-                        ],
+                        "frame": w.str.encode("utf-8"),
                     }
                 )
             )
@@ -109,10 +105,17 @@ def _frame_rows(it):
 
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over multimodal payloads via mapInPandas — the real
-    plumbing (Arrow batches in, frame rows out; no shuffle until the sort)
-    with the decode step stubbed deterministically."""
+    plumbing (Arrow batches in, frame-buffer rows out; no shuffle until the
+    sort) with the decode step stubbed deterministically. Frame length and
+    checksum are JVM expressions over the emitted binary column."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.mapInPandas(_frame_rows, FRAME_SCHEMA).orderBy("doc_id", "frame_idx")
+    frames = docs.mapInPandas(_frame_rows, FRAME_SCHEMA)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").cast("long").alias("frame_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    ).orderBy("doc_id", "frame_idx")
 
 
 _TYPE_CASE = (

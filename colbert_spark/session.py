@@ -14,6 +14,24 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_mem() -> str:
+    """Local mode sizes the driver heap like an executor fleet (it IS the
+    fleet), but never beyond what the host can give: min(48g, 60% of
+    MemTotal). Overridable via SPARK_GRAFT_DRIVER_MEM."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(2, min(48, int(total_gb * 0.6)))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "colbert_spark",
     cpus: int | None = None,
@@ -52,8 +70,9 @@ def get_spark(
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # local mode: the driver heap IS the executor heap for every task
         # thread — size it like an executor fleet, not a driver (8g across 32
-        # sort tasks spills constantly and anti-scales with parallelism)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # sort tasks spills constantly and anti-scales with parallelism),
+        # bounded by physical RAM so imports on small hosts still run
+        .config("spark.driver.memory", _default_driver_mem())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -79,7 +79,70 @@ def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).orderBy("hour_start", "event_type")
 
 
+def streaming_hourly_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded-safe variant: watermarked tumbling window in APPEND mode to
+    a durable parquet sink (+ checkpoint dir) — the configuration that holds
+    on a real continuous feed. In append mode a window row is emitted exactly
+    once, when the watermark (max event time − 1h) passes the window end, and
+    its state is then dropped; the driver holds nothing (the complete-mode
+    `streaming_hourly_agg` is the bounded-backfill demo — its memory sink
+    pins the whole result on the driver and its watermark is a no-op).
+
+    Over the bounded replay the emitted set is exactly the CLOSED windows:
+    window_end ≤ max(ts) − 1h (the final no-data microbatch advances the
+    watermark once all files are processed); the oracle encodes the same
+    predicate. Results are read back from the parquet sink — durable,
+    resumable via the checkpoint, and schema-stable even when empty.
+    """
+    import tempfile
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    work = tempfile.mkdtemp(prefix="stream_closed_")
+    out_dir = f"{work}/out"
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.schema(
+        "hour_start string, event_type string, n long, total_value double"
+    ).parquet(out_dir)
+    return out.orderBy("hour_start", "event_type")
+
+
 ORACLES = {
+    "streaming_hourly_closed": """
+        WITH mx AS (SELECT max(ts) AS m FROM events)
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type, count(*)::BIGINT AS n,
+               round(sum(value), 2) AS total_value
+        FROM events, mx
+        GROUP BY date_trunc('hour', ts), event_type, mx.m
+        HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx.m - INTERVAL 1 HOUR
+        ORDER BY hour_start, event_type
+    """,
     "streaming_hourly_agg": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                event_type, count(*)::BIGINT AS n,
@@ -90,4 +153,5 @@ ORACLES = {
 
 QUERIES = {
     "streaming_hourly_agg": streaming_hourly_agg,
+    "streaming_hourly_closed": streaming_hourly_closed,
 }

@@ -80,9 +80,9 @@ def test_minhash_lsh_finds_exact_duplicates(spark, dup_sf_dir):
 def test_simhash_identical_for_duplicate_docs(spark, dup_sf_dir):
     """Exact duplicate texts get identical simhash signatures; distinct base
     docs (different rare terms) get distinct ones somewhere in the set."""
-    from colbert_spark.operators.dedup import simhash64
+    from colbert_spark.operators.dedup import simhash32
 
-    sigs = {r["doc_id"]: r["simhash"] for r in simhash64(spark, dup_sf_dir).collect()}
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash32(spark, dup_sf_dir).collect()}
     for i in range(5):
         assert sigs[i] == sigs[100 + i]
     assert len(set(sigs.values())) > 1
