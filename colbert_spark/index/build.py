@@ -111,8 +111,11 @@ def assign_dense_rank(
     )
     out = df.join(mapping, key)  # AQE broadcasts the slim mapping when small
     # expose the internal cache so callers can release it once their own
-    # downstream materialization (e.g. docs.persist) has happened
+    # downstream materialization (e.g. docs.persist) has happened, and the
+    # total key count — already exact from the offsets collect, so callers
+    # (build_index) never need a separate count job
     out._dense_rank_cache = numbered
+    out._dense_rank_total = acc
     return out
 
 
@@ -134,6 +137,7 @@ def derive_docs(web_pages: DataFrame, use_html: bool = False) -> DataFrame:
         tokens_col("text").alias("terms"),
     ).withColumn("doclen", F.size("terms"))
     out._dense_rank_cache = getattr(with_ids, "_dense_rank_cache", None)
+    out._dense_rank_total = getattr(with_ids, "_dense_rank_total", None)
     return out
 
 
@@ -269,8 +273,58 @@ def _encode_arrays(
     )
 
 
+def _write_manifest_partial(out: pd.DataFrame, partials_dir: str) -> None:
+    """Task-side sidecar: per-bucket manifest partials for this shuffle
+    partition, written as one tiny parquet file keyed by the DETERMINISTIC
+    partition id. The shuffle partition's content is deterministic (the rank
+    caches are frozen), so a task retry or speculative attempt rewrites an
+    identical file — os.replace makes the last write atomic. This is the
+    per-partition lineage record (north_rule) and it spares the build an
+    O(index) re-scan of the segments dir just to derive the manifest. At real
+    scale the same write goes through pyarrow.fs to HDFS/S3."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark import TaskContext
+
+    agg = (
+        out.groupby("bucket")
+        .agg(
+            term_lo=("term_id", "min"),
+            term_hi=("term_id", "max"),
+            n_blocks=("term_id", "size"),
+            n_postings=("n", "sum"),
+        )
+        .reset_index()
+    )
+    tc = TaskContext.get()
+    pid = tc.partitionId() if tc is not None else 0
+    tmp = os.path.join(partials_dir, f".p{pid:06d}.{os.getpid()}.tmp")
+    final = os.path.join(partials_dir, f"p{pid:06d}.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(agg, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("bucket", pa.int64()),
+                    ("term_lo", pa.int64()),
+                    ("term_hi", pa.int64()),
+                    ("n_blocks", pa.int64()),
+                    ("n_postings", pa.int64()),
+                ]
+            )
+        ),
+        tmp,
+    )
+    os.replace(tmp, final)
+
+
 def _encode_partition(
-    k1: float, b: float, n_docs: int, avgdl: float, tshards: int = DEFAULT_TSHARDS
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    tshards: int = DEFAULT_TSHARDS,
+    partials_dir: str | None = None,
+    bucket_size: int | None = None,
 ):
     """mapInPandas kernel over bucket-keyed partitions of UNSORTED raw tokens.
 
@@ -291,23 +345,32 @@ def _encode_partition(
                 continue
             docs_l.append(pdf["doc_id"].to_numpy(np.int64))
             terms_l.append(pdf["term_id"].to_numpy(np.int64))
-            buckets_l.append(pdf["bucket"].to_numpy(np.int64))
+            if bucket_size is None:
+                buckets_l.append(pdf["bucket"].to_numpy(np.int64))
             dls_l.append(pdf["doclen"].to_numpy(np.int64))
             dfs_l.append(pdf["df"].to_numpy(np.int64))
         if not docs_l:
             return
         docs = np.concatenate(docs_l)
         terms = np.concatenate(terms_l)
-        buckets = np.concatenate(buckets_l)
+        # bucket/tshard are pure functions of (doc_id, term_id): deriving them
+        # here keeps them OUT of the shuffle payload (they travel only as the
+        # exchange's hash expressions) — ~40% less exchange volume
+        buckets = (
+            docs // bucket_size if bucket_size is not None else np.concatenate(buckets_l)
+        )
         dls = np.concatenate(dls_l)
         dfs = np.concatenate(dfs_l)
         # sort includes the term shard so the emitted rows arrive at the
         # dynamic-partition writer already grouped by (bucket, tshard)
         order = np.lexsort((docs, terms, terms % tshards, buckets))
-        yield _encode_arrays(
+        out = _encode_arrays(
             docs[order], terms[order], buckets[order], dls[order], dfs[order],
             k1, b, n_docs, avgdl, tshards,
         )
+        if partials_dir is not None and len(out):
+            _write_manifest_partial(out, partials_dir)
+        yield out
 
     return fn
 
@@ -349,24 +412,24 @@ def build_index(
     segment files are written exactly once (parquet dir partition append).
     """
     import json
+    import time
+
+    phases: dict[str, float] = {}
+    t0 = time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal t0
+        now = time.perf_counter()
+        phases[name] = round(now - t0, 3)
+        t0 = now
 
     docs = derive_docs(web_pages, use_html=use_html)
+    _mark("doc_rank")  # assign_dense_rank's eager offsets collect
+    # N is EXACT and already paid for: it is the dense-rank offsets total
+    # (urls are unique), so the build never runs a separate count job
+    n_docs = int(getattr(docs, "_dense_rank_total", None) or 0)
     rank_cache = getattr(docs, "_dense_rank_cache", None)
     docs = docs.persist()
-    stats = collection_stats(docs)  # materializes the docs cache
-    if rank_cache is not None:
-        rank_cache.unpersist()  # rank stage no longer needed once docs are hot
-    stats.update({"k1": k1, "b": b, "bucket_size": bucket_size, "tshards": tshards})
-
-    done: set[int] = set()
-    manifest_path = os.path.join(index_dir, "manifest")
-    if resume and os.path.isdir(manifest_path):
-        prev = spark.read.parquet(manifest_path).filter(F.col("status") == "done")
-        done = {r["bucket"] for r in prev.select("bucket").collect()}
-
-    os.makedirs(index_dir, exist_ok=True)
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump(stats, f)
 
     # raw exploded tokens go straight into the ONE postings shuffle; tf is
     # recovered by run-length counting in the encode kernel (map-side combine
@@ -376,21 +439,64 @@ def build_index(
     # == lexicographic order, preserving the scorers' float-summation order).
     # Strings never enter the postings shuffle, the sort, or the Python
     # kernel — fixed-width int64 keys throughout the hot path.
-    tdict_ranked = assign_dense_rank(
-        term_stats_from_tokens(tokens), "term", "term_id", unique=True
-    )
+    # term_stats is persisted FIRST so the heavy countDistinct aggregation
+    # runs exactly once: the rank's range-partition sampling pass computes it
+    # into the cache (transitively filling the docs cache — tokenization also
+    # happens once), and every later consumer reads the cache.
+    tstats = term_stats_from_tokens(tokens).persist()
+    tdict_ranked = assign_dense_rank(tstats, "term", "term_id", unique=True)
     tdict_cache = getattr(tdict_ranked, "_dense_rank_cache", None)
+    _mark("term_rank")  # the ONE full tokenize+aggregate pass of the build
+    if rank_cache is not None:
+        rank_cache.unpersist()  # docs cache is hot; url-rank stage done
     tdict = tdict_ranked.persist()
-    tdict.count()  # materialize BEFORE the concurrent sink jobs below, so no
-    # two jobs race to first-fill the cache
+    # materialize tdict BEFORE the concurrent sink jobs below (no cache-fill
+    # race) and, in the same cheap cache-read job, finish the collection
+    # stats: Σcf over the dictionary == Σdoclen over docs, so avgdl needs no
+    # docs-side aggregation job at all (north_star: exact, no approximation).
+    row = tdict.agg(
+        F.count("*").alias("n_terms"), F.sum("cf").alias("total_cf")
+    ).collect()[0]
     if tdict_cache is not None:
         tdict_cache.unpersist()
+    tstats.unpersist()
+    _mark("tdict_agg")
+    stats = {
+        "N": n_docs,
+        "avgdl": (row["total_cf"] or 0) / n_docs if n_docs else 0.0,
+        "n_terms": row["n_terms"],
+        "k1": k1,
+        "b": b,
+        "bucket_size": bucket_size,
+        "tshards": tshards,
+    }
+
+    manifest_path = os.path.join(index_dir, "manifest")
+    os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+
     # plain join: AQE converts it to broadcast while the vocabulary is small
-    # and falls back to a skew-split shuffle join at web-scale vocabularies
+    # and falls back to a skew-split shuffle join at web-scale vocabularies.
+    # The shuffle payload is ONLY (doc_id, doclen, term_id, df): bucket,
+    # tshard and sub travel as hash EXPRESSIONS of the repartition (and are
+    # re-derived inside the kernel), never as row columns.
     posts = tokens.join(tdict.select("term", "term_id", "df"), "term").drop("term")
-    posts = posts.withColumn("bucket", (F.col("doc_id") / bucket_size).cast("long"))
-    if done:
-        posts = posts.filter(~F.col("bucket").isin(*[int(x) for x in done]))
+    if resume and os.path.isdir(manifest_path):
+        # anti-join instead of a collected isin literal: at 10^12 docs the
+        # manifest holds ~10^7 bucket rows — never driver-materialized; AQE
+        # broadcasts the slim bucket list while it is small
+        prev_done = (
+            spark.read.parquet(manifest_path)
+            .filter(F.col("status") == "done")
+            .select("bucket")
+            .distinct()
+        )
+        posts = (
+            posts.withColumn("bucket", F.expr(f"doc_id DIV {bucket_size}"))
+            .join(prev_done, "bucket", "left_anti")
+            .drop("bucket")
+        )
 
     # salted repartition-by-term, realized as a shuffle on the doc-bucket:
     # a Zipf head term with df ≈ 0.5·N is split across EVERY bucket (the salt),
@@ -406,39 +512,62 @@ def build_index(
     # on-disk partition dir AND a shuffle slice, so every (bucket, tshard)
     # file is written whole by the task(s) that own it — no cross-task
     # partitionBy fan-out (tasks × dirs tiny-file explosion)
-    posts = posts.withColumn("tshard", (F.col("term_id") % tshards).cast("int"))
     n_sub = max(1, -(-16 * p_shuffle // (n_buckets * tshards)))  # ≥16 keys/slot
-    posts = posts.withColumn(
-        "sub", ((F.col("doc_id") % bucket_size) * n_sub / bucket_size).cast("int")
-    )
     # no JVM sort: the encode kernel lexsorts its partition's fixed-width
     # int64 keys in numpy (see _encode_partition) — cheaper and spill-free.
     # Partition count pinned: AQE would otherwise coalesce the encode stage
     # to its 64MB advisory size and throttle kernel parallelism.
-    shuffled = posts.repartition(p_shuffle, "bucket", "tshard", "sub")
+    # DIV (integer division), not float-divide-and-cast: exact at any scale,
+    # and identical to the kernel's int64 `//` re-derivation.
+    shuffled = posts.repartition(
+        p_shuffle,
+        F.expr(f"doc_id DIV {bucket_size}"),
+        F.expr(f"term_id % {tshards}"),
+        F.expr(f"((doc_id % {bucket_size}) * {n_sub}) DIV {bucket_size}"),
+    )
+    # manifest partials are written by the encode tasks themselves (tiny
+    # per-partition sidecar parquet, see _write_manifest_partial) — deriving
+    # the manifest is then a read of ~p_shuffle KB-size files, NOT an
+    # O(index) re-scan of the segments dir. Cleared up-front so partials of
+    # an interrupted attempt never leak into this build's aggregation.
+    partials_dir = os.path.join(index_dir, "manifest_partials")
+    if os.path.isdir(partials_dir):
+        import shutil
+
+        shutil.rmtree(partials_dir)
+    os.makedirs(partials_dir, exist_ok=True)
     segments = shuffled.mapInPandas(
-        _encode_partition(k1, b, stats["N"], stats["avgdl"], tshards),
+        _encode_partition(
+            k1, b, stats["N"], stats["avgdl"], tshards, partials_dir, bucket_size
+        ),
         schema=SEGMENT_SCHEMA,
     )
     seg_path = os.path.join(index_dir, "segments")
 
     def _write_segments_and_manifest() -> None:
+        t = time.perf_counter()
         segments.write.mode("append").partitionBy("bucket", "tshard").parquet(seg_path)
-        # manifest rows for newly built buckets (term-range watermarks, counts)
+        phases["seg_write"] = round(time.perf_counter() - t, 3)
+        t = time.perf_counter()
+        # manifest rows (term-range watermarks, counts) aggregated from the
+        # kernel-written partials; a no-op resume produces no partials and
+        # appends nothing
+        if not any(f.endswith(".parquet") for f in os.listdir(partials_dir)):
+            return
         built = (
-            spark.read.parquet(seg_path)
-            .filter(~F.col("bucket").isin(*[int(x) for x in done]) if done else F.lit(True))
+            spark.read.parquet(partials_dir)
             .groupBy("bucket")
             .agg(
-                F.min("term_id").alias("term_lo"),
-                F.max("term_id").alias("term_hi"),
-                F.count("*").alias("n_blocks"),
-                F.sum("n").alias("n_postings"),
+                F.min("term_lo").alias("term_lo"),
+                F.max("term_hi").alias("term_hi"),
+                F.sum("n_blocks").alias("n_blocks"),
+                F.sum("n_postings").alias("n_postings"),
             )
             .withColumn("status", F.lit("done"))
             .withColumn("built_at", F.lit(built_at))
         )
         built.write.mode("append").parquet(manifest_path)
+        phases["manifest"] = round(time.perf_counter() - t, 3)
 
     def _write_docs() -> None:
         docs.select("doc_id", "url", "doclen").write.mode("overwrite").parquet(
@@ -462,6 +591,8 @@ def build_index(
         ]
         for fut in futures:
             fut.result()  # re-raise the first failure
+    _mark("sinks")
     tdict.unpersist()
     docs.unpersist()
+    stats["phase_secs"] = phases  # build metrics (north_rule lineage+metrics)
     return stats
