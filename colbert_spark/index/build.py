@@ -86,15 +86,20 @@ def assign_dense_rank(
     ranged = keys.repartitionByRange(p, key)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(key)
-    # persist + materialize BEFORE branching: the numbered stage feeds both
-    # the per-partition counts and the final mapping. Range partitioning
-    # samples with a per-execution seed, so if the two consumers re-executed
-    # it independently (AQE compiles them as separate query stages) they
-    # could see DIFFERENT partition boundaries — offsets from one run applied
-    # to row numbers of another ⇒ duplicate/skipped ranks. Freezing the cache
-    # makes the rank deterministic; at true scale this stage would be
-    # checkpointed to a table instead of memory.
-    numbered = with_pid.withColumn("_rn", F.row_number().over(w)).persist()
+    # localCheckpoint (lineage TRUNCATED) before branching: the numbered stage
+    # feeds both the per-partition counts and the final mapping. Range
+    # partitioning samples with a per-execution seed, so any recompute — AQE
+    # compiling the two consumers as separate stages, or a lost cache
+    # partition after executor failure — could see DIFFERENT partition
+    # boundaries: offsets from one run applied to row numbers of another ⇒
+    # duplicate/skipped ranks, and concurrent sink jobs disagreeing on ids.
+    # With the lineage cut, recomputation is IMPOSSIBLE rather than unlikely:
+    # a lost block fails the job loudly instead of silently re-sampling. At
+    # true scale this stage is a durable table checkpoint; the written docs/
+    # sink then plays that role for later builds.
+    numbered = with_pid.withColumn("_rn", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
     cnt_rows = sorted(
         (r["_pid"], r["_cnt"])
         for r in numbered.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
@@ -448,7 +453,10 @@ def build_index(
     tdict_cache = getattr(tdict_ranked, "_dense_rank_cache", None)
     _mark("term_rank")  # the ONE full tokenize+aggregate pass of the build
     if rank_cache is not None:
-        rank_cache.unpersist()  # docs cache is hot; url-rank stage done
+        # url-rank stage done (docs cache is hot). The checkpoint blocks are
+        # reclaimed by the ContextCleaner once unreferenced; unpersist is a
+        # best-effort early release.
+        rank_cache.unpersist()
     tdict = tdict_ranked.persist()
     # materialize tdict BEFORE the concurrent sink jobs below (no cache-fill
     # race) and, in the same cheap cache-read job, finish the collection

@@ -267,6 +267,21 @@ class IndexSearcher:
             self._warm.unpersist()
             self._warm = None
 
+    def pruned_scan(self, term_ids: list[int]) -> DataFrame:
+        """Cold-path segment scan for a term-id set, pruned at three levels:
+        tshard partition DIRECTORIES (term_id mod tshards — the analog of the
+        reference's nprobe-of-nlist IVF probing), parquet row groups via the
+        pushed term_id range, and exact `isin` residual. Exposed so tests can
+        assert the actually-read file set shrinks with the query."""
+        seg = self.segments
+        if "tshard" in seg.columns and self.stats.get("tshards"):
+            shards = sorted({t % self.stats["tshards"] for t in term_ids})
+            seg = seg.filter(F.col("tshard").isin(shards))  # dir pruning
+        return seg.filter(
+            F.col("term_id").isin(list(term_ids))
+            & F.col("term_id").between(min(term_ids), max(term_ids))
+        )
+
     def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
         """queries(qid, question) → (qid, rank, doc_id, score), rank 1..k by
         (−score, doc_id). Queries whose terms are all absent yield no rows."""
@@ -296,24 +311,15 @@ class IndexSearcher:
         if self._warm is not None:
             # persisted bucket-partitioned sort: filter is narrow, grouping
             # contiguity is preserved — no exchange at all
-            hit = self._warm.filter(F.col("term_id").isin(all_tids))
-            shuffled = hit
+            shuffled = self._warm.filter(F.col("term_id").isin(all_tids))
         else:
-            seg = self.segments
-            if "tshard" in seg.columns and self.stats.get("tshards"):
-                shards = sorted({t % self.stats["tshards"] for t in all_tids})
-                seg = seg.filter(F.col("tshard").isin(shards))  # dir pruning
-            hit = seg.filter(
-                F.col("term_id").isin(all_tids)
-                & F.col("term_id").between(all_tids[0], all_tids[-1])
-            )
             # explicit partition count: AQE would coalesce the (small,
             # compressed) exchange to one partition and serialize the
             # decode/score kernel
             p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            shuffled = hit.repartition(p, "bucket").sortWithinPartitions(
-                "bucket", "term_id", "first_doc"
-            )
+            shuffled = self.pruned_scan(all_tids).repartition(
+                p, "bucket"
+            ).sortWithinPartitions("bucket", "term_id", "first_doc")
 
         bc = spark.sparkContext.broadcast(batch)
         kernel = make_batch_kernel(

@@ -1,0 +1,202 @@
+"""Round-2 done-conditions from VERDICT.md:
+
+* warm searcher: repeated batches against a persisted index are rank-identical
+  to the cold path and to the pure-Python oracle (the resident-server analog,
+  reference ``colbert/training/dense_server_client.py:21-66``);
+* manifest/tshard pruning: the cold-path segment scan actually READS a strict
+  subset of the on-disk files for a narrow query (the nprobe-of-nlist analog,
+  reference ``colbert/ranking/colbert_ranker.py:176-210``);
+* ANN recall floor: the IVF path's measured recall@10 against exact kNN stays
+  above a floor, and beats both hyperplane-LSH paths (reference
+  ``faiss_indexers.py:173-174`` nprobe trade);
+* streaming state stays bounded across two triggers: the append-mode
+  watermarked rollup drops closed-window state instead of accumulating it.
+"""
+
+import glob
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from colbert_spark.index.build import build_index
+from colbert_spark.oracle import OracleIndex
+from colbert_spark.query.wand import IndexSearcher
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark, tiny_corpus):
+    return spark.createDataFrame(tiny_corpus).cache()
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_svc"))
+    build_index(spark, corpus_df, d, bucket_size=127)
+    return d
+
+
+@pytest.fixture(scope="module")
+def golden(tiny_corpus, tiny_queries):
+    ordered = tiny_corpus.sort_values("url").reset_index(drop=True)
+    oracle = OracleIndex.build(list(zip(range(len(ordered)), ordered["text"])))
+    return {
+        qid: oracle.topk(q, K)
+        for qid, q in zip(tiny_queries["qid"], tiny_queries["question"])
+    }
+
+
+def _assert_rank_identical(rows, golden):
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append(r)
+    for qid, expected in golden.items():
+        got = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        assert len(got) == len(expected), f"qid={qid}"
+        for (exp_doc, exp_score), row in zip(expected, got):
+            assert row["doc_id"] == exp_doc, f"qid={qid}"
+            assert math.isclose(row["score"], exp_score, rel_tol=1e-9)
+
+
+def test_warm_searcher_repeated_batches(spark, index_dir, tiny_queries, golden):
+    """Two consecutive batches on a warmed searcher both match the oracle —
+    the persisted bucket-partitioned segments serve every batch with zero
+    index exchange, and warming changes no result."""
+    searcher = IndexSearcher(spark, index_dir).warm()
+    try:
+        queries = spark.createDataFrame(tiny_queries)
+        _assert_rank_identical(searcher.search(queries, k=K).collect(), golden)
+        # second batch (subset, different qid mix) against the same warm state
+        sub = spark.createDataFrame(tiny_queries.iloc[10:30])
+        sub_golden = {q: golden[q] for q in tiny_queries["qid"].iloc[10:30]}
+        _assert_rank_identical(searcher.search(sub, k=K).collect(), sub_golden)
+    finally:
+        searcher.close()
+
+
+def test_cold_scan_prunes_files(spark, index_dir):
+    """The cold-path pruned scan reads a strict subset of segment files, and
+    ONLY from tshard directories matching the queried terms."""
+    searcher = IndexSearcher(spark, index_dir)
+    tshards = searcher.stats["tshards"]
+    all_files = glob.glob(
+        os.path.join(index_dir, "segments", "bucket=*", "tshard=*", "*.parquet")
+    )
+    assert len(all_files) > tshards  # multi-bucket layout, else the test is vacuous
+    # one mid-vocabulary term: a 1-term query must touch exactly 1 shard dir
+    tid = int(searcher.stats["n_terms"]) // 2
+    read_files = {
+        r[0]
+        for r in searcher.pruned_scan([tid])
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert read_files, "scan read nothing"
+    assert len(read_files) < len(all_files)
+    want_dir = f"tshard={tid % tshards}"
+    assert all(want_dir in f for f in read_files), read_files
+    # and the one-shard file count is ~1/tshards of the layout
+    assert len(read_files) <= len(all_files) // tshards + 1
+
+
+def test_ann_ivf_recall_floor(spark):
+    """Measured recall@10 of the IVF path ≥ 0.3 on the sf0.001 embeddings
+    (near-random synthetic vectors: top-1 cosine ≈ 0.33, so recall is
+    data-bounded — 0.45 average at a ~24% scan fraction is a ~2× lift over
+    random scanning; on clustered real embeddings the same nprobe/C dial
+    behaves like the reference's faiss IVF), and IVF beats both hyperplane-LSH
+    paths."""
+    from colbert_spark.operators.similarity import ann_recall_eval
+
+    row = (
+        ann_recall_eval(spark, "/root/testdata/sf0.001")
+        .agg(
+            F.avg("recall_ivf_r").alias("ivf"),
+            F.avg("recall_multi_r").alias("multi"),
+            F.avg("recall_single_r").alias("single"),
+        )
+        .collect()[0]
+    )
+    assert row["ivf"] >= 0.3, row
+    assert row["ivf"] > row["multi"] >= row["single"], row
+
+
+def test_streaming_state_bounded_across_triggers(spark, tmp_path):
+    """Append-mode watermarked rollup over two availableNow triggers (second
+    one resumes from the first's checkpoint): the state store holds only
+    OPEN windows after each run — closed-window state is emitted and dropped,
+    never accumulated — and the two runs together emit exactly the closed
+    windows of the full input."""
+    import pandas as pd
+
+    from colbert_spark.streaming.events_stream import EVENTS_SCHEMA
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    events = pd.read_parquet(src).sort_values("ts").reset_index(drop=True)
+    half = len(events) // 2
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    events.iloc[:half].to_parquet(in_dir / "part1.parquet", index=False)
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(str(in_dir))
+            .withWatermark("ts", "1 hour")
+        )
+        agg = stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(F.count("*").alias("n"))
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state_rows = None
+        for p in reversed(q.recentProgress):
+            ops = p.get("stateOperators") or []
+            if ops:
+                state_rows = ops[0]["numRowsTotal"]
+                break
+        return state_rows
+
+    n_types = events["event_type"].nunique()
+    total_windows = events["ts"].dt.floor("h").nunique()
+    assert total_windows > 20  # enough windows that an unbounded store would show
+
+    state1 = run_once()
+    # watermark = max(ts of half 1) − 1h ⇒ open windows ≤ 2 per event type
+    assert state1 is not None and state1 <= 2 * n_types, state1
+
+    events.iloc[half:].to_parquet(in_dir / "part2.parquet", index=False)
+    state2 = run_once()
+    assert state2 is not None and state2 <= 2 * n_types, state2
+
+    # emitted = exactly the closed windows of the FULL input
+    got = (
+        spark.read.schema("w struct<start timestamp, end timestamp>, event_type string, n long")
+        .parquet(out_dir)
+        .select("w.end")
+        .agg(F.count("*"), F.max("end"))
+        .collect()[0]
+    )
+    wm = events["ts"].max() - pd.Timedelta(hours=1)
+    closed = (
+        events.assign(ws=events["ts"].dt.floor("h"))
+        .groupby(["ws", "event_type"])
+        .size()
+        .reset_index()
+    )
+    closed = closed[closed["ws"] + pd.Timedelta(hours=1) <= wm]
+    assert got[0] == len(closed), (got[0], len(closed))
