@@ -41,7 +41,10 @@ spark = get_spark(f"scaling_{cpus}", cpus=cpus, shuffle_partitions=cpus)
 work = tempfile.mkdtemp(prefix=f"scaling_{cpus}_")
 try:
     corpus_path = os.path.join(work, "web_pages")
+    t0 = time.perf_counter()
     write_web_pages(spark, corpus_path, n_docs, partitions=cpus)
+    t_synth = time.perf_counter() - t0
+    print(f"PHASE synth {t_synth:.1f}s", flush=True)
     corpus = spark.read.parquet(corpus_path)
     t0 = time.perf_counter()
     # bucket_size fixed across levels: identical index layout, only
@@ -49,16 +52,19 @@ try:
     build_index(spark, corpus, os.path.join(work, "index"),
                 bucket_size=max(n_docs // 128, 500))
     t_build = time.perf_counter() - t0
+    print(f"PHASE build {t_build:.1f}s", flush=True)
     queries = spark.createDataFrame(synth_queries(n_q))
     t0 = time.perf_counter()
     n = bm25_topk_segments(spark, os.path.join(work, "index"), queries, k=100).count()
     t_query = time.perf_counter() - t0
+    print(f"PHASE query {t_query:.1f}s", flush=True)
     assert n > 0
     print("RESULT " + json.dumps({
         "cpus": cpus, "docs": n_docs, "t_build": round(t_build, 3),
         "docs_per_sec": round(n_docs / t_build, 2),
         "t_query": round(t_query, 3), "qps": round(n_q / t_query, 2),
-    }))
+        "t_synth": round(t_synth, 3),
+    }), flush=True)
 finally:
     shutil.rmtree(work, ignore_errors=True)
 """
@@ -87,9 +93,12 @@ def main() -> int:
     args = ap.parse_args()
 
     runs: dict[int, list[dict]] = {c: [] for c in LEVELS}
-    for _ in range(args.reps):  # interleaved: host-noise drift hits all levels
+    for rep in range(args.reps):  # interleaved: host-noise drift hits all levels
         for c in LEVELS:
-            runs[c].append(run_level(c, args.docs, args.queries))
+            r = run_level(c, args.docs, args.queries)
+            runs[c].append(r)
+            # stream progress: one line per completed level, immediately
+            print(f"LEVEL rep={rep} " + json.dumps(r), flush=True)
     best = {c: max(rs, key=lambda r: r["docs_per_sec"]) for c, rs in runs.items()}
     bestq = {c: max(rs, key=lambda r: r["qps"]) for c, rs in runs.items()}
 

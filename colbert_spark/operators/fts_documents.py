@@ -128,6 +128,91 @@ def fts_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def fts_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (boolean-AND) retrieval ranked by BM25: only documents
+    containing EVERY distinct query term qualify, then BM25 orders the
+    survivors. The classical strict-semantics sibling of `fts_bm25_topk`
+    (whose disjunctive scoring admits partial matches) — same one-shuffle
+    plan, the conjunction is a post-aggregation filter on matched-term count
+    so no extra exchange is added. A query with an out-of-vocabulary term
+    (qid 6) correctly returns nothing."""
+    docs = _docs(spark, sf_dir).cache()
+    row = docs.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
+    n_docs, avgdl = row["n"], row["avgdl"]
+    posts = (
+        docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
+        .groupBy("term", "doc_id", "doclen")
+        .agg(F.count("*").alias("tf"))
+    )
+    tstats = posts.groupBy("term").agg(F.count("*").alias("df"))
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    qt = (
+        queries.select("qid", F.explode(tokens_col("question")).alias("term"))
+        .groupBy("qid", "term")
+        .agg(F.count("*").alias("qtf"))
+    )
+    n_req = qt.groupBy("qid").agg(F.count("*").alias("n_req"))
+    joined = posts.join(F.broadcast(qt.join(tstats, "term")), "term")
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    k1, b = K1_DEFAULT, B_DEFAULT
+    tf = F.col("tf").cast("double")
+    contrib = (
+        F.col("qtf")
+        * idf
+        * tf
+        * (k1 + 1.0)
+        / (tf + k1 * (1.0 - b + b * F.col("doclen") / F.lit(float(avgdl))))
+    )
+    # joined rows are unique per (qid, doc_id, term) ⇒ count(*) is the number
+    # of DISTINCT query terms this doc matched
+    agg = (
+        joined.withColumn("contrib", contrib)
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("contrib").alias("score"), F.count("*").alias("n_matched"))
+        .join(F.broadcast(n_req), "qid")
+        .filter(F.col("n_matched") == F.col("n_req"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
+    )
+
+
+# fixed phrase set for exact-adjacency matching (tokenizer-normal word pairs)
+DOC_PHRASES = [
+    (0, "hash join"),
+    (1, "customer order"),
+    (2, "data stream"),
+    (3, "zzznot here"),
+]
+
+
+def fts_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase (adjacent-bigram) matching: documents where the two words
+    occur consecutively, with the occurrence count. Positional-index semantics
+    expressed WITHOUT positions: the doc's bigram multiset is built inline
+    with the same zip_with slice-chain as the dedup shingles, so the match is
+    a pure JVM expression over one corpus scan — no explode, no shuffle at
+    all until the final order."""
+    from colbert_spark.operators.dedup import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles_col(tokens_col("text"), n=2).alias("bigrams")
+    )
+    phrases = spark.createDataFrame(DOC_PHRASES, "phrase_id long, phrase string")
+    joined = docs.crossJoin(F.broadcast(phrases))
+    n_occ = F.size(F.filter("bigrams", lambda x: x == F.col("phrase")))
+    return (
+        joined.select("phrase_id", "doc_id", n_occ.cast("long").alias("n_occ"))
+        .filter(F.col("n_occ") > 0)
+        .orderBy("phrase_id", "doc_id")
+    )
+
+
 EVAL_DEPTH = 100  # retrieval depth for the metric protocol
 RECALL_CUTS = (10, 50, 100)  # reference: MRR@10 + recall@{50,100}
 # (``proj_utils/dureader_utils.py:51-73``: eval_dureader(topk=10,
@@ -327,6 +412,58 @@ ORACLES["fts_eval_recall"] = f"""
     ORDER BY qid
 """
 
+ORACLES["fts_boolean_and"] = f"""
+    WITH q(qid, question) AS (VALUES {_values_clause()}),
+    tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    qt AS (SELECT qid, unnest({_QTOK}) AS term FROM q),
+    qtf AS (SELECT qid, term, count(*) AS qtf FROM qt GROUP BY qid, term),
+    nreq AS (SELECT qid, count(*) AS n_req FROM qtf GROUP BY qid),
+    scored AS (
+      SELECT qtf.qid::BIGINT AS qid, tf.doc_id,
+             sum(qtf.qtf * ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl))
+             ) AS score,
+             count(*) AS n_matched
+      FROM qtf
+      JOIN df USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY qtf.qid, tf.doc_id),
+    conj AS (
+      SELECT s.qid, s.doc_id, s.score FROM scored s
+      JOIN nreq ON s.qid = nreq.qid AND s.n_matched = nreq.n_req),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM conj)
+    SELECT qid, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+_PHRASE_VALUES = ", ".join(f"({pid}, '{p}')" for pid, p in DOC_PHRASES)
+
+ORACLES["fts_phrase_match"] = f"""
+    WITH p(phrase_id, phrase) AS (VALUES {_PHRASE_VALUES}),
+    toks AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    big AS (
+      SELECT doc_id,
+             CASE WHEN len(tok) >= 2 THEN
+               list_transform(generate_series(1, len(tok) - 1), i -> tok[i] || ' ' || tok[i+1])
+             ELSE [] END AS bigrams
+      FROM toks)
+    SELECT p.phrase_id::BIGINT AS phrase_id, b.doc_id,
+           len(list_filter(b.bigrams, x -> x = p.phrase))::BIGINT AS n_occ
+    FROM big b CROSS JOIN p
+    WHERE len(list_filter(b.bigrams, x -> x = p.phrase)) > 0
+    ORDER BY phrase_id, doc_id
+"""
+
 ORACLES["fts_doclen_percentiles"] = f"""
     WITH dl AS (SELECT len({_TOK}) AS doclen FROM documents)
     SELECT round(quantile_cont(doclen, 0.25), 6) AS p25,
@@ -341,6 +478,8 @@ QUERIES = {
     "fts_collection_stats": fts_collection_stats,
     "fts_term_df": fts_term_df,
     "fts_bm25_topk": fts_bm25_topk,
+    "fts_boolean_and": fts_boolean_and,
+    "fts_phrase_match": fts_phrase_match,
     "fts_topk_docs": fts_topk_docs,
     "fts_eval_recall": fts_eval_recall,
     "fts_doclen_percentiles": fts_doclen_percentiles,

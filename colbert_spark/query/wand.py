@@ -40,7 +40,14 @@ Batch distribution (the 10^12-doc × 10^4-query design):
   * segments are pruned at the source: partition-directory pruning on
     `tshard` (term_id mod `stats["tshards"]` — the analog of the reference's
     nprobe=128-of-2000 IVF list probing) plus parquet row-group pruning on
-    the pushed `term_id` range/in filters;
+    the pushed `term_id` range/in filters. (The manifest's per-bucket
+    (term_lo, term_hi) watermarks cannot prune here BY CONSTRUCTION: buckets
+    are doc-range slices, so every bucket contains nearly the full vocabulary
+    and its term range spans it — which is exactly why the build moved the
+    term dimension INTO the layout as the tshard partition key, making the
+    equivalent pruning a directory listing instead of a manifest lookup;
+    `tests/test_query_service.py::test_cold_scan_prunes_files` asserts the
+    file set actually read);
   * ONE shuffle keyed by `bucket` alone — each matching block's compressed
     bytes cross the exchange exactly once, regardless of how many queries
     share its term (the old per-qid replication was O(#queries × blocks));
@@ -94,7 +101,7 @@ class _TermBlocks:
     (doc-range-disjoint, block_id restarting per split), so they are keyed by
     frame row position, not block_id."""
 
-    __slots__ = ("idf", "unit_max", "firsts", "lasts", "maxs", "rows", "_dec")
+    __slots__ = ("idf", "unit_max", "firsts", "lasts", "maxs", "rows", "_dec", "_full")
 
     def __init__(self, sub: pd.DataFrame, n_docs: int):
         df_t = int(sub["df"].iloc[0])
@@ -109,6 +116,7 @@ class _TermBlocks:
             sub["dl_bytes"].to_numpy(),
         )
         self._dec: dict[int, tuple] = {}
+        self._full: tuple[np.ndarray, np.ndarray] | None = None
 
     def decode(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         dec = self._dec.get(i)
@@ -119,6 +127,20 @@ class _TermBlocks:
             dec = (docs, tfs, dls)
             self._dec[i] = dec
         return dec
+
+    def full(self, k1: float, b: float, avgdl: float) -> tuple[np.ndarray, np.ndarray]:
+        """(all docs ascending, per-posting UNIT scores) for the whole term in
+        this bucket — decoded and scored exactly ONCE no matter how many
+        queries of the batch contain the term. unit = idf·tf·(k1+1)/(tf+K·dl)
+        so a query's contribution is just qtf × unit."""
+        if self._full is None:
+            order = np.argsort(self.firsts, kind="stable")
+            parts = [self.decode(int(i)) for i in order]
+            docs = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            self._full = (docs, _bm25(tfs, dls, self.idf, k1, b, avgdl))
+        return self._full
 
 
 def _score_query_in_bucket(
@@ -188,9 +210,72 @@ def _score_query_in_bucket(
     return cands[sel], scores[sel]
 
 
-def make_batch_kernel(query_batch, k: int, k1: float, b: float, n_docs: int, avgdl: float):
+# Batches at least this large score through the shared dense path. Block-max
+# pruning wins only while θ is selective (few queries, small k): a batch of B
+# queries collectively touches nearly every block of its terms, so per-query
+# pruning re-decodes nothing but still pays its per-block Python bookkeeping
+# B times. The dense path inverts the loop: decode + unit-score each term
+# ONCE per bucket, then each query is ~|terms| numpy scatter-adds. Both paths
+# are exact and accumulate float64 in ascending-term order (oracle-identical).
+DENSE_BATCH_MIN = 4
+
+
+def _score_batch_dense(
+    groups: dict[int, _TermBlocks],
+    batch,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> tuple[list, list, list]:
+    """Shared-decode exhaustive scoring of a whole query batch against one
+    bucket. Docs inside a bucket span a contiguous id range (bucket =
+    doc_id // bucket_size), so per-query accumulation is a dense scatter-add
+    over that span — no sorting, no searchsorted, no per-block loop."""
+    lo = min(int(tb.firsts.min()) for tb in groups.values())
+    hi = max(int(tb.lasts.max()) for tb in groups.values())
+    acc = np.zeros(hi - lo + 1, dtype=np.float64)
+    out_q, out_d, out_s = [], [], []
+    for qid, tids, qtfs in batch:
+        present = [
+            (groups[t], float(qtf)) for t, qtf in zip(tids, qtfs) if t in groups
+        ]
+        if not present:
+            continue
+        acc[:] = 0.0
+        for tb, qtf in present:  # ascending term_id == oracle's order
+            docs, units = tb.full(k1, b, avgdl)
+            acc[docs - lo] += qtf * units
+        nz = np.flatnonzero(acc)
+        if not nz.size:
+            continue
+        sub = acc[nz]
+        top = min(k, nz.size)
+        if nz.size > top:
+            # keep every doc tied with the k-th score, then tie-break exactly
+            kth = np.partition(sub, nz.size - top)[nz.size - top]
+            keep = sub >= kth
+            nz, sub = nz[keep], sub[keep]
+        sel = np.lexsort((nz, -sub))[:top]
+        out_q.append(np.full(len(sel), qid, dtype=np.int64))
+        out_d.append(nz[sel] + lo)
+        out_s.append(sub[sel])
+    return out_q, out_d, out_s
+
+
+def make_batch_kernel(
+    query_batch,
+    k: int,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    dense_min: int = DENSE_BATCH_MIN,
+):
     """Kernel for one complete bucket frame: group blocks by term once, share
     decodes across ALL queries in the batch, emit per-bucket top-k per qid.
+    Small batches go through block-max MaxScore (pruning pays off); batches
+    ≥ `dense_min` through the dense shared-scoring pass (see above).
 
     `query_batch` is a broadcast (or plain) list of (qid, term_ids, qtfs)
     with term_ids ascending."""
@@ -200,20 +285,23 @@ def make_batch_kernel(query_batch, k: int, k1: float, b: float, n_docs: int, avg
         groups: dict[int, _TermBlocks] = {}
         for tid, sub in pdf.groupby("term_id", sort=False):
             groups[int(tid)] = _TermBlocks(sub.sort_values("first_doc"), n_docs)
-        out_q, out_d, out_s = [], [], []
-        for qid, tids, qtfs in batch:
-            terms = [
-                (groups[t], float(qtf))
-                for t, qtf in zip(tids, qtfs)
-                if t in groups
-            ]
-            if not terms:
-                continue
-            docs, scores = _score_query_in_bucket(terms, k, k1, b, avgdl)
-            if len(docs):
-                out_q.append(np.full(len(docs), qid, dtype=np.int64))
-                out_d.append(docs)
-                out_s.append(scores)
+        if len(batch) >= dense_min:
+            out_q, out_d, out_s = _score_batch_dense(groups, batch, k, k1, b, avgdl)
+        else:
+            out_q, out_d, out_s = [], [], []
+            for qid, tids, qtfs in batch:
+                terms = [
+                    (groups[t], float(qtf))
+                    for t, qtf in zip(tids, qtfs)
+                    if t in groups
+                ]
+                if not terms:
+                    continue
+                docs, scores = _score_query_in_bucket(terms, k, k1, b, avgdl)
+                if len(docs):
+                    out_q.append(np.full(len(docs), qid, dtype=np.int64))
+                    out_d.append(docs)
+                    out_s.append(scores)
         if not out_q:
             return _EMPTY
         return pd.DataFrame(
@@ -282,9 +370,13 @@ class IndexSearcher:
             & F.col("term_id").between(min(term_ids), max(term_ids))
         )
 
-    def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
+    def search(
+        self, queries: DataFrame, k: int = 10, dense_min: int = DENSE_BATCH_MIN
+    ) -> DataFrame:
         """queries(qid, question) → (qid, rank, doc_id, score), rank 1..k by
-        (−score, doc_id). Queries whose terms are all absent yield no rows."""
+        (−score, doc_id). Queries whose terms are all absent yield no rows.
+        `dense_min` picks the kernel's batch-vs-pruned crossover (tests force
+        each path with 1/∞)."""
         spark = self.spark
         # ONE job resolves the whole batch: qt ⋈ term_dict as a broadcast
         # join (the vocab-side scan prunes via the join, never collected);
@@ -323,7 +415,13 @@ class IndexSearcher:
 
         bc = spark.sparkContext.broadcast(batch)
         kernel = make_batch_kernel(
-            bc, k, self.stats["k1"], self.stats["b"], self.stats["N"], self.stats["avgdl"]
+            bc,
+            k,
+            self.stats["k1"],
+            self.stats["b"],
+            self.stats["N"],
+            self.stats["avgdl"],
+            dense_min=dense_min,
         )
 
         def stream(batches):

@@ -1,10 +1,22 @@
 """Table loaders.
 
 Production target is Iceberg (`spark.read.table("web_pages")` with manifest
-partition pruning); the sandbox has no Iceberg runtime jar, so every loader
-falls back transparently to parquet with the identical schema. The rest of the
-engine only sees DataFrames, so swapping the catalog in is a one-line change
-here.
+partition pruning); the sandbox has no Iceberg runtime jar and no network, so
+every loader falls back transparently to parquet with the identical schema.
+The rest of the engine only sees DataFrames, so swapping the catalog in is a
+config change, not a code change:
+
+    spark-submit \\
+      --packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.13:1.6.1 \\
+      --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions \\
+      --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \\
+      --conf spark.sql.catalog.lake.type=hadoop \\
+      --conf spark.sql.catalog.lake.warehouse=/path/warehouse \\
+      main.py index --input lake.db.web_pages --output /path/index
+
+With the catalog present, `load_web_pages("lake.db.web_pages")` resolves via
+`read.table` and Iceberg's manifest min/max stats prune data files under the
+same pushed filters the parquet fallback uses today.
 """
 
 from __future__ import annotations

@@ -77,6 +77,18 @@ def test_warm_searcher_repeated_batches(spark, index_dir, tiny_queries, golden):
         searcher.close()
 
 
+def test_dense_and_pruned_paths_agree(spark, index_dir, tiny_queries, golden):
+    """The two kernel strategies — block-max MaxScore (small batches) and
+    dense shared-scoring (large batches) — are BOTH rank- and score-identical
+    to the oracle on the same 50-query batch. `dense_min` forces each path."""
+    searcher = IndexSearcher(spark, index_dir)
+    queries = spark.createDataFrame(tiny_queries)
+    dense = searcher.search(queries, k=K, dense_min=1).collect()
+    pruned = searcher.search(queries, k=K, dense_min=10**9).collect()
+    _assert_rank_identical(dense, golden)
+    _assert_rank_identical(pruned, golden)
+
+
 def test_cold_scan_prunes_files(spark, index_dir):
     """The cold-path pruned scan reads a strict subset of segment files, and
     ONLY from tshard directories matching the queried terms."""

@@ -25,10 +25,11 @@ def corpus_df(spark, tiny_corpus):
 
 
 def _seg_mtimes(index_dir):
-    return {
-        f: os.path.getmtime(f)
-        for f in glob.glob(os.path.join(index_dir, "segments", "bucket=*", "*.parquet"))
-    }
+    files = glob.glob(
+        os.path.join(index_dir, "segments", "bucket=*", "tshard=*", "*.parquet")
+    )
+    assert files, "no segment files found — layout glob is stale"
+    return {f: os.path.getmtime(f) for f in files}
 
 
 def test_resume_recomputes_only_missing_buckets(spark, corpus_df, tiny_queries, tmp_path):
