@@ -51,6 +51,19 @@ def _cmd_index(args) -> int:
     return 0
 
 
+def _cmd_append(args) -> int:
+    from colbert_spark.index.build import append_index
+    from colbert_spark.session import get_spark
+
+    spark = get_spark("colbert-append")
+    new_pages = spark.read.parquet(args.input)
+    stats = append_index(
+        spark, new_pages, args.index, use_html=args.use_html
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def _cmd_query(args) -> int:
     from colbert_spark.query.wand import bm25_topk_segments
     from colbert_spark.session import get_spark
@@ -87,6 +100,12 @@ def main(argv: list[str] | None = None) -> int:
     ip.add_argument("--use-html", action="store_true", help="extract text from the html column")
     ip.add_argument("--no-resume", action="store_true", help="ignore the manifest and rebuild")
     ip.set_defaults(fn=_cmd_index)
+
+    ap = sub.add_parser("append", help="incrementally add new documents to an index")
+    ap.add_argument("--input", required=True, help="parquet web_pages path of NEW docs")
+    ap.add_argument("--index", required=True, help="existing index directory")
+    ap.add_argument("--use-html", action="store_true")
+    ap.set_defaults(fn=_cmd_append)
 
     qp = sub.add_parser("query", help="BM25 top-k over a built index")
     qp.add_argument("--index", required=True)

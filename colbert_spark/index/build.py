@@ -59,9 +59,15 @@ DEFAULT_TSHARDS = 8  # term shards per bucket: segments are laid out as
 
 SEGMENT_SCHEMA = (
     "term_id long, bucket long, tshard int, block_id int, first_doc long, "
-    "last_doc long, n int, df long, doc_bytes binary, tf_bytes binary, "
-    "dl_bytes binary, max_score double"
+    "last_doc long, n int, doc_bytes binary, tf_bytes binary, "
+    "dl_bytes binary, max_unit double"
 )
+# Block metadata is IDF-FREE (format v2): max_unit is the block's max
+# tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl)) — the BM25 term contribution for
+# qtf=idf=1. The query kernel multiplies in idf resolved from the CURRENT
+# term_dict, so appending documents (which changes N and df, hence every
+# idf) never invalidates stored blocks, and neither df nor idf ships
+# through the build shuffle or sits in 10^7s of block rows.
 # what the encode job RETURNS to Spark (the block payloads are written to
 # parquet inside the task and never re-cross the Python↔JVM boundary)
 SUMMARY_SCHEMA = (
@@ -201,10 +207,8 @@ def _encode_arrays(
     raw_terms: np.ndarray,
     raw_buckets: np.ndarray,
     raw_dls: np.ndarray,
-    raw_dfs: np.ndarray,
     k1: float,
     b: float,
-    n_docs: int,
     avgdl: float,
     tshards: int = DEFAULT_TSHARDS,
 ) -> pd.DataFrame:
@@ -232,9 +236,8 @@ def _encode_arrays(
     terms = raw_terms[starts]
     buckets = raw_buckets[starts]
     dls = raw_dls[starts]
-    dfs = raw_dfs[starts]
-    idf = np.log(1.0 + (n_docs - dfs + 0.5) / (dfs + 0.5))
-    scores = idf * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+    # idf-free unit contribution (format v2, see SEGMENT_SCHEMA note)
+    scores = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
     # group boundaries: change of (term, bucket) over the collapsed postings
     n_post = len(terms)
     change = np.empty(n_post, dtype=bool)
@@ -276,11 +279,10 @@ def _encode_arrays(
             "first_doc": doc_ids[block_starts],
             "last_doc": doc_ids[block_ends - 1],
             "n": ns,
-            "df": dfs[block_starts],
             "doc_bytes": _sliced(deltas),
             "tf_bytes": _sliced(tfs),
             "dl_bytes": _sliced(dls),
-            "max_score": max_scores,
+            "max_unit": max_scores,
         }
     )
 
@@ -300,17 +302,16 @@ def _seg_file_schema():
                 ("first_doc", pa.int64()),
                 ("last_doc", pa.int64()),
                 ("n", pa.int32()),
-                ("df", pa.int64()),
                 ("doc_bytes", pa.binary()),
                 ("tf_bytes", pa.binary()),
                 ("dl_bytes", pa.binary()),
-                ("max_score", pa.float64()),
+                ("max_unit", pa.float64()),
             ]
         )
     return _SEG_FILE_SCHEMA
 
 
-def _write_segment_files(out: pd.DataFrame, seg_dir: str) -> None:
+def _write_segment_files(out: pd.DataFrame, seg_dir: str, epoch: int = 0) -> None:
     """TASK-LOCAL segment sink: each encode task writes its own
     `bucket=<b>/tshard=<t>/p<partition>.parquet` files with pyarrow and
     commits them by atomic rename — the driver never serializes a commit.
@@ -339,8 +340,12 @@ def _write_segment_files(out: pd.DataFrame, seg_dir: str) -> None:
     for (bkt, tsh), g in out.groupby(["bucket", "tshard"], sort=False):
         d = os.path.join(seg_dir, f"bucket={int(bkt)}", f"tshard={int(tsh)}")
         os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f".p{pid:06d}.{os.getpid()}.tmp")
-        final = os.path.join(d, f"p{pid:06d}.parquet")
+        # epoch in the filename: an append build (epoch ≥ 1) adds files next
+        # to the base build's without colliding partition ids; blocks from
+        # different epochs in one (bucket, tshard) are doc-range-disjoint,
+        # which is already the reader's sub-split merge contract
+        tmp = os.path.join(d, f".p{pid:06d}.e{epoch}.{os.getpid()}.tmp")
+        final = os.path.join(d, f"p{pid:06d}.e{epoch}.parquet")
         tbl = pa.Table.from_pandas(
             g.drop(columns=["bucket", "tshard"]), preserve_index=False
         ).cast(schema)
@@ -351,11 +356,11 @@ def _write_segment_files(out: pd.DataFrame, seg_dir: str) -> None:
 def _encode_partition(
     k1: float,
     b: float,
-    n_docs: int,
     avgdl: float,
     tshards: int = DEFAULT_TSHARDS,
     seg_dir: str | None = None,
     bucket_size: int | None = None,
+    epoch: int = 0,
 ):
     """mapInPandas kernel over bucket-keyed partitions of UNSORTED raw tokens.
 
@@ -375,7 +380,7 @@ def _encode_partition(
     """
 
     def fn(batches):
-        docs_l, terms_l, buckets_l, dls_l, dfs_l = [], [], [], [], []
+        docs_l, terms_l, buckets_l, dls_l = [], [], [], []
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -384,7 +389,6 @@ def _encode_partition(
             if bucket_size is None:
                 buckets_l.append(pdf["bucket"].to_numpy(np.int64))
             dls_l.append(pdf["doclen"].to_numpy(np.int64))
-            dfs_l.append(pdf["df"].to_numpy(np.int64))
         if not docs_l:
             return
         docs = np.concatenate(docs_l)
@@ -396,13 +400,12 @@ def _encode_partition(
             docs // bucket_size if bucket_size is not None else np.concatenate(buckets_l)
         )
         dls = np.concatenate(dls_l)
-        dfs = np.concatenate(dfs_l)
         # sort includes the term shard so the emitted rows arrive at the
         # dynamic-partition writer already grouped by (bucket, tshard)
         order = np.lexsort((docs, terms, terms % tshards, buckets))
         out = _encode_arrays(
-            docs[order], terms[order], buckets[order], dls[order], dfs[order],
-            k1, b, n_docs, avgdl, tshards,
+            docs[order], terms[order], buckets[order], dls[order],
+            k1, b, avgdl, tshards,
         )
         if not len(out):
             return
@@ -410,7 +413,7 @@ def _encode_partition(
             # no sink (unit tests / ad-hoc use): yield the raw block rows
             yield out
             return
-        _write_segment_files(out, seg_dir)
+        _write_segment_files(out, seg_dir, epoch)
         yield (
             out.groupby("bucket")
             .agg(
@@ -517,11 +520,15 @@ def build_index(
     stats = {
         "N": n_docs,
         "avgdl": (row["total_cf"] or 0) / n_docs if n_docs else 0.0,
+        "total_cf": int(row["total_cf"] or 0),
         "n_terms": row["n_terms"],
         "k1": k1,
         "b": b,
         "bucket_size": bucket_size,
         "tshards": tshards,
+        "segver": 2,  # idf-free block metadata (df/idf live in term_dict)
+        "epochs": 1,  # bumped by append_index; epoch tags segment filenames
+        "dict_dir": "term_dict",  # active dictionary (append swaps this)
     }
 
     manifest_path = os.path.join(index_dir, "manifest")
@@ -531,10 +538,11 @@ def build_index(
 
     # plain join: AQE converts it to broadcast while the vocabulary is small
     # and falls back to a skew-split shuffle join at web-scale vocabularies.
-    # The shuffle payload is ONLY (doc_id, doclen, term_id, df): bucket,
-    # tshard and sub travel as hash EXPRESSIONS of the repartition (and are
-    # re-derived inside the kernel), never as row columns.
-    posts = tokens.join(tdict.select("term", "term_id", "df"), "term").drop("term")
+    # The shuffle payload is ONLY (doc_id, doclen, term_id): bucket, tshard
+    # and sub travel as hash EXPRESSIONS of the repartition (and are
+    # re-derived inside the kernel), never as row columns — and df stays in
+    # the dictionary (idf-free block format, see SEGMENT_SCHEMA).
+    posts = tokens.join(tdict.select("term", "term_id"), "term").drop("term")
     if resume and os.path.isdir(manifest_path):
         # anti-join instead of a collected isin literal: at 10^12 docs the
         # manifest holds ~10^7 bucket rows — never driver-materialized; AQE
@@ -586,7 +594,7 @@ def build_index(
     # tiny per-bucket summary rows that become the manifest
     summaries = shuffled.mapInPandas(
         _encode_partition(
-            k1, b, stats["N"], stats["avgdl"], tshards, seg_path, bucket_size
+            k1, b, stats["avgdl"], tshards, seg_path, bucket_size, epoch=0
         ),
         schema=SUMMARY_SCHEMA,
     )
@@ -641,4 +649,193 @@ def build_index(
     tdict.unpersist()
     docs.unpersist()
     stats["phase_secs"] = phases  # build metrics (north_rule lineage+metrics)
+    return stats
+
+
+def append_index(
+    spark: SparkSession,
+    new_pages: DataFrame,
+    index_dir: str,
+    use_html: bool = False,
+    built_at: str = "1970-01-01T00:00:00Z",
+) -> dict:
+    """Incrementally extend an existing index with new documents — the
+    engine capability the idf-free block format (segver 2) exists for.
+
+    What appends and what merges:
+      * new docs take doc_ids after the committed N ⇒ their buckets extend
+        the bucket range; their blocks land NEXT TO existing files under the
+        same layout with an `e<epoch>` filename tag (doc-range-disjoint from
+        every earlier epoch — the reader's existing sub-split merge contract);
+      * the term dictionary is MERGED (df/cf summed; unseen terms get ids
+        after the committed n_terms) and written as an immutable
+        `term_dict_e<epoch>` directory;
+      * stored block metadata needs NO rewrite: blocks carry idf-free unit
+        scores, and the query path resolves idf from the active dictionary,
+        so the N/df shift re-prices every historic posting correctly.
+
+    Atomicity: `stats.json` is the single commit pointer (N, avgdl, n_terms,
+    epochs, active dict_dir) and is written LAST. Every prior step writes
+    deterministic content to deterministic paths (task-local atomic renames;
+    the anti-join that defines "new" reads only the committed doc_id < N
+    prefix), so a crashed append is healed by re-running the same batch:
+    uncommitted files are simply rewritten byte-identically. Re-running a
+    COMMITTED append is a no-op (url anti-join). The manifest may carry
+    duplicate bucket rows after a crash-retry; all consumers read it
+    distinct-by-bucket. Scores after a commit equal a fresh full build to
+    float-summation order (appended vocabulary ids break the lexicographic
+    id order, shifting sums by ≤1 ulp per term).
+    """
+    import json
+    import time
+
+    t_start = time.perf_counter()
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    if stats.get("segver", 1) < 2:
+        raise ValueError("append_index requires a segver>=2 (idf-free) index")
+    bucket_size = stats["bucket_size"]
+    tshards = stats["tshards"]
+    epoch = stats["epochs"]
+    n_committed = stats["N"]
+
+    src = new_pages
+    if use_html:
+        src = src.withColumn("text", html_text_col("html"))
+    committed_urls = (
+        spark.read.parquet(os.path.join(index_dir, "docs"))
+        .filter(F.col("doc_id") < n_committed)  # ignore crashed-append ghosts
+        .select("url")
+    )
+    fresh = src.select("url", "text").join(committed_urls, "url", "left_anti")
+    with_ids = assign_dense_rank(fresh, "url", "doc_id", unique=True)
+    n_new = int(getattr(with_ids, "_dense_rank_total", 0) or 0)
+    if n_new == 0:
+        return stats
+    docs = (
+        with_ids.select(
+            (F.col("doc_id") + F.lit(n_committed)).cast("long").alias("doc_id"),
+            "url",
+            tokens_col("text").alias("terms"),
+        )
+        .withColumn("doclen", F.size("terms"))
+        .persist()
+    )
+    tokens = docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
+    delta = term_stats_from_tokens(tokens).persist()
+
+    # dictionary merge against the ACTIVE (immutable) dictionary
+    old_dict = spark.read.parquet(
+        os.path.join(index_dir, stats.get("dict_dir", "term_dict"))
+    )
+    merged_old = old_dict.join(
+        delta.select("term", F.col("df").alias("ddf"), F.col("cf").alias("dcf")),
+        "term",
+        "left",
+    ).select(
+        "term",
+        (F.col("df") + F.coalesce("ddf", F.lit(0))).cast("long").alias("df"),
+        (F.col("cf") + F.coalesce("dcf", F.lit(0))).cast("long").alias("cf"),
+        "term_id",
+    )
+    new_terms = delta.join(old_dict.select("term"), "term", "left_anti")
+    ranked_new = assign_dense_rank(new_terms, "term", "term_id", unique=True)
+    n_new_terms = int(getattr(ranked_new, "_dense_rank_total", 0) or 0)
+    merged = merged_old.unionByName(
+        ranked_new.select(
+            "term",
+            "df",
+            "cf",
+            (F.col("term_id") + F.lit(stats["n_terms"])).cast("long").alias("term_id"),
+        )
+    )
+    dict_dir = f"term_dict_e{epoch}"
+    merged.write.mode("overwrite").parquet(os.path.join(index_dir, dict_dir))
+    active = spark.read.parquet(os.path.join(index_dir, dict_dir))  # lineage cut
+    delta_cf = int(delta.agg(F.sum("cf")).collect()[0][0] or 0)
+    delta.unpersist()
+
+    # encode the new docs' postings into epoch-tagged segment files (same
+    # salted shuffle + kernel as the base build)
+    posts = tokens.join(active.select("term", "term_id"), "term").drop("term")
+    p_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_buckets = max(1, -(-(n_committed + n_new) // bucket_size))
+    n_sub = max(1, -(-16 * p_shuffle // (n_buckets * tshards)))
+    shuffled = posts.repartition(
+        p_shuffle,
+        F.expr(f"doc_id DIV {bucket_size}"),
+        F.expr(f"term_id % {tshards}"),
+        F.expr(f"((doc_id % {bucket_size}) * {n_sub}) DIV {bucket_size}"),
+    )
+    seg_path = os.path.join(index_dir, "segments")
+    summaries = shuffled.mapInPandas(
+        _encode_partition(
+            stats["k1"], stats["b"], stats["avgdl"], tshards, seg_path,
+            bucket_size, epoch=epoch,
+        ),
+        schema=SUMMARY_SCHEMA,
+    )
+    (
+        summaries.groupBy("bucket")
+        .agg(
+            F.min("term_lo").alias("term_lo"),
+            F.max("term_hi").alias("term_hi"),
+            F.sum("n_blocks").alias("n_blocks"),
+            F.sum("n_postings").alias("n_postings"),
+        )
+        .withColumn("status", F.lit("done"))
+        .withColumn("built_at", F.lit(built_at))
+        .write.mode("append")
+        .parquet(os.path.join(index_dir, "manifest"))
+    )
+
+    # docs delta: deterministic task-local files (idempotent on retry)
+    docs_dir = os.path.join(index_dir, "docs")
+
+    def _docs_writer(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True).sort_values("doc_id")
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        tmp = os.path.join(docs_dir, f".p{pid:06d}.e{epoch}.{os.getpid()}.tmp")
+        final = os.path.join(docs_dir, f"p{pid:06d}.e{epoch}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False).cast(
+                pa.schema(
+                    [("doc_id", pa.int64()), ("url", pa.string()), ("doclen", pa.int32())]
+                )
+            ),
+            tmp,
+        )
+        os.replace(tmp, final)
+        yield pd.DataFrame({"n": [len(pdf)]})
+
+    docs.select("doc_id", "url", "doclen").repartition(
+        p_shuffle, "doc_id"
+    ).mapInPandas(_docs_writer, "n long").count()
+    docs.unpersist()
+
+    # THE commit: one atomic stats.json replace
+    stats.update(
+        {
+            "N": n_committed + n_new,
+            "total_cf": stats.get("total_cf", int(stats["avgdl"] * n_committed))
+            + delta_cf,
+            "n_terms": stats["n_terms"] + n_new_terms,
+            "epochs": epoch + 1,
+            "dict_dir": dict_dir,
+        }
+    )
+    stats["avgdl"] = stats["total_cf"] / stats["N"]
+    stats["append_secs"] = round(time.perf_counter() - t_start, 3)
+    tmp_stats = os.path.join(index_dir, ".stats.json.tmp")
+    with open(tmp_stats, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp_stats, os.path.join(index_dir, "stats.json"))
     return stats

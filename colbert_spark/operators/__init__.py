@@ -9,6 +9,7 @@ which get the driver's weaker rows-only check).
 from __future__ import annotations
 
 from colbert_spark.operators import (
+    curation,
     dedup,
     events,
     fts_documents,
@@ -29,6 +30,7 @@ _MODULES = [
     similarity,
     events,
     multimodal,
+    curation,
     _streaming,
     _delimited,
 ]

@@ -393,6 +393,53 @@ def _neardup_oracle() -> str:
 
 ORACLES["embedding_neardup"] = _neardup_oracle()
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: connected components over the
+    MinHash-LSH candidate pairs → (doc_id, component_id = min doc_id of the
+    component). This is the step that turns pairwise candidates into "keep
+    one per cluster" decisions in a dedup pipeline.
+
+    Iterative min-label propagation: each round is ONE edge⋈label join plus
+    a groupBy-min — the Spark shape of the large-star/small-star connected-
+    components algorithm, converging in O(component diameter) rounds (near-dup
+    graphs are star/clique-like, so 2-4 rounds in practice; the loop bound is
+    a safety net). Convergence is detected with an aggregate-only job (never
+    collects labels); per-round persists truncate recompute lineage. Docs in
+    no candidate pair are singletons and not emitted (pair-table semantics).
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.union(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).persist()
+    labels = (
+        edges.select(F.col("a_id").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .persist()
+    )
+    for _ in range(32):  # safety bound ≥ any plausible diameter
+        msgs = edges.join(
+            labels.withColumnRenamed("id", "a_id"), "a_id"
+        ).select(F.col("b_id").alias("id"), "comp")
+        new_labels = (
+            labels.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).persist()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "old"), "id")
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component_id")
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
@@ -400,4 +447,23 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash32": simhash32,
     "embedding_neardup": embedding_neardup,
+    "dedup_components": dedup_components,
 }
+
+# transitive closure of the (symmetric) LSH candidate edges, as a recursive
+# CTE over the SAME pairs oracle — min reachable id == component id
+ORACLES["dedup_components"] = f"""
+    WITH RECURSIVE pairs AS ({{_PAIRS}}),
+    edges AS (
+      SELECT a_id AS a, b_id AS b FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs),
+    verts AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.id),
+    comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id)
+    SELECT id AS doc_id, component_id::BIGINT AS component_id
+    FROM comp ORDER BY doc_id
+""".replace("{_PAIRS}", ORACLES["minhash_lsh_pairs"].strip())

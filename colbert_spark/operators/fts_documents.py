@@ -273,6 +273,63 @@ def fts_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NDCG_CUT = 10  # nDCG depth (completes the metric protocol: MRR + recall + nDCG)
+
+
+def fts_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded rank-quality evaluation: nDCG@10 over the BM25 top-10.
+
+    Relevance grade rel(q, d) = number of DISTINCT query terms present in d
+    (graded golden — the boolean-AND golden of `fts_eval_recall` is its
+    top grade). DCG = Σ (2^rel − 1)/log2(rank+1); IDCG from the grade-sorted
+    ideal ranking; a query with no graded docs scores 0. Same single-scan
+    shape as the recall eval: one posting build, broadcast query side."""
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    qterms = queries.select(
+        "qid", F.explode(F.array_distinct(tokens_col("question"))).alias("term")
+    )
+    posts = docs.select("doc_id", F.explode("terms").alias("term")).distinct()
+    grades = (
+        posts.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.count("*").alias("rel"))
+    )
+
+    def gain(rel, pos):
+        return (F.pow(F.lit(2.0), rel) - 1.0) / F.log2(pos + F.lit(1.0))
+
+    topk = _fts_bm25_topk(spark, sf_dir, NDCG_CUT)
+    dcg = (
+        topk.join(grades, ["qid", "doc_id"], "left")
+        .withColumn("rel", F.coalesce("rel", F.lit(0)))
+        .groupBy("qid")
+        .agg(F.sum(gain(F.col("rel"), F.col("rank"))).alias("dcg"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("doc_id"))
+    ideal = (
+        grades.withColumn("irank", F.row_number().over(w))
+        .filter(F.col("irank") <= NDCG_CUT)
+        .groupBy("qid")
+        .agg(F.sum(gain(F.col("rel"), F.col("irank"))).alias("idcg"))
+    )
+    return (
+        queries.select("qid")
+        .join(dcg, "qid", "left")
+        .join(ideal, "qid", "left")
+        .select(
+            "qid",
+            F.round(F.coalesce("dcg", F.lit(0.0)), 6).alias("dcg_r"),
+            F.round(F.coalesce("idcg", F.lit(0.0)), 6).alias("idcg_r"),
+            F.round(
+                F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(0.0),
+                6,
+            ).alias("ndcg_r"),
+        )
+        .orderBy("qid")
+    )
+
+
 def fts_doclen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact doclen percentile buckets (reference A4,
     ``colbert_ranker.py:36-41`` stride bucketing): 25/50/75th percentiles as
@@ -412,6 +469,34 @@ ORACLES["fts_eval_recall"] = f"""
     ORDER BY qid
 """
 
+ORACLES["fts_eval_ndcg"] = f"""
+    {_bm25_ctes()},
+    qterms AS (SELECT DISTINCT qid, unnest({_QTOK}) AS term FROM q),
+    posts AS (SELECT DISTINCT doc_id, term FROM tok),
+    grades AS (
+      SELECT qterms.qid, posts.doc_id, count(*) AS rel
+      FROM posts JOIN qterms USING (term)
+      GROUP BY qterms.qid, posts.doc_id),
+    topd AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= {NDCG_CUT}),
+    dcg AS (
+      SELECT t.qid,
+             sum((pow(2.0, coalesce(g.rel, 0)) - 1.0) / log2(t.rank + 1.0)) AS dcg
+      FROM topd t LEFT JOIN grades g ON t.qid = g.qid AND t.doc_id = g.doc_id
+      GROUP BY t.qid),
+    ideal AS (
+      SELECT qid, sum((pow(2.0, rel) - 1.0) / log2(irank + 1.0)) AS idcg
+      FROM (SELECT qid, rel, doc_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS irank
+            FROM grades) r
+      WHERE irank <= {NDCG_CUT} GROUP BY qid)
+    SELECT q.qid::BIGINT AS qid,
+           round(coalesce(d.dcg, 0.0), 6) AS dcg_r,
+           round(coalesce(i.idcg, 0.0), 6) AS idcg_r,
+           round(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg_r
+    FROM q LEFT JOIN dcg d USING (qid) LEFT JOIN ideal i USING (qid)
+    ORDER BY qid
+"""
+
 ORACLES["fts_boolean_and"] = f"""
     WITH q(qid, question) AS (VALUES {_values_clause()}),
     tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
@@ -482,5 +567,6 @@ QUERIES = {
     "fts_phrase_match": fts_phrase_match,
     "fts_topk_docs": fts_topk_docs,
     "fts_eval_recall": fts_eval_recall,
+    "fts_eval_ndcg": fts_eval_ndcg,
     "fts_doclen_percentiles": fts_doclen_percentiles,
 }

@@ -98,17 +98,18 @@ class _TermBlocks:
     """Per-(bucket, term) block metadata + shared lazy decode cache.
 
     Blocks for one (term_id, bucket) may come from several build sub-splits
-    (doc-range-disjoint, block_id restarting per split), so they are keyed by
-    frame row position, not block_id."""
+    or append epochs (doc-range-disjoint, block_id restarting per split), so
+    they are keyed by frame row position, not block_id. `idf` comes from the
+    CURRENT term_dict (stored block metadata is idf-free, format v2), so the
+    same blocks stay exact after `append_index` changes N and df."""
 
     __slots__ = ("idf", "unit_max", "firsts", "lasts", "maxs", "rows", "_dec", "_full")
 
-    def __init__(self, sub: pd.DataFrame, n_docs: int):
-        df_t = int(sub["df"].iloc[0])
-        self.idf = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
+    def __init__(self, sub: pd.DataFrame, idf: float):
+        self.idf = float(idf)
         self.firsts = sub["first_doc"].to_numpy(np.int64)
         self.lasts = sub["last_doc"].to_numpy(np.int64)
-        self.maxs = sub["max_score"].to_numpy(np.float64)
+        self.maxs = sub["max_unit"].to_numpy(np.float64) * self.idf
         self.unit_max = float(self.maxs.max())
         self.rows = (
             sub["doc_bytes"].to_numpy(),
@@ -268,7 +269,6 @@ def make_batch_kernel(
     k: int,
     k1: float,
     b: float,
-    n_docs: int,
     avgdl: float,
     dense_min: int = DENSE_BATCH_MIN,
 ):
@@ -277,14 +277,17 @@ def make_batch_kernel(
     Small batches go through block-max MaxScore (pruning pays off); batches
     ≥ `dense_min` through the dense shared-scoring pass (see above).
 
-    `query_batch` is a broadcast (or plain) list of (qid, term_ids, qtfs)
-    with term_ids ascending."""
+    `query_batch` is a broadcast (or plain) pair (batch, idf_map): batch is a
+    list of (qid, term_ids, qtfs) with term_ids ascending; idf_map maps every
+    referenced term_id to its CURRENT idf (blocks are stored idf-free)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        batch = query_batch.value if hasattr(query_batch, "value") else query_batch
+        payload = query_batch.value if hasattr(query_batch, "value") else query_batch
+        batch, idf_map = payload
         groups: dict[int, _TermBlocks] = {}
         for tid, sub in pdf.groupby("term_id", sort=False):
-            groups[int(tid)] = _TermBlocks(sub.sort_values("first_doc"), n_docs)
+            tid = int(tid)
+            groups[tid] = _TermBlocks(sub.sort_values("first_doc"), idf_map[tid])
         if len(batch) >= dense_min:
             out_q, out_d, out_s = _score_batch_dense(groups, batch, k, k1, b, avgdl)
         else:
@@ -319,7 +322,11 @@ def load_index(spark: SparkSession, index_dir: str):
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     segments = spark.read.parquet(os.path.join(index_dir, "segments"))
-    term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
+    # stats.json is the index's atomic commit pointer: after append_index it
+    # names the active (immutable, epoch-versioned) dictionary directory
+    term_dict = spark.read.parquet(
+        os.path.join(index_dir, stats.get("dict_dir", "term_dict"))
+    )
     return segments, term_dict, stats
 
 
@@ -384,11 +391,20 @@ class IndexSearcher:
         qt = query_terms_df(queries)
         qrows = (
             self.term_dict.join(F.broadcast(qt), "term")
-            .select("qid", "term_id", "qtf")
+            .select("qid", "term_id", "qtf", "df")
             .collect()
         )
         if not qrows:
             return spark.createDataFrame([], TOPK_SCHEMA)
+        n_docs = self.stats["N"]
+        # idf resolved HERE from the current dictionary (blocks store only
+        # idf-free unit scores) — appends that move N/df need no re-encode
+        idf_map = {
+            int(r["term_id"]): float(
+                np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+            )
+            for r in qrows
+        }
         by_qid: dict[int, list[tuple[int, int]]] = {}
         for r in qrows:
             by_qid.setdefault(r["qid"], []).append((r["term_id"], r["qtf"]))
@@ -398,7 +414,7 @@ class IndexSearcher:
             tids = np.array([p[0] for p in pairs], dtype=np.int64)
             qtfs = np.array([p[1] for p in pairs], dtype=np.float64)
             batch.append((qid, tids, qtfs))
-        all_tids = sorted({int(r["term_id"]) for r in qrows})
+        all_tids = sorted(idf_map)
 
         if self._warm is not None:
             # persisted bucket-partitioned sort: filter is narrow, grouping
@@ -413,13 +429,12 @@ class IndexSearcher:
                 p, "bucket"
             ).sortWithinPartitions("bucket", "term_id", "first_doc")
 
-        bc = spark.sparkContext.broadcast(batch)
+        bc = spark.sparkContext.broadcast((batch, idf_map))
         kernel = make_batch_kernel(
             bc,
             k,
             self.stats["k1"],
             self.stats["b"],
-            self.stats["N"],
             self.stats["avgdl"],
             dense_min=dense_min,
         )

@@ -1,0 +1,127 @@
+"""Incremental index extension (`append_index`): an index built in two
+batches must answer queries identically (to float-summation order) to one
+built fresh over the union — the idf-free block format's whole point is that
+the N/df shift from new documents re-prices old blocks without rewriting
+them. Also: committed appends are idempotent, and stats/dict merge exactly.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from colbert_spark.index.build import append_index, build_index
+from colbert_spark.oracle import OracleIndex
+from colbert_spark.query.wand import IndexSearcher
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def split_corpus(tiny_corpus):
+    half = len(tiny_corpus) * 3 // 5
+    return tiny_corpus.iloc[:half], tiny_corpus.iloc[half:]
+
+
+@pytest.fixture(scope="module")
+def appended_dir(spark, split_corpus, tmp_path_factory):
+    base, extra = split_corpus
+    d = str(tmp_path_factory.mktemp("idx_append"))
+    build_index(spark, spark.createDataFrame(base), d, bucket_size=127)
+    append_index(spark, spark.createDataFrame(extra), d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def fresh_dir(spark, tiny_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_fresh"))
+    build_index(spark, spark.createDataFrame(tiny_corpus), d, bucket_size=127)
+    return d
+
+
+def _by_url(spark, index_dir, rows):
+    """qid → [(url, round(score, 9))]: doc_ids are ASSIGNMENT-order (an
+    appended index numbers late arrivals last, a fresh build numbers the
+    whole corpus by url rank), so cross-index comparison goes through url.
+    Rounding to 9 absorbs the ≤1-ulp float shifts from the appended
+    dictionary's different term-id accumulation order."""
+    id2url = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(f"{index_dir}/docs").select("doc_id", "url").collect()
+    }
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append((id2url[r["doc_id"]], round(r["score"], 9)))
+    return by_qid
+
+
+def _compare_modulo_ties(a, f):
+    """Same score multiset per qid; same url wherever the score is unique
+    (exact ties at the top-k boundary may legitimately admit either member,
+    because the deterministic tie-break key — doc_id — differs by design)."""
+    assert a.keys() == f.keys()
+    for qid in a:
+        sa = sorted(s for _, s in a[qid])
+        sf = sorted(s for _, s in f[qid])
+        assert sa == sf, f"qid={qid}: score multisets differ"
+        counts = {}
+        for _, s in a[qid]:
+            counts[s] = counts.get(s, 0) + 1
+        ua = {(u, s) for u, s in a[qid] if counts[s] == 1}
+        uf = {(u, s) for u, s in f[qid] if counts[s] == 1}
+        assert ua == uf, f"qid={qid}: unique-score urls differ"
+
+
+def test_append_stats_match_fresh(spark, appended_dir, fresh_dir):
+    a = json.load(open(os.path.join(appended_dir, "stats.json")))
+    f = json.load(open(os.path.join(fresh_dir, "stats.json")))
+    assert a["N"] == f["N"]
+    assert a["n_terms"] == f["n_terms"]
+    assert a["total_cf"] == f["total_cf"]
+    assert abs(a["avgdl"] - f["avgdl"]) < 1e-9
+    assert a["epochs"] == 2 and a["dict_dir"] == "term_dict_e1"
+
+
+def test_append_dict_merges_exactly(spark, appended_dir, fresh_dir):
+    """df/cf per term identical to the fresh build's dictionary (term_ids
+    differ for late-arriving vocabulary — ids are assignment order)."""
+    a = spark.read.parquet(os.path.join(appended_dir, "term_dict_e1"))
+    f = spark.read.parquet(os.path.join(fresh_dir, "term_dict"))
+    diff = (
+        a.select("term", "df", "cf")
+        .exceptAll(f.select("term", "df", "cf"))
+        .count()
+    )
+    assert diff == 0
+    assert a.count() == f.count()
+
+
+def test_append_rank_identity_vs_fresh_and_oracle(
+    spark, appended_dir, fresh_dir, tiny_corpus, tiny_queries
+):
+    queries = spark.createDataFrame(tiny_queries)
+    got_a = _by_url(
+        spark, appended_dir, IndexSearcher(spark, appended_dir).search(queries, k=K).collect()
+    )
+    got_f = _by_url(
+        spark, fresh_dir, IndexSearcher(spark, fresh_dir).search(queries, k=K).collect()
+    )
+    _compare_modulo_ties(got_a, got_f)
+
+    ordered = tiny_corpus.sort_values("url").reset_index(drop=True)
+    oracle = OracleIndex.build(list(zip(range(len(ordered)), ordered["text"])))
+    golden = {}
+    for qid, q in zip(tiny_queries["qid"], tiny_queries["question"]):
+        golden[qid] = [
+            (ordered["url"].iloc[d], round(s, 9)) for d, s in oracle.topk(q, K)
+        ]
+    golden = {q: v for q, v in golden.items() if v}
+    _compare_modulo_ties(got_a, golden)
+
+
+def test_append_committed_is_noop(spark, appended_dir, split_corpus):
+    _, extra = split_corpus
+    before = json.load(open(os.path.join(appended_dir, "stats.json")))
+    out = append_index(spark, spark.createDataFrame(extra), appended_dir)
+    assert out["N"] == before["N"] and out["epochs"] == before["epochs"]

@@ -7,7 +7,7 @@ import pandas as pd
 
 from colbert_spark.index.build import BLOCK_SIZE, _encode_partition
 from colbert_spark.index.codec import vb_decode
-from colbert_spark.oracle import bm25_idf, bm25_term_score
+from colbert_spark.oracle import bm25_term_score
 
 K1, B, N_DOCS, AVGDL = 0.9, 0.4, 1000, 50.0
 
@@ -19,7 +19,7 @@ def _mk_frame(rows):
 
 
 def _run(rows, batch_size=7):
-    fn = _encode_partition(K1, B, N_DOCS, AVGDL)
+    fn = _encode_partition(K1, B, AVGDL)
     pdf = _mk_frame(rows)
     batches = (pdf.iloc[i : i + batch_size] for i in range(0, len(pdf), batch_size))
     out = list(fn(batches))
@@ -87,7 +87,11 @@ def test_block_size_and_ids():
     assert seg["first_doc"].tolist() == [0, BLOCK_SIZE, 2 * BLOCK_SIZE]
 
 
-def test_max_score_is_true_upper_bound():
+def test_max_unit_is_true_upper_bound():
+    """Stored block metadata is idf-free (format v2): max_unit bounds the
+    UNIT contribution (idf=1) of every posting in the block. Multiplying by
+    any non-negative idf preserves the bound, so the query-time block-max
+    skip stays safe for whatever idf the current term_dict yields."""
     rng = np.random.default_rng(3)
     rows = []
     for _ in range(2000):
@@ -98,9 +102,7 @@ def test_max_score_is_true_upper_bound():
         )
     seg = _run(rows, batch_size=333)
     for r in seg.itertuples():
-        docs = np.cumsum(vb_decode(r.doc_bytes))
         tfs = vb_decode(r.tf_bytes)
         dls = vb_decode(r.dl_bytes)
-        idf = bm25_idf(N_DOCS, r.df)
         for tf, dl in zip(tfs, dls):
-            assert bm25_term_score(int(tf), int(dl), AVGDL, idf) <= r.max_score + 1e-12
+            assert bm25_term_score(int(tf), int(dl), AVGDL, 1.0) <= r.max_unit + 1e-12

@@ -115,22 +115,22 @@ def test_segment_path_empty_query(spark, corpus_df, tmp_path_factory):
 
 
 def test_block_max_is_true_upper_bound(spark, corpus_df, tmp_path_factory, oracle):
-    """No block's stored max_score underestimates any true BM25 contribution
-    of a posting in that block (FIXTURES.md §4 WAND invariant)."""
+    """No block's stored max_unit underestimates any true UNIT (idf=1) BM25
+    contribution of a posting in that block (FIXTURES.md §4 WAND invariant;
+    idf-free format v2 — any idf ≥ 0 scales both sides equally)."""
     index_dir = str(tmp_path_factory.mktemp("idx_ub"))
     build_index(spark, corpus_df, index_dir, bucket_size=127)
     segs = spark.read.parquet(f"{index_dir}/segments")
     import numpy as np
 
     from colbert_spark.index.codec import vb_decode
-    from colbert_spark.oracle import bm25_idf, bm25_term_score
+    from colbert_spark.oracle import bm25_term_score
 
-    sample = segs.orderBy(F.desc("df")).limit(200).collect()
+    sample = segs.orderBy(F.desc("n")).limit(200).collect()
     for row in sample:
         docs = np.cumsum(vb_decode(row["doc_bytes"]))
         tfs = vb_decode(row["tf_bytes"])
         dls = vb_decode(row["dl_bytes"])
-        idf = bm25_idf(oracle.n_docs, row["df"])
         for d, tf, dl in zip(docs, tfs, dls):
-            s = bm25_term_score(int(tf), int(dl), oracle.avgdl, idf)
-            assert s <= row["max_score"] + 1e-12
+            s = bm25_term_score(int(tf), int(dl), oracle.avgdl, 1.0)
+            assert s <= row["max_unit"] + 1e-12
