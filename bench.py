@@ -77,6 +77,19 @@ def main() -> None:
         assert searcher.search(q1k, k=100).count() > 0
         timings["bm25_warm_1000q"] = time.perf_counter() - t0
         extra["bm25_warm_qps_1000q"] = round(1000 / timings["bm25_warm_1000q"], 2)
+
+        # single-query latency distribution on the warm service (BASELINE.md
+        # protocol: median & p95 sec/query, BM25 top-100)
+        lat = []
+        single = synth_queries(20)
+        for i in range(len(single)):
+            one = spark.createDataFrame(single.iloc[i : i + 1])
+            t0 = time.perf_counter()
+            searcher.search(one, k=100).count()
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        extra["bm25_warm_latency_p50"] = round(lat[len(lat) // 2], 3)
+        extra["bm25_warm_latency_p95"] = round(lat[int(len(lat) * 0.95)], 3)
         searcher.close()
 
         for name, fn in [

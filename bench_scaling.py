@@ -90,11 +90,17 @@ def main() -> int:
     ap.add_argument("--queries", type=int, default=200)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default="BENCH/BASELINE.md")
+    ap.add_argument(
+        "--levels",
+        default=",".join(str(c) for c in LEVELS),
+        help="comma-separated local[n] levels; consecutive 4x-apart levels form N->4N pairs",
+    )
     args = ap.parse_args()
+    levels = tuple(int(c) for c in args.levels.split(","))
 
-    runs: dict[int, list[dict]] = {c: [] for c in LEVELS}
+    runs: dict[int, list[dict]] = {c: [] for c in levels}
     for rep in range(args.reps):  # interleaved: host-noise drift hits all levels
-        for c in LEVELS:
+        for c in levels:
             r = run_level(c, args.docs, args.queries)
             runs[c].append(r)
             # stream progress: one line per completed level, immediately
@@ -105,7 +111,7 @@ def main() -> int:
     def eff(n: int, n4: int, field: str, table) -> float:
         return round((table[n4][field] / table[n][field]) / 4, 3)
 
-    pairs = [(2, 8), (8, 32)]
+    pairs = [(a, b) for a, b in zip(levels, levels[1:]) if b == 4 * a]
     build_eff = {f"{n}->{n4}": eff(n, n4, "docs_per_sec", best) for n, n4 in pairs}
     query_eff = {f"{n}->{n4}": eff(n, n4, "qps", bestq) for n, n4 in pairs}
 
@@ -114,8 +120,8 @@ def main() -> int:
         "value": max(build_eff.values()),
         "unit": "ratio",
         "docs": args.docs,
-        "build_docs_per_sec": {c: best[c]["docs_per_sec"] for c in LEVELS},
-        "query_qps": {c: bestq[c]["qps"] for c in LEVELS},
+        "build_docs_per_sec": {c: best[c]["docs_per_sec"] for c in levels},
+        "query_qps": {c: bestq[c]["qps"] for c in levels},
         "build_efficiency": build_eff,
         "query_efficiency": query_eff,
         "target": 0.8,
@@ -126,14 +132,18 @@ def main() -> int:
     rows = "\n".join(
         f"| {c} | {best[c]['t_build']} | {best[c]['docs_per_sec']} "
         f"| {bestq[c]['t_query']} | {bestq[c]['qps']} |"
-        for c in LEVELS
+        for c in levels
+    )
+    eff_rows = "\n".join(
+        f"| {n} → {n4} cores | {build_eff[f'{n}->{n4}']} | {query_eff[f'{n}->{n4}']} |"
+        for n, n4 in pairs
     )
     with open(args.out, "w") as f:
         f.write(f"""# BENCH baseline — two-cluster-size scaling evidence
 
 North rule requires throughput at N and 4N executors with scaling efficiency
-≥ 0.8. Sandbox analog (per driver instruction): the identical job at three
-`local[n]` levels on the same {args.docs}-doc deterministic synthetic corpus,
+≥ 0.8. Sandbox analog (per driver instruction): the identical job at
+`local[n]` levels {levels} on the same {args.docs}-doc deterministic corpus,
 best of {args.reps} interleaved reps per level (the host shows ~2× run-to-run
 noisy-neighbor variance; steal time is visible in `top`).
 
@@ -145,8 +155,7 @@ Scaling efficiency E = (throughput@4N ÷ throughput@N) ÷ 4:
 
 | pair | index build | query batch |
 |---|---|---|
-| 2 → 8 cores | {build_eff['2->8']} | {query_eff['2->8']} |
-| 8 → 32 cores | {build_eff['8->32']} | {query_eff['8->32']} |
+{eff_rows}
 
 ## Why the single-host numbers undershoot a real cluster
 

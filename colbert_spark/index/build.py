@@ -7,10 +7,14 @@ Pipeline (all declarative until the block-encode kernel):
     → deterministic doc_id assignment (distributed dense rank over url —
       slim-key range partition + per-partition row_number + prefix offsets;
       no single-partition window)
-    → exact collection stats (N, avgdl)  [north_star: exact]
-    → term DICTIONARY: exact df/cf per term + dense term_id (rank over term,
-      so id order == lexicographic order — the scorers' float-accumulation
-      order); strings never enter the hot path after this point
+    → exact collection stats (N from the rank offsets, avgdl = Σdoclen/N)
+      [north_star: exact]
+    → term DICTIONARY ids: dense term_id over the DISTINCT terms (id order
+      == lexicographic order — the scorers' float-accumulation order);
+      strings never enter the hot path after this point. Exact df/cf are
+      aggregated AFTER encoding from the kernel's per-term partials — the
+      idf-free block format means nothing needs df before the encode, which
+      deletes the postings-scale countDistinct exchange entirely
     → raw exploded tokens (term_id, doc_id, doclen, df) into ONE shuffle.
       **Salted repartition-by-term**, realized as a shuffle on the doc-bucket
       (bucket = doc_id // bucket_size, sub-split for ≥16 keys/slot): a Zipf
@@ -69,9 +73,13 @@ SEGMENT_SCHEMA = (
 # idf) never invalidates stored blocks, and neither df nor idf ships
 # through the build shuffle or sits in 10^7s of block rows.
 # what the encode job RETURNS to Spark (the block payloads are written to
-# parquet inside the task and never re-cross the Python↔JVM boundary)
+# parquet inside the task and never re-cross the Python↔JVM boundary):
+# kind=0 rows are bucket-grain manifest partials (term watermarks + counts);
+# kind=1 rows are term-grain dictionary partials (n_postings carries the df
+# partial — every posting is one distinct (term, doc) — and cf the Σtf).
 SUMMARY_SCHEMA = (
-    "bucket long, term_lo long, term_hi long, n_blocks long, n_postings long"
+    "kind int, bucket long, term_id long, term_lo long, term_hi long, "
+    "n_blocks long, n_postings long, cf long"
 )
 
 
@@ -260,6 +268,7 @@ def _encode_arrays(
     np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
     deltas[block_starts] = doc_ids[block_starts]
     max_scores = np.maximum.reduceat(scores, block_starts)
+    tf_sums = np.add.reduceat(tfs, block_starts)  # per-block Σtf (cf partial)
 
     def _sliced(vals: np.ndarray) -> list[bytes]:
         buf, sizes = vb_encode_concat(vals)
@@ -283,6 +292,9 @@ def _encode_arrays(
             "tf_bytes": _sliced(tfs),
             "dl_bytes": _sliced(dls),
             "max_unit": max_scores,
+            # dictionary partial, NOT part of the on-disk block format
+            # (dropped by _write_segment_files)
+            "tf_sum": tf_sums,
         }
     )
 
@@ -347,7 +359,7 @@ def _write_segment_files(out: pd.DataFrame, seg_dir: str, epoch: int = 0) -> Non
         tmp = os.path.join(d, f".p{pid:06d}.e{epoch}.{os.getpid()}.tmp")
         final = os.path.join(d, f"p{pid:06d}.e{epoch}.parquet")
         tbl = pa.Table.from_pandas(
-            g.drop(columns=["bucket", "tshard"]), preserve_index=False
+            g.drop(columns=["bucket", "tshard", "tf_sum"]), preserve_index=False
         ).cast(schema)
         pq.write_table(tbl, tmp)
         os.replace(tmp, final)
@@ -414,7 +426,7 @@ def _encode_partition(
             yield out
             return
         _write_segment_files(out, seg_dir, epoch)
-        yield (
+        man = (
             out.groupby("bucket")
             .agg(
                 term_lo=("term_id", "min"),
@@ -424,6 +436,22 @@ def _encode_partition(
             )
             .reset_index()
         )
+        man.insert(0, "kind", 0)
+        tps = (
+            out.groupby("term_id")
+            .agg(n_postings=("n", "sum"), cf=("tf_sum", "sum"))
+            .reset_index()
+        )
+        tps.insert(0, "kind", 1)
+        both = pd.concat([man, tps], ignore_index=True)
+        both["kind"] = both["kind"].astype("int32")
+        for c in ("bucket", "term_id", "term_lo", "term_hi", "n_blocks", "n_postings", "cf"):
+            if c not in both:
+                both[c] = pd.NA
+            both[c] = both[c].astype("Int64")
+        yield both[
+            ["kind", "bucket", "term_id", "term_lo", "term_hi", "n_blocks", "n_postings", "cf"]
+        ]
 
     return fn
 
@@ -484,44 +512,43 @@ def build_index(
     rank_cache = getattr(docs, "_dense_rank_cache", None)
     docs = docs.persist()
 
-    # raw exploded tokens go straight into the ONE postings shuffle; tf is
-    # recovered by run-length counting in the encode kernel (map-side combine
-    # moved into the kernel — saves a whole groupBy exchange of the postings)
-    tokens = docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
-    # term DICTIONARY: exact df/cf + dense term_id (rank over term ⇒ id order
-    # == lexicographic order, preserving the scorers' float-summation order).
-    # Strings never enter the postings shuffle, the sort, or the Python
-    # kernel — fixed-width int64 keys throughout the hot path.
-    # term_stats is persisted FIRST so the heavy countDistinct aggregation
-    # runs exactly once: the rank's range-partition sampling pass computes it
-    # into the cache (transitively filling the docs cache — tokenization also
-    # happens once), and every later consumer reads the cache.
-    tstats = term_stats_from_tokens(tokens).persist()
-    tdict_ranked = assign_dense_rank(tstats, "term", "term_id", unique=True)
-    tdict_cache = getattr(tdict_ranked, "_dense_rank_cache", None)
-    _mark("term_rank")  # the ONE full tokenize+aggregate pass of the build
+    # exact collection stats in ONE cheap cache-filling job: Σdoclen over
+    # docs == Σcf over the vocabulary, so avgdl (which the encode kernel's
+    # unit scores need) never requires a postings-scale aggregation
+    total_cf = int(
+        docs.agg(F.sum("doclen").alias("s")).collect()[0]["s"] or 0
+    )
+    _mark("stats_agg")  # tokenize runs here once, into the docs cache
     if rank_cache is not None:
         # url-rank stage done (docs cache is hot). The checkpoint blocks are
         # reclaimed by the ContextCleaner once unreferenced; unpersist is a
         # best-effort early release.
         rank_cache.unpersist()
-    tdict = tdict_ranked.persist()
-    # materialize tdict BEFORE the concurrent sink jobs below (no cache-fill
-    # race) and, in the same cheap cache-read job, finish the collection
-    # stats: Σcf over the dictionary == Σdoclen over docs, so avgdl needs no
-    # docs-side aggregation job at all (north_star: exact, no approximation).
-    row = tdict.agg(
-        F.count("*").alias("n_terms"), F.sum("cf").alias("total_cf")
-    ).collect()[0]
-    if tdict_cache is not None:
-        tdict_cache.unpersist()
-    tstats.unpersist()
-    _mark("tdict_agg")
+
+    # raw exploded tokens go straight into the ONE postings shuffle; tf is
+    # recovered by run-length counting in the encode kernel (map-side combine
+    # moved into the kernel — saves a whole groupBy exchange of the postings)
+    tokens = docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
+    # term DICTIONARY ids: dense rank over the DISTINCT terms (id order ==
+    # lexicographic order, preserving the scorers' float-summation order).
+    # Map-side partial aggregation collapses the Zipf head before the
+    # exchange, so this shuffle is vocabulary-sized, not postings-sized.
+    # df/cf do NOT need to exist before encoding (idf-free block format):
+    # they fall out of the encode kernel's per-term sidecar partials below —
+    # this deletes what used to be the build's single largest exchange, the
+    # postings-scale exact-countDistinct df aggregation.
+    tdict_ranked = assign_dense_rank(
+        tokens.select("term").distinct(), "term", "term_id", unique=True
+    )
+    tdict_cache = getattr(tdict_ranked, "_dense_rank_cache", None)
+    n_terms = int(getattr(tdict_ranked, "_dense_rank_total", None) or 0)
+    tdict_ids = tdict_ranked.persist()
+    _mark("term_rank")
     stats = {
         "N": n_docs,
-        "avgdl": (row["total_cf"] or 0) / n_docs if n_docs else 0.0,
-        "total_cf": int(row["total_cf"] or 0),
-        "n_terms": row["n_terms"],
+        "avgdl": total_cf / n_docs if n_docs else 0.0,
+        "total_cf": total_cf,
+        "n_terms": n_terms,
         "k1": k1,
         "b": b,
         "bucket_size": bucket_size,
@@ -542,8 +569,9 @@ def build_index(
     # and sub travel as hash EXPRESSIONS of the repartition (and are
     # re-derived inside the kernel), never as row columns — and df stays in
     # the dictionary (idf-free block format, see SEGMENT_SCHEMA).
-    posts = tokens.join(tdict.select("term", "term_id"), "term").drop("term")
-    if resume and os.path.isdir(manifest_path):
+    posts = tokens.join(tdict_ids.select("term", "term_id"), "term").drop("term")
+    resumed = resume and os.path.isdir(manifest_path)
+    if resumed:
         # anti-join instead of a collected isin literal: at 10^12 docs the
         # manifest holds ~10^7 bucket rows — never driver-materialized; AQE
         # broadcasts the slim bucket list while it is small
@@ -599,17 +627,41 @@ def build_index(
         schema=SUMMARY_SCHEMA,
     )
 
-    def _write_segments_and_manifest() -> None:
+    def _write_segments_dict_manifest() -> None:
         t = time.perf_counter()
-        # ONE job: shuffle → encode + task-local segment-file writes →
-        # aggregate the (tiny) sub-split summaries to bucket grain → append
-        # to the manifest. The manifest is the build's METADATA COMMIT: its
-        # file-committer finalization runs only after every encode task of
-        # the same job has durably written its segment files (the
-        # object-store-committer pattern — never driver-materialized, the
-        # 10^12-doc manifest is ~10^7 rows).
+        # ONE encode job: shuffle → encode + task-local segment-file writes →
+        # tiny summary rows. The summaries feed TWO small sinks: the term
+        # dictionary (df/cf aggregated from kind=1 partials — this is what
+        # lets the build skip a postings-scale countDistinct exchange
+        # entirely) and then the manifest (kind=0 partials to bucket grain).
+        # Ordering is the commit protocol: segment files and term_dict are in
+        # place BEFORE the manifest append marks buckets done — a crash
+        # before the append leaves nothing marked, and the deterministic
+        # rerun rewrites identical files.
+        summaries.persist()
+        if resumed:
+            # bucket-resume means this run's summaries cover only the
+            # REBUILT buckets — df/cf for surviving buckets are not in them.
+            # Recovery is the rare path: recount exactly from the corpus.
+            term_dict = (
+                term_stats_from_tokens(tokens)
+                .join(tdict_ids, "term")
+                .select("term", "df", "cf", "term_id")
+            )
+        else:
+            term_dict = (
+                summaries.filter(F.col("kind") == 1)
+                .groupBy("term_id")
+                .agg(F.sum("n_postings").alias("df"), F.sum("cf").alias("cf"))
+                .join(tdict_ids, "term_id")
+                .select("term", "df", "cf", "term_id")
+            )
+        term_dict.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict"))
+        phases["seg_dict_write"] = round(time.perf_counter() - t, 3)
+        t = time.perf_counter()
         (
-            summaries.groupBy("bucket")
+            summaries.filter(F.col("kind") == 0)
+            .groupBy("bucket")
             .agg(
                 F.min("term_lo").alias("term_lo"),
                 F.max("term_hi").alias("term_hi"),
@@ -621,32 +673,31 @@ def build_index(
             .write.mode("append")
             .parquet(manifest_path)
         )
-        phases["seg_write"] = round(time.perf_counter() - t, 3)
+        summaries.unpersist()
+        phases["manifest_commit"] = round(time.perf_counter() - t, 3)
 
     def _write_docs() -> None:
         docs.select("doc_id", "url", "doclen").write.mode("overwrite").parquet(
             os.path.join(index_dir, "docs")
         )
 
-    def _write_tdict() -> None:
-        tdict.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict"))
-
-    # the three sinks are independent — submit them from concurrent driver
-    # threads so the small jobs fill the scheduler gaps of the big one
+    # the two sinks are independent — submit them from concurrent driver
+    # threads so the small docs job fills the scheduler gaps of the big one
     # (driver-side dead time between stages is the scaling killer on short
     # stages; on a real cluster this is the standard multi-job pattern)
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=2) as pool:
         futures = [
-            pool.submit(_write_segments_and_manifest),
+            pool.submit(_write_segments_dict_manifest),
             pool.submit(_write_docs),
-            pool.submit(_write_tdict),
         ]
         for fut in futures:
             fut.result()  # re-raise the first failure
     _mark("sinks")
-    tdict.unpersist()
+    tdict_ids.unpersist()
+    if tdict_cache is not None:
+        tdict_cache.unpersist()
     docs.unpersist()
     stats["phase_secs"] = phases  # build metrics (north_rule lineage+metrics)
     return stats
