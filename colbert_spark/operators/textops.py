@@ -111,6 +111,38 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def quality_buckets_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus curation: assign each document a head/middle/tail
+    bucket by quality score tercile WITHIN its language partition (per-lang
+    thresholds keep low-resource languages from being crowded out by a
+    global cutoff — the reason CCNet buckets per language). Score is the
+    stopword ratio (a fluency proxy on this synthetic corpus); ranking is
+    deterministic via the (score desc, doc_id) NTILE order. At scale this is
+    one shuffle on `lang` and per-partition ranking — no global sort."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    score = F.when(n_tok > 0, F.round(n_stop / n_tok, 6)).otherwise(0.0)
+    w = Window.partitionBy("lang").orderBy(F.desc("q_score"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", score.alias("q_score"))
+        .withColumn("tercile", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "q_score",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("tercile"),
+            ).alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _marker_sql(lang: str) -> str:
     quoted = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
     return f"len(list_filter({_TOK}, t -> t IN ({quoted})))"
@@ -174,9 +206,28 @@ ORACLES["token_count"] = f"""
     FROM t ORDER BY doc_id
 """
 
+ORACLES["quality_buckets_per_lang"] = f"""
+    WITH t AS (SELECT doc_id, lang, {_TOK} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(toks) > 0
+                  THEN round(len(list_filter(toks, t -> t IN {STOPWORDS!r}))
+                             / len(toks)::DOUBLE, 6)
+                  ELSE 0.0 END AS q_score
+      FROM t),
+    ranked AS (
+      SELECT doc_id, lang, q_score,
+             NTILE(3) OVER (PARTITION BY lang ORDER BY q_score DESC, doc_id) AS tercile
+      FROM scored)
+    SELECT doc_id, lang, q_score,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM ranked ORDER BY doc_id
+"""
+
 QUERIES = {
     "text_quality": text_quality,
     "langid_heuristic": langid_heuristic,
     "doc_fingerprint": doc_fingerprint,
     "token_count": token_count,
+    "quality_buckets_per_lang": quality_buckets_per_lang,
 }
