@@ -562,6 +562,11 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f)
+    # immutable per-epoch snapshot (e{k} = state as of epoch k's commit):
+    # the base of the index's time-travel surface (IndexSearcher as_of_epoch)
+    os.makedirs(os.path.join(index_dir, "epoch_stats"), exist_ok=True)
+    with open(os.path.join(index_dir, "epoch_stats", "e0.json"), "w") as f:
+        json.dump(stats, f)
 
     # plain join: AQE converts it to broadcast while the vocabulary is small
     # and falls back to a skew-split shuffle join at web-scale vocabularies.
@@ -885,6 +890,12 @@ def append_index(
     )
     stats["avgdl"] = stats["total_cf"] / stats["N"]
     stats["append_secs"] = round(time.perf_counter() - t_start, 3)
+    # immutable snapshot for time-travel (see build_index's e0 counterpart);
+    # written BEFORE the commit pointer: a crash in between leaves stats.json
+    # unmoved, so the retried append re-runs and rewrites it byte-identically
+    os.makedirs(os.path.join(index_dir, "epoch_stats"), exist_ok=True)
+    with open(os.path.join(index_dir, "epoch_stats", f"e{epoch}.json"), "w") as f:
+        json.dump(stats, f)
     tmp_stats = os.path.join(index_dir, ".stats.json.tmp")
     with open(tmp_stats, "w") as f:
         json.dump(stats, f)

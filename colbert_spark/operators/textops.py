@@ -143,6 +143,58 @@ def quality_buckets_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter features: the fraction of bigram mass
+    held by the single most frequent bigram, and the fraction of trigram
+    mass in trigrams that repeat within the document — the two signals the
+    Gopher quality rules threshold to drop boilerplate/spam pages. Exact,
+    one shuffle keyed (doc_id, gram): n-gram extraction is a JVM
+    `transform(sequence(...))` (no Python), counts are partial-aggregated
+    map-side, and the per-doc reduction is a second small agg on doc_id."""
+
+    def grams(n: int) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        parts = ", ' ', ".join(f"element_at(toks, i + {j})" for j in range(n))
+        return (
+            docs.select("doc_id", tokens_col("text").alias("toks"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)),"
+                        f" i -> concat({parts}))"
+                    )
+                ).alias("gram"),
+            )
+            .groupBy("doc_id", "gram")
+            .count()
+        )
+
+    top_bigram = grams(2).groupBy("doc_id").agg(
+        F.round(F.max("count") / F.sum("count"), 6).alias("frac_top_bigram")
+    )
+    dup_trigram = grams(3).groupBy("doc_id").agg(
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("count") >= 2, F.col("count"))), F.lit(0)
+            )
+            / F.sum("count"),
+            6,
+        ).alias("frac_dup_trigram")
+    )
+    base = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        base.join(top_bigram, "doc_id", "left")
+        .join(dup_trigram, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("frac_top_bigram", F.lit(0.0)).alias("frac_top_bigram"),
+            F.coalesce("frac_dup_trigram", F.lit(0.0)).alias("frac_dup_trigram"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _marker_sql(lang: str) -> str:
     quoted = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
     return f"len(list_filter({_TOK}, t -> t IN ({quoted})))"
@@ -224,10 +276,40 @@ ORACLES["quality_buckets_per_lang"] = f"""
     FROM ranked ORDER BY doc_id
 """
 
+ORACLES["repetition_stats"] = f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM t),
+    bgc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+    bga AS (SELECT doc_id, round(max(c) / sum(c)::DOUBLE, 6) AS frac_top_bigram
+            FROM bgc GROUP BY 1),
+    tg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+      FROM t),
+    tgc AS (SELECT doc_id, gram, count(*) AS c FROM tg GROUP BY 1, 2),
+    tga AS (SELECT doc_id,
+                   round(coalesce(sum(c) FILTER (c >= 2), 0) / sum(c)::DOUBLE, 6)
+                     AS frac_dup_trigram
+            FROM tgc GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(bga.frac_top_bigram, 0.0) AS frac_top_bigram,
+           coalesce(tga.frac_dup_trigram, 0.0) AS frac_dup_trigram
+    FROM documents d
+    LEFT JOIN bga ON d.doc_id = bga.doc_id
+    LEFT JOIN tga ON d.doc_id = tga.doc_id
+    ORDER BY d.doc_id
+"""
+
 QUERIES = {
     "text_quality": text_quality,
     "langid_heuristic": langid_heuristic,
     "doc_fingerprint": doc_fingerprint,
     "token_count": token_count,
     "quality_buckets_per_lang": quality_buckets_per_lang,
+    "repetition_stats": repetition_stats,
 }

@@ -318,10 +318,25 @@ def make_batch_kernel(
     return kernel
 
 
-def load_index(spark: SparkSession, index_dir: str):
-    with open(os.path.join(index_dir, "stats.json")) as f:
+def load_index(spark: SparkSession, index_dir: str, as_of_epoch: int | None = None):
+    """Load the live index, or — with `as_of_epoch=k` — its immutable
+    snapshot as of epoch k's commit (k=0 is the base build, each
+    `append_index` adds one). Time-travel needs NO copied data: every epoch's
+    stats+dictionary are immutable on disk (`epoch_stats/e{k}.json`,
+    `term_dict[_e{k}]`), and because an append's blocks contain ONLY doc_ids
+    ≥ the previously committed N, the doc-range filter `first_doc < N_k`
+    excises later epochs exactly, with no partial blocks. Query-time idf then
+    re-prices the surviving blocks with the snapshot's N/df — the same
+    mechanism that makes appends rewrite-free makes snapshots free."""
+    if as_of_epoch is None:
+        stats_path = os.path.join(index_dir, "stats.json")
+    else:
+        stats_path = os.path.join(index_dir, "epoch_stats", f"e{as_of_epoch}.json")
+    with open(stats_path) as f:
         stats = json.load(f)
     segments = spark.read.parquet(os.path.join(index_dir, "segments"))
+    if as_of_epoch is not None:
+        segments = segments.filter(F.col("first_doc") < stats["N"])
     # stats.json is the index's atomic commit pointer: after append_index it
     # names the active (immutable, epoch-versioned) dictionary directory
     term_dict = spark.read.parquet(
@@ -340,10 +355,20 @@ class IndexSearcher:
     exchange of index data (the reference's resident index server,
     ``dense_server_client.py:21-66``)."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        as_of_epoch: int | None = None,
+    ):
+        """`as_of_epoch=k` opens a read-only time-travel view of the index as
+        of epoch k's commit (see `load_index`): searches return exactly what
+        a searcher on the pre-append index returned, including idf/avgdl."""
         self.spark = spark
         self.index_dir = index_dir
-        self.segments, self.term_dict, self.stats = load_index(spark, index_dir)
+        self.segments, self.term_dict, self.stats = load_index(
+            spark, index_dir, as_of_epoch=as_of_epoch
+        )
         self._warm: DataFrame | None = None
 
     def warm(self) -> "IndexSearcher":
