@@ -77,7 +77,9 @@ def _cmd_query(args) -> int:
     queries = spark.createDataFrame(
         [(i, q) for i, q in enumerate(questions)], "qid long, question string"
     )
-    res = bm25_topk_segments(spark, args.index, queries, k=args.k)
+    res = bm25_topk_segments(
+        spark, args.index, queries, k=args.k, as_of_epoch=args.as_of_epoch
+    )
     for r in res.collect():
         print(json.dumps({"qid": r["qid"], "rank": r["rank"], "doc_id": r["doc_id"], "score": r["score"]}))
     return 0
@@ -111,6 +113,13 @@ def main(argv: list[str] | None = None) -> int:
     qp.add_argument("--index", required=True)
     qp.add_argument("--questions", required=True, help="text file of questions, or - for stdin")
     qp.add_argument("--k", type=int, default=10)
+    qp.add_argument(
+        "--as-of-epoch",
+        type=int,
+        default=None,
+        dest="as_of_epoch",
+        help="query the index's time-travel snapshot of this epoch (0 = base build)",
+    )
     qp.set_defaults(fn=_cmd_query)
 
     args = p.parse_args(argv)

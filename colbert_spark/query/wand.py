@@ -499,8 +499,10 @@ def bm25_topk_segments(
     index_dir: str,
     queries: DataFrame,
     k: int = 10,
+    as_of_epoch: int | None = None,
 ) -> DataFrame:
     """→ (qid, rank, doc_id, score) from the compressed segment index
     (one-shot convenience wrapper; batch services should hold an
-    `IndexSearcher` and call `search` repeatedly)."""
-    return IndexSearcher(spark, index_dir).search(queries, k)
+    `IndexSearcher` and call `search` repeatedly). `as_of_epoch` opens the
+    index's time-travel snapshot of that epoch instead of the live view."""
+    return IndexSearcher(spark, index_dir, as_of_epoch=as_of_epoch).search(queries, k)
