@@ -31,7 +31,7 @@ LEVELS = (2, 8, 32)
 WORKER = r"""
 import json, os, shutil, sys, tempfile, time
 cpus = int(sys.argv[1]); n_docs = int(sys.argv[2]); n_q = int(sys.argv[3])
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", sys.argv[4] if len(sys.argv) > 4 else "8g")
 from colbert_spark.index.build import build_index
 from colbert_spark.query.wand import bm25_topk_segments
 from colbert_spark.session import get_spark
@@ -70,9 +70,9 @@ finally:
 """
 
 
-def run_level(cpus: int, docs: int, queries: int) -> dict:
+def run_level(cpus: int, docs: int, queries: int, mem: str = "8g") -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cpus), str(docs), str(queries)],
+        [sys.executable, "-c", WORKER, str(cpus), str(docs), str(queries), mem],
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -89,6 +89,10 @@ def main() -> int:
     ap.add_argument("--docs", type=int, default=200_000)
     ap.add_argument("--queries", type=int, default=200)
     ap.add_argument("--reps", type=int, default=3)
+    # Pinned identically at every level so memory, like the index layout, is a
+    # controlled variable; raise for big corpora (1M docs needs ~24g: 32
+    # concurrent tasks' hash-agg + bucket encode working sets share one heap).
+    ap.add_argument("--driver-mem", default="8g")
     ap.add_argument("--out", default="BENCH/BASELINE.md")
     ap.add_argument(
         "--levels",
@@ -101,7 +105,7 @@ def main() -> int:
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     for rep in range(args.reps):  # interleaved: host-noise drift hits all levels
         for c in levels:
-            r = run_level(c, args.docs, args.queries)
+            r = run_level(c, args.docs, args.queries, args.driver_mem)
             runs[c].append(r)
             # stream progress: one line per completed level, immediately
             print(f"LEVEL rep={rep} " + json.dumps(r), flush=True)
@@ -117,7 +121,7 @@ def main() -> int:
 
     summary = {
         "metric": "index-build scaling efficiency N->4N cores",
-        "value": max(build_eff.values()),
+        "value": max(build_eff.values()) if build_eff else None,
         "unit": "ratio",
         "docs": args.docs,
         "build_docs_per_sec": {c: best[c]["docs_per_sec"] for c in levels},
