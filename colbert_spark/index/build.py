@@ -24,9 +24,11 @@ Pipeline (all declarative until the block-encode kernel):
       slices).
     → block encode (mapInPandas, numpy): np.lexsort over int64 keys (no JVM
       sort, no sorter spill), run-length tf recovery, blocks of ≤128 postings
-      carrying delta+varbyte docIDs, varbyte tfs, varbyte doclens, and the
-      exact per-block max BM25 contribution (block-max metadata for the
-      WAND/MaxScore query kernel)
+      carrying delta-coded docIDs, tfs and doclens — each block-column packed
+      as varbyte or PForDelta, whichever is smaller (self-describing tagged
+      payloads, format v3; see `index/codec.py`) — and the exact per-block
+      max BM25 contribution (block-max metadata for the WAND/MaxScore query
+      kernel)
     → segment parquet under bucket=<b>/tshard=<t>/ dirs, written TASK-LOCALLY
       by the encode kernel (atomic rename; no driver-serial partitionBy
       commit) + manifest row per bucket (term_id range watermarks,
@@ -49,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from colbert_spark.functions.tokenizer import html_text_col, tokens_col
-from colbert_spark.index.codec import vb_encode_concat
+from colbert_spark.index.codec import encode_block_payloads, vb_encode_concat
 from colbert_spark.oracle import B_DEFAULT, K1_DEFAULT
 
 BLOCK_SIZE = 128
@@ -219,16 +221,23 @@ def _encode_arrays(
     b: float,
     avgdl: float,
     tshards: int = DEFAULT_TSHARDS,
+    prefixed: bool = True,
 ) -> pd.DataFrame:
     """Encode (bucket, term_id, doc_id)-sorted RAW token arrays (one row per
     occurrence) into block rows. tf is recovered by run-length counting the
     sorted (term_id, bucket, doc_id) runs — the map-side-combine work, done
     here instead of a second shuffle. Fully vectorized: run-length collapse,
-    block segmentation, scoring, and the varbyte encode are each ONE numpy
-    pass; per-block payloads are value-aligned slices of the single
-    concatenated encode (LEB128 is self-delimiting). No per-group or
-    per-block Python loop; every column is fixed-width int64/float64 (the
-    term dictionary keeps strings out of the hot path entirely)."""
+    block segmentation, scoring, and the payload encodes are each global
+    numpy passes over the whole batch; per-block payloads are slices of the
+    global buffers. No per-group or per-value Python loop; every column is
+    fixed-width int64/float64 (the term dictionary keeps strings out of the
+    hot path entirely).
+
+    `prefixed=True` (format v3, the default) writes self-describing payloads:
+    1 codec-tag byte + varbyte-or-PForDelta body, smaller one per block per
+    column. `prefixed=False` keeps the legacy v2 raw-varbyte payloads — used
+    by `append_index` when extending an index built before v3 (on-disk blocks
+    of one index must share one payload format)."""
     n_raw = len(raw_docs)
     # run boundaries of identical (term, bucket, doc_id) = one posting
     new_run = np.empty(n_raw, dtype=bool)
@@ -240,10 +249,28 @@ def _encode_arrays(
     )
     starts = np.flatnonzero(new_run)
     tfs = np.diff(np.append(starts, n_raw))
-    doc_ids = raw_docs[starts]
-    terms = raw_terms[starts]
-    buckets = raw_buckets[starts]
-    dls = raw_dls[starts]
+    return _encode_posting_blocks(
+        raw_terms[starts], raw_buckets[starts], raw_docs[starts], tfs,
+        raw_dls[starts], k1, b, avgdl, tshards, prefixed,
+    )
+
+
+def _encode_posting_blocks(
+    terms: np.ndarray,
+    buckets: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    k1: float,
+    b: float,
+    avgdl: float,
+    tshards: int = DEFAULT_TSHARDS,
+    prefixed: bool = True,
+) -> pd.DataFrame:
+    """Block-encode COLLAPSED postings (one row per (term, bucket, doc)),
+    sorted by (bucket, tshard, term, doc). The shared tail of `_encode_arrays`
+    (which collapses raw occurrences first) and of `compact_index` (whose
+    inputs are already collapsed postings decoded from existing blocks)."""
     # idf-free unit contribution (format v2, see SEGMENT_SCHEMA note)
     scores = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
     # group boundaries: change of (term, bucket) over the collapsed postings
@@ -271,6 +298,8 @@ def _encode_arrays(
     tf_sums = np.add.reduceat(tfs, block_starts)  # per-block Σtf (cf partial)
 
     def _sliced(vals: np.ndarray) -> list[bytes]:
+        if prefixed:
+            return encode_block_payloads(vals, block_starts, block_ends)
         buf, sizes = vb_encode_concat(vals)
         offs = np.zeros(n_post + 1, dtype=np.int64)
         np.cumsum(sizes, out=offs[1:])
@@ -373,6 +402,7 @@ def _encode_partition(
     seg_dir: str | None = None,
     bucket_size: int | None = None,
     epoch: int = 0,
+    prefixed: bool = True,
 ):
     """mapInPandas kernel over bucket-keyed partitions of UNSORTED raw tokens.
 
@@ -417,7 +447,7 @@ def _encode_partition(
         order = np.lexsort((docs, terms, terms % tshards, buckets))
         out = _encode_arrays(
             docs[order], terms[order], buckets[order], dls[order],
-            k1, b, avgdl, tshards,
+            k1, b, avgdl, tshards, prefixed=prefixed,
         )
         if not len(out):
             return
@@ -553,9 +583,16 @@ def build_index(
         "b": b,
         "bucket_size": bucket_size,
         "tshards": tshards,
-        "segver": 2,  # idf-free block metadata (df/idf live in term_dict)
+        "segver": 3,  # idf-free blocks + self-describing varbyte/PFor payloads
+        # smallest avgdl any committed block was ENCODED with. Block max_unit
+        # is exact at its encode-time avgdl, and unit scores grow with avgdl
+        # (unit_new/unit_old ≤ avgdl_new/avgdl_old), so the query kernel keeps
+        # its pruning bound SOUND after avgdl-raising appends by inflating
+        # stored maxima by max(1, avgdl_now / min_enc_avgdl).
+        "min_enc_avgdl": total_cf / n_docs if n_docs else 0.0,
         "epochs": 1,  # bumped by append_index; epoch tags segment filenames
         "dict_dir": "term_dict",  # active dictionary (append swaps this)
+        "seg_dir": "segments",  # active segment tree (compact_index swaps it)
     }
 
     manifest_path = os.path.join(index_dir, "manifest")
@@ -823,11 +860,14 @@ def append_index(
         F.expr(f"term_id % {tshards}"),
         F.expr(f"((doc_id % {bucket_size}) * {n_sub}) DIV {bucket_size}"),
     )
-    seg_path = os.path.join(index_dir, "segments")
+    seg_path = os.path.join(index_dir, stats.get("seg_dir", "segments"))
     summaries = shuffled.mapInPandas(
         _encode_partition(
             stats["k1"], stats["b"], stats["avgdl"], tshards, seg_path,
             bucket_size, epoch=epoch,
+            # appended blocks must share the index's payload format: a v2
+            # index keeps raw-varbyte payloads, v3+ the codec-tagged ones
+            prefixed=stats.get("segver", 2) >= 3,
         ),
         schema=SUMMARY_SCHEMA,
     )
@@ -887,6 +927,13 @@ def append_index(
             "epochs": epoch + 1,
             "dict_dir": dict_dir,
         }
+    )
+    # this epoch's blocks were encoded with the PRE-append avgdl (the value
+    # the kernel above was handed); track the minimum encode-time avgdl so
+    # the query kernel can keep its block-max pruning bound sound (see
+    # build_index's min_enc_avgdl note)
+    stats["min_enc_avgdl"] = min(
+        stats.get("min_enc_avgdl", stats["avgdl"]), stats["avgdl"]
     )
     stats["avgdl"] = stats["total_cf"] / stats["N"]
     stats["append_secs"] = round(time.perf_counter() - t_start, 3)

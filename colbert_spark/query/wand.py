@@ -74,7 +74,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from colbert_spark.index.codec import vb_decode
+from colbert_spark.index.codec import decode_block
 from colbert_spark.query.bm25 import query_terms_df
 
 KERNEL_OUT_SCHEMA = "qid long, doc_id long, score double"
@@ -100,16 +100,35 @@ class _TermBlocks:
     Blocks for one (term_id, bucket) may come from several build sub-splits
     or append epochs (doc-range-disjoint, block_id restarting per split), so
     they are keyed by frame row position, not block_id. `idf` comes from the
-    CURRENT term_dict (stored block metadata is idf-free, format v2), so the
-    same blocks stay exact after `append_index` changes N and df."""
+    CURRENT term_dict (stored block metadata is idf-free, format v2+), so the
+    same blocks stay exact after `append_index` changes N and df. `prefixed`
+    selects the payload format: v3+ payloads carry a codec tag byte
+    (varbyte or PForDelta per block); v2 payloads are raw varbyte.
 
-    __slots__ = ("idf", "unit_max", "firsts", "lasts", "maxs", "rows", "_dec", "_full")
+    `max_scale` keeps the pruning bound SOUND across appends: stored
+    max_unit is exact at the block's ENCODE-time avgdl, but unit scores grow
+    with avgdl (unit_new/unit_old ≤ avgdl_new/avgdl_old — add tf ≥ 0 to both
+    sides of the K(dl) ratio), so after an avgdl-raising append the stored
+    maxima are inflated by max(1, avgdl_now / min_enc_avgdl). Exact scoring
+    is untouched; only the upper bounds widen, so pruning stays exact."""
 
-    def __init__(self, sub: pd.DataFrame, idf: float):
+    __slots__ = (
+        "idf", "unit_max", "firsts", "lasts", "maxs", "rows", "_dec", "_full",
+        "prefixed",
+    )
+
+    def __init__(
+        self,
+        sub: pd.DataFrame,
+        idf: float,
+        prefixed: bool = True,
+        max_scale: float = 1.0,
+    ):
         self.idf = float(idf)
+        self.prefixed = prefixed
+        self.maxs = sub["max_unit"].to_numpy(np.float64) * (self.idf * max_scale)
         self.firsts = sub["first_doc"].to_numpy(np.int64)
         self.lasts = sub["last_doc"].to_numpy(np.int64)
-        self.maxs = sub["max_unit"].to_numpy(np.float64) * self.idf
         self.unit_max = float(self.maxs.max())
         self.rows = (
             sub["doc_bytes"].to_numpy(),
@@ -122,9 +141,9 @@ class _TermBlocks:
     def decode(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         dec = self._dec.get(i)
         if dec is None:
-            docs = np.cumsum(vb_decode(self.rows[0][i]))
-            tfs = vb_decode(self.rows[1][i])
-            dls = vb_decode(self.rows[2][i])
+            docs = np.cumsum(decode_block(self.rows[0][i], self.prefixed))
+            tfs = decode_block(self.rows[1][i], self.prefixed)
+            dls = decode_block(self.rows[2][i], self.prefixed)
             dec = (docs, tfs, dls)
             self._dec[i] = dec
         return dec
@@ -271,6 +290,8 @@ def make_batch_kernel(
     b: float,
     avgdl: float,
     dense_min: int = DENSE_BATCH_MIN,
+    prefixed: bool = True,
+    max_scale: float = 1.0,
 ):
     """Kernel for one complete bucket frame: group blocks by term once, share
     decodes across ALL queries in the batch, emit per-bucket top-k per qid.
@@ -287,7 +308,9 @@ def make_batch_kernel(
         groups: dict[int, _TermBlocks] = {}
         for tid, sub in pdf.groupby("term_id", sort=False):
             tid = int(tid)
-            groups[tid] = _TermBlocks(sub.sort_values("first_doc"), idf_map[tid])
+            groups[tid] = _TermBlocks(
+                sub.sort_values("first_doc"), idf_map[tid], prefixed, max_scale
+            )
         if len(batch) >= dense_min:
             out_q, out_d, out_s = _score_batch_dense(groups, batch, k, k1, b, avgdl)
         else:
@@ -334,7 +357,11 @@ def load_index(spark: SparkSession, index_dir: str, as_of_epoch: int | None = No
         stats_path = os.path.join(index_dir, "epoch_stats", f"e{as_of_epoch}.json")
     with open(stats_path) as f:
         stats = json.load(f)
-    segments = spark.read.parquet(os.path.join(index_dir, "segments"))
+    # seg_dir is a stats.json pointer (like dict_dir): compact_index swaps
+    # the whole segment tree atomically by updating it
+    segments = spark.read.parquet(
+        os.path.join(index_dir, stats.get("seg_dir", "segments"))
+    )
     if as_of_epoch is not None:
         segments = segments.filter(F.col("first_doc") < stats["N"])
     # stats.json is the index's atomic commit pointer: after append_index it
@@ -462,6 +489,12 @@ class IndexSearcher:
             self.stats["b"],
             self.stats["avgdl"],
             dense_min=dense_min,
+            prefixed=self.stats.get("segver", 2) >= 3,
+            # soundness across appends: stored block maxima are exact at
+            # their encode-time avgdl; inflate to bound CURRENT unit scores
+            max_scale=max(1.0, self.stats["avgdl"] / enc_avgdl)
+            if (enc_avgdl := self.stats.get("min_enc_avgdl") or self.stats["avgdl"])
+            else 1.0,
         )
 
         def stream(batches):

@@ -125,3 +125,89 @@ def test_append_committed_is_noop(spark, appended_dir, split_corpus):
     before = json.load(open(os.path.join(appended_dir, "stats.json")))
     out = append_index(spark, spark.createDataFrame(extra), appended_dir)
     assert out["N"] == before["N"] and out["epochs"] == before["epochs"]
+
+
+# --- block-max soundness across avgdl-raising appends -----------------------
+#
+# Stored max_unit is exact at a block's ENCODE-time avgdl; unit scores GROW
+# with avgdl, so appending longer documents (avgdl ↑) makes raw stored maxima
+# under-estimate current scores — the MaxScore pruning path would silently
+# drop true top-k docs. The kernel inflates maxima by
+# max(1, avgdl_now / min_enc_avgdl), which is a proven upper bound
+# (unit_new/unit_old ≤ avgdl_new/avgdl_old).
+
+
+def _page(i: int, text: str) -> dict:
+    import pandas as pd
+
+    return {
+        "url": f"https://avgdl.example/{i:03d}",
+        "warc_ts": pd.Timestamp("2024-01-01"),
+        "html": f"<html><body><p>{text}</p></body></html>".encode(),
+        "text": text,
+        "lang": "en",
+    }
+
+
+@pytest.fixture(scope="module")
+def avgdl_shift_dir(spark, tmp_path_factory):
+    """Base build over SHORT docs, append of LONG docs: avgdl rises ~20×."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    words = [f"w{j:02d}" for j in range(30)]
+    base = pd.DataFrame(
+        [_page(i, " ".join(rng.choice(words, 8))) for i in range(40)]
+    )
+    extra = pd.DataFrame(
+        [_page(100 + i, " ".join(rng.choice(words, 200))) for i in range(40)]
+    )
+    d = str(tmp_path_factory.mktemp("idx_avgdl"))
+    build_index(spark, spark.createDataFrame(base), d, bucket_size=16)
+    append_index(spark, spark.createDataFrame(extra), d)
+    return d
+
+
+def test_append_tracks_min_enc_avgdl(avgdl_shift_dir):
+    stats = json.load(open(os.path.join(avgdl_shift_dir, "stats.json")))
+    assert stats["min_enc_avgdl"] < stats["avgdl"]  # avgdl rose across epochs
+
+
+def test_block_max_bound_sound_after_avgdl_raise(spark, avgdl_shift_dir):
+    """Every block's exact unit max at CURRENT avgdl ≤ the inflated bound —
+    and at least one block VIOLATES the raw (un-inflated) stored max, proving
+    the inflation is load-bearing, not vacuous."""
+    from colbert_spark.index.codec import decode_block
+
+    s = IndexSearcher(spark, avgdl_shift_dir)
+    k1, b, avgdl = s.stats["k1"], s.stats["b"], s.stats["avgdl"]
+    scale = max(1.0, avgdl / s.stats["min_enc_avgdl"])
+    raw_violations = 0
+    for r in s.segments.toPandas().itertuples():
+        tfs = decode_block(r.tf_bytes).astype(float)
+        dls = decode_block(r.dl_bytes).astype(float)
+        umax = float((tfs * (k1 + 1) / (tfs + k1 * (1 - b + b * dls / avgdl))).max())
+        assert umax <= r.max_unit * scale + 1e-12
+        if umax > r.max_unit + 1e-12:
+            raw_violations += 1
+    assert raw_violations > 0
+
+
+def test_pruned_equals_dense_after_avgdl_raise(spark, avgdl_shift_dir):
+    """MaxScore (pruned, single-query) must return exactly what the exact
+    dense path returns after the avgdl shift."""
+    import pandas as pd
+
+    qs = pd.DataFrame(
+        {
+            "qid": [0, 1, 2, 3],
+            "question": ["w00 w07", "w13", "w04 w19 w22", "w29 w01 w01"],
+        }
+    )
+    searcher = IndexSearcher(spark, avgdl_shift_dir)
+    queries = spark.createDataFrame(qs)
+    dense = searcher.search(queries, k=5, dense_min=1).collect()
+    pruned = searcher.search(queries, k=5, dense_min=10**9).collect()
+    key = lambda rows: sorted((r["qid"], r["rank"], r["doc_id"], round(r["score"], 10)) for r in rows)  # noqa: E731
+    assert key(dense) == key(pruned)

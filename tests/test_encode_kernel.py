@@ -6,7 +6,7 @@ import numpy as np
 import pandas as pd
 
 from colbert_spark.index.build import BLOCK_SIZE, _encode_partition
-from colbert_spark.index.codec import vb_decode
+from colbert_spark.index.codec import decode_block
 from colbert_spark.oracle import bm25_term_score
 
 K1, B, N_DOCS, AVGDL = 0.9, 0.4, 1000, 50.0
@@ -30,9 +30,9 @@ def _decode_all(seg):
     """→ {(term_id, bucket): [(doc, tf, dl), ...] in doc order}."""
     groups = {}
     for r in seg.sort_values(["term_id", "bucket", "first_doc"]).itertuples():
-        docs = np.cumsum(vb_decode(r.doc_bytes))
-        tfs = vb_decode(r.tf_bytes)
-        dls = vb_decode(r.dl_bytes)
+        docs = np.cumsum(decode_block(r.doc_bytes))
+        tfs = decode_block(r.tf_bytes)
+        dls = decode_block(r.dl_bytes)
         groups.setdefault((r.term_id, r.bucket), []).extend(
             zip(docs.tolist(), tfs.tolist(), dls.tolist())
         )
@@ -49,8 +49,8 @@ def test_single_posting():
     row = seg.iloc[0]
     assert row["first_doc"] == row["last_doc"] == 5
     assert row["n"] == 1
-    assert np.cumsum(vb_decode(row["doc_bytes"])).tolist() == [5]
-    assert vb_decode(row["tf_bytes"]).tolist() == [1]
+    assert np.cumsum(decode_block(row["doc_bytes"])).tolist() == [5]
+    assert decode_block(row["tf_bytes"]).tolist() == [1]
 
 
 def test_tf_run_length_recovery():
@@ -102,7 +102,7 @@ def test_max_unit_is_true_upper_bound():
         )
     seg = _run(rows, batch_size=333)
     for r in seg.itertuples():
-        tfs = vb_decode(r.tf_bytes)
-        dls = vb_decode(r.dl_bytes)
+        tfs = decode_block(r.tf_bytes)
+        dls = decode_block(r.dl_bytes)
         for tf, dl in zip(tfs, dls):
             assert bm25_term_score(int(tf), int(dl), AVGDL, 1.0) <= r.max_unit + 1e-12

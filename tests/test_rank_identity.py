@@ -123,14 +123,14 @@ def test_block_max_is_true_upper_bound(spark, corpus_df, tmp_path_factory, oracl
     segs = spark.read.parquet(f"{index_dir}/segments")
     import numpy as np
 
-    from colbert_spark.index.codec import vb_decode
+    from colbert_spark.index.codec import decode_block
     from colbert_spark.oracle import bm25_term_score
 
     sample = segs.orderBy(F.desc("n")).limit(200).collect()
     for row in sample:
-        docs = np.cumsum(vb_decode(row["doc_bytes"]))
-        tfs = vb_decode(row["tf_bytes"])
-        dls = vb_decode(row["dl_bytes"])
+        docs = np.cumsum(decode_block(row["doc_bytes"]))
+        tfs = decode_block(row["tf_bytes"])
+        dls = decode_block(row["dl_bytes"])
         for d, tf, dl in zip(docs, tfs, dls):
             s = bm25_term_score(int(tf), int(dl), oracle.avgdl, 1.0)
             assert s <= row["max_unit"] + 1e-12
