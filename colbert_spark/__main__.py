@@ -64,6 +64,18 @@ def _cmd_append(args) -> int:
     return 0
 
 
+def _cmd_compact(args) -> int:
+    from colbert_spark.index.compact import compact_index
+    from colbert_spark.session import get_spark
+
+    spark = get_spark("colbert-compact")
+    stats = compact_index(
+        spark, args.index, preserve_epochs=not args.merge_epochs
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def _cmd_query(args) -> int:
     from colbert_spark.query.wand import bm25_topk_segments
     from colbert_spark.session import get_spark
@@ -108,6 +120,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--index", required=True, help="existing index directory")
     ap.add_argument("--use-html", action="store_true")
     ap.set_defaults(fn=_cmd_append)
+
+    cp = sub.add_parser(
+        "compact", help="defragment an index's segment tree (post-append maintenance)"
+    )
+    cp.add_argument("--index", required=True, help="existing index directory")
+    cp.add_argument(
+        "--merge-epochs",
+        action="store_true",
+        help="maximal merge across epochs (drops time-travel snapshots older "
+        "than the latest; upgrades payloads to the tagged v3 codec)",
+    )
+    cp.set_defaults(fn=_cmd_compact)
 
     qp = sub.add_parser("query", help="BM25 top-k over a built index")
     qp.add_argument("--index", required=True)
