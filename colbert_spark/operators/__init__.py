@@ -15,6 +15,7 @@ from colbert_spark.operators import (
     fts_documents,
     multimodal,
     relational,
+    scrub,
     similarity,
     textops,
 )
@@ -31,6 +32,7 @@ _MODULES = [
     events,
     multimodal,
     curation,
+    scrub,
     _streaming,
     _delimited,
 ]
