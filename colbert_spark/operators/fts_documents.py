@@ -128,6 +128,53 @@ def fts_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+SNIPPET_BEFORE = 3  # tokens of left context before the first query-term hit
+SNIPPET_LEN = 8  # snippet window width in tokens
+
+
+def fts_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result snippets: for each BM25 top-k hit, the token window around the
+    EARLIEST occurrence of any query term in the document — the
+    search-result highlighting every user-facing FTS engine ships.
+
+    Plan shape: the top-k table (80 rows) and the per-query term arrays
+    (8 rows) are both broadcast; the document side is one scan and the
+    first-hit position + window slice are pure JVM higher-order array
+    expressions inside whole-stage codegen — no explode, no extra shuffle,
+    no Python. At 100 TB the join prunes the scan to the k·|Q| hit docs
+    via the broadcast hash join before any snippet work happens."""
+    topk = fts_bm25_topk(spark, sf_dir).select("qid", "rank", "doc_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col("text").alias("toks")
+    )
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    qarr = queries.select(
+        "qid", F.array_distinct(tokens_col("question")).alias("qterms")
+    )
+    j = (
+        docs.join(F.broadcast(topk), "doc_id")
+        .join(F.broadcast(qarr), "qid")
+        .withColumn(
+            "first_pos",
+            F.expr(
+                "array_min(filter(transform(qterms, t -> array_position(toks, t)),"
+                " p -> p > 0))"
+            ),
+        )
+    )
+    snippet = F.expr(
+        f"array_join(slice(toks, greatest(first_pos - {SNIPPET_BEFORE}, 1),"
+        f" {SNIPPET_LEN}), ' ')"
+    )
+    return j.select(
+        "qid",
+        "rank",
+        "doc_id",
+        F.col("first_pos").cast("long").alias("first_pos"),
+        snippet.alias("snippet"),
+    ).orderBy("qid", "rank")
+
+
 def fts_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (boolean-AND) retrieval ranked by BM25: only documents
     containing EVERY distinct query term qualify, then BM25 orders the
@@ -435,6 +482,25 @@ ORACLES["fts_topk_docs"] = f"""
     ORDER BY r.qid, r.rank
 """
 
+ORACLES["fts_snippet"] = f"""
+    {_bm25_ctes()},
+    topd AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= {TOPK}),
+    qa AS (SELECT qid, list_distinct({_QTOK}) AS qterms FROM q),
+    dt AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    hit AS (
+      SELECT t.qid::BIGINT AS qid, t.rank::BIGINT AS rank, t.doc_id, dt.toks,
+             list_min(list_filter(
+               list_transform(qa.qterms, x -> list_position(dt.toks, x)),
+               p -> p IS NOT NULL AND p > 0)) AS first_pos
+      FROM topd t JOIN qa USING (qid) JOIN dt USING (doc_id))
+    SELECT qid, rank, doc_id, first_pos::BIGINT AS first_pos,
+           array_to_string(
+             toks[greatest(first_pos - {SNIPPET_BEFORE}, 1)
+                  : greatest(first_pos - {SNIPPET_BEFORE}, 1) + {SNIPPET_LEN - 1}],
+             ' ') AS snippet
+    FROM hit ORDER BY qid, rank
+"""
+
 _RECALL_AGG = ", ".join(
     f"count(*) FILTER (t.rank <= {c}) AS hits_at_{c}" for c in RECALL_CUTS
 )
@@ -566,6 +632,7 @@ QUERIES = {
     "fts_boolean_and": fts_boolean_and,
     "fts_phrase_match": fts_phrase_match,
     "fts_topk_docs": fts_topk_docs,
+    "fts_snippet": fts_snippet,
     "fts_eval_recall": fts_eval_recall,
     "fts_eval_ndcg": fts_eval_ndcg,
     "fts_doclen_percentiles": fts_doclen_percentiles,
