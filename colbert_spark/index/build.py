@@ -51,7 +51,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from colbert_spark.functions.tokenizer import html_text_col, tokens_col
-from colbert_spark.index.codec import encode_block_payloads, vb_encode_concat
+from colbert_spark.index.codec import (
+    encode_block_payloads,
+    vb_encode_concat,
+    vb_encode_payloads,
+)
 from colbert_spark.oracle import B_DEFAULT, K1_DEFAULT
 
 BLOCK_SIZE = 128
@@ -68,6 +72,13 @@ SEGMENT_SCHEMA = (
     "last_doc long, n int, doc_bytes binary, tf_bytes binary, "
     "dl_bytes binary, max_unit double"
 )
+# Positional indexes (`build_index(positions=True)`, stats["positions"])
+# carry one extra nullable column `pos_bytes`: the block's OCCURRENCE-level
+# token positions, delta-coded within each posting (first occurrence raw,
+# 0-based) and varbyte-packed (tagged, format v3). Occurrence runs are split
+# by the decoded tf column (posting i owns the next tf_i deltas). Positions
+# are additive: every non-positional reader ignores the column, and the
+# non-positional build's shuffle/file schema is byte-identical to before.
 # Block metadata is IDF-FREE (format v2): max_unit is the block's max
 # tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl)) — the BM25 term contribution for
 # qtf=idf=1. The query kernel multiplies in idf resolved from the CURRENT
@@ -222,6 +233,7 @@ def _encode_arrays(
     avgdl: float,
     tshards: int = DEFAULT_TSHARDS,
     prefixed: bool = True,
+    raw_pos: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Encode (bucket, term_id, doc_id)-sorted RAW token arrays (one row per
     occurrence) into block rows. tf is recovered by run-length counting the
@@ -237,7 +249,11 @@ def _encode_arrays(
     1 codec-tag byte + varbyte-or-PForDelta body, smaller one per block per
     column. `prefixed=False` keeps the legacy v2 raw-varbyte payloads — used
     by `append_index` when extending an index built before v3 (on-disk blocks
-    of one index must share one payload format)."""
+    of one index must share one payload format).
+
+    `raw_pos` (positional indexes): the token position of every occurrence,
+    ascending within each (term, doc) run — the caller's lexsort includes
+    pos as its innermost key, so the run order IS position order."""
     n_raw = len(raw_docs)
     # run boundaries of identical (term, bucket, doc_id) = one posting
     new_run = np.empty(n_raw, dtype=bool)
@@ -249,9 +265,17 @@ def _encode_arrays(
     )
     starts = np.flatnonzero(new_run)
     tfs = np.diff(np.append(starts, n_raw))
+    pos_arg = None
+    if raw_pos is not None:
+        # delta within each posting run, first occurrence kept raw
+        pos_deltas = np.empty_like(raw_pos)
+        pos_deltas[0] = raw_pos[0]
+        np.subtract(raw_pos[1:], raw_pos[:-1], out=pos_deltas[1:])
+        pos_deltas[starts] = raw_pos[starts]
+        pos_arg = (pos_deltas, starts)
     return _encode_posting_blocks(
         raw_terms[starts], raw_buckets[starts], raw_docs[starts], tfs,
-        raw_dls[starts], k1, b, avgdl, tshards, prefixed,
+        raw_dls[starts], k1, b, avgdl, tshards, prefixed, pos=pos_arg,
     )
 
 
@@ -266,11 +290,19 @@ def _encode_posting_blocks(
     avgdl: float,
     tshards: int = DEFAULT_TSHARDS,
     prefixed: bool = True,
+    pos: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> pd.DataFrame:
     """Block-encode COLLAPSED postings (one row per (term, bucket, doc)),
     sorted by (bucket, tshard, term, doc). The shared tail of `_encode_arrays`
     (which collapses raw occurrences first) and of `compact_index` (whose
-    inputs are already collapsed postings decoded from existing blocks)."""
+    inputs are already collapsed postings decoded from existing blocks).
+
+    `pos` (positional indexes) = (occ_deltas, occ_offsets): the occurrence-
+    level position deltas (already reset per posting) and each posting's
+    first-occurrence index into them; posting i owns occurrences
+    [occ_offsets[i], occ_offsets[i] + tfs[i])."""
+    if pos is not None and not prefixed:
+        raise ValueError("positional blocks require the v3 (tagged) payload format")
     # idf-free unit contribution (format v2, see SEGMENT_SCHEMA note)
     scores = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
     # group boundaries: change of (term, bucket) over the collapsed postings
@@ -308,48 +340,56 @@ def _encode_posting_blocks(
         hi = offs[block_ends]
         return [raw[s:e] for s, e in zip(lo.tolist(), hi.tolist())]
 
-    return pd.DataFrame(
-        {
-            "term_id": terms[block_starts],
-            "bucket": buckets[block_starts],
-            "tshard": (terms[block_starts] % tshards).astype(np.int32),
-            "block_id": block_ids,
-            "first_doc": doc_ids[block_starts],
-            "last_doc": doc_ids[block_ends - 1],
-            "n": ns,
-            "doc_bytes": _sliced(deltas),
-            "tf_bytes": _sliced(tfs),
-            "dl_bytes": _sliced(dls),
-            "max_unit": max_scores,
-            # dictionary partial, NOT part of the on-disk block format
-            # (dropped by _write_segment_files)
-            "tf_sum": tf_sums,
-        }
-    )
+    cols = {
+        "term_id": terms[block_starts],
+        "bucket": buckets[block_starts],
+        "tshard": (terms[block_starts] % tshards).astype(np.int32),
+        "block_id": block_ids,
+        "first_doc": doc_ids[block_starts],
+        "last_doc": doc_ids[block_ends - 1],
+        "n": ns,
+        "doc_bytes": _sliced(deltas),
+        "tf_bytes": _sliced(tfs),
+        "dl_bytes": _sliced(dls),
+        "max_unit": max_scores,
+        # dictionary partial, NOT part of the on-disk block format
+        # (dropped by _write_segment_files)
+        "tf_sum": tf_sums,
+    }
+    if pos is not None:
+        # block boundaries translated from posting space to occurrence space
+        occ_deltas, occ_offsets = pos
+        occ_ext = np.append(occ_offsets, len(occ_deltas))
+        cols["pos_bytes"] = vb_encode_payloads(
+            occ_deltas, occ_ext[block_starts], occ_ext[block_ends]
+        )
+    return pd.DataFrame(cols)
 
 
-_SEG_FILE_SCHEMA = None  # built lazily in executors (pyarrow import cost)
+_SEG_FILE_SCHEMAS: dict[bool, object] = {}  # built lazily in executors
 
 
-def _seg_file_schema():
-    global _SEG_FILE_SCHEMA
+def _seg_file_schema(with_pos: bool = False):
     import pyarrow as pa
 
-    if _SEG_FILE_SCHEMA is None:
-        _SEG_FILE_SCHEMA = pa.schema(
-            [
-                ("term_id", pa.int64()),
-                ("block_id", pa.int32()),
-                ("first_doc", pa.int64()),
-                ("last_doc", pa.int64()),
-                ("n", pa.int32()),
-                ("doc_bytes", pa.binary()),
-                ("tf_bytes", pa.binary()),
-                ("dl_bytes", pa.binary()),
-                ("max_unit", pa.float64()),
-            ]
-        )
-    return _SEG_FILE_SCHEMA
+    schema = _SEG_FILE_SCHEMAS.get(with_pos)
+    if schema is None:
+        fields = [
+            ("term_id", pa.int64()),
+            ("block_id", pa.int32()),
+            ("first_doc", pa.int64()),
+            ("last_doc", pa.int64()),
+            ("n", pa.int32()),
+            ("doc_bytes", pa.binary()),
+            ("tf_bytes", pa.binary()),
+            ("dl_bytes", pa.binary()),
+            ("max_unit", pa.float64()),
+        ]
+        if with_pos:
+            fields.append(("pos_bytes", pa.binary()))
+        schema = pa.schema(fields)
+        _SEG_FILE_SCHEMAS[with_pos] = schema
+    return schema
 
 
 def _write_segment_files(out: pd.DataFrame, seg_dir: str, epoch: int = 0) -> None:
@@ -377,7 +417,7 @@ def _write_segment_files(out: pd.DataFrame, seg_dir: str, epoch: int = 0) -> Non
 
     tc = TaskContext.get()
     pid = tc.partitionId() if tc is not None else 0
-    schema = _seg_file_schema()
+    schema = _seg_file_schema(with_pos="pos_bytes" in out.columns)
     for (bkt, tsh), g in out.groupby(["bucket", "tshard"], sort=False):
         d = os.path.join(seg_dir, f"bucket={int(bkt)}", f"tshard={int(tsh)}")
         os.makedirs(d, exist_ok=True)
@@ -403,6 +443,7 @@ def _encode_partition(
     bucket_size: int | None = None,
     epoch: int = 0,
     prefixed: bool = True,
+    positions: bool = False,
 ):
     """mapInPandas kernel over bucket-keyed partitions of UNSORTED raw tokens.
 
@@ -422,7 +463,7 @@ def _encode_partition(
     """
 
     def fn(batches):
-        docs_l, terms_l, buckets_l, dls_l = [], [], [], []
+        docs_l, terms_l, buckets_l, dls_l, pos_l = [], [], [], [], []
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -431,6 +472,8 @@ def _encode_partition(
             if bucket_size is None:
                 buckets_l.append(pdf["bucket"].to_numpy(np.int64))
             dls_l.append(pdf["doclen"].to_numpy(np.int64))
+            if positions:
+                pos_l.append(pdf["pos"].to_numpy(np.int64))
         if not docs_l:
             return
         docs = np.concatenate(docs_l)
@@ -442,12 +485,19 @@ def _encode_partition(
             docs // bucket_size if bucket_size is not None else np.concatenate(buckets_l)
         )
         dls = np.concatenate(dls_l)
+        raw_pos = np.concatenate(pos_l) if positions else None
         # sort includes the term shard so the emitted rows arrive at the
-        # dynamic-partition writer already grouped by (bucket, tshard)
-        order = np.lexsort((docs, terms, terms % tshards, buckets))
+        # dynamic-partition writer already grouped by (bucket, tshard);
+        # positional builds add pos as the innermost key so each posting's
+        # occurrence run arrives in ascending-position order
+        if positions:
+            order = np.lexsort((raw_pos, docs, terms, terms % tshards, buckets))
+        else:
+            order = np.lexsort((docs, terms, terms % tshards, buckets))
         out = _encode_arrays(
             docs[order], terms[order], buckets[order], dls[order],
             k1, b, avgdl, tshards, prefixed=prefixed,
+            raw_pos=raw_pos[order] if positions else None,
         )
         if not len(out):
             return
@@ -497,6 +547,7 @@ def build_index(
     resume: bool = True,
     built_at: str = "1970-01-01T00:00:00Z",
     tshards: int = DEFAULT_TSHARDS,
+    positions: bool = False,
 ) -> dict:
     """Full (resumable) index build. Layout under `index_dir`:
 
@@ -557,8 +608,15 @@ def build_index(
 
     # raw exploded tokens go straight into the ONE postings shuffle; tf is
     # recovered by run-length counting in the encode kernel (map-side combine
-    # moved into the kernel — saves a whole groupBy exchange of the postings)
-    tokens = docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
+    # moved into the kernel — saves a whole groupBy exchange of the postings).
+    # Positional builds posexplode instead: the occurrence's token position
+    # rides the same shuffle as one extra int column (~8 bytes/posting).
+    if positions:
+        tokens = docs.select(
+            "doc_id", "doclen", F.posexplode("terms").alias("pos", "term")
+        )
+    else:
+        tokens = docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
     # term DICTIONARY ids: dense rank over the DISTINCT terms (id order ==
     # lexicographic order, preserving the scorers' float-summation order).
     # Map-side partial aggregation collapses the Zipf head before the
@@ -584,6 +642,7 @@ def build_index(
         "bucket_size": bucket_size,
         "tshards": tshards,
         "segver": 3,  # idf-free blocks + self-describing varbyte/PFor payloads
+        "positions": positions,  # blocks carry occurrence-position streams
         # smallest avgdl any committed block was ENCODED with. Block max_unit
         # is exact at its encode-time avgdl, and unit scores grow with avgdl
         # (unit_new/unit_old ≤ avgdl_new/avgdl_old), so the query kernel keeps
@@ -664,7 +723,8 @@ def build_index(
     # tiny per-bucket summary rows that become the manifest
     summaries = shuffled.mapInPandas(
         _encode_partition(
-            k1, b, stats["avgdl"], tshards, seg_path, bucket_size, epoch=0
+            k1, b, stats["avgdl"], tshards, seg_path, bucket_size, epoch=0,
+            positions=positions,
         ),
         schema=SUMMARY_SCHEMA,
     )
@@ -814,7 +874,13 @@ def append_index(
         .withColumn("doclen", F.size("terms"))
         .persist()
     )
-    tokens = docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
+    positions = bool(stats.get("positions", False))
+    if positions:
+        tokens = docs.select(
+            "doc_id", "doclen", F.posexplode("terms").alias("pos", "term")
+        )
+    else:
+        tokens = docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
     delta = term_stats_from_tokens(tokens).persist()
 
     # dictionary merge against the ACTIVE (immutable) dictionary
@@ -866,8 +932,10 @@ def append_index(
             stats["k1"], stats["b"], stats["avgdl"], tshards, seg_path,
             bucket_size, epoch=epoch,
             # appended blocks must share the index's payload format: a v2
-            # index keeps raw-varbyte payloads, v3+ the codec-tagged ones
+            # index keeps raw-varbyte payloads, v3+ the codec-tagged ones —
+            # and a positional index's new blocks carry positions too
             prefixed=stats.get("segver", 2) >= 3,
+            positions=positions,
         ),
         schema=SUMMARY_SCHEMA,
     )

@@ -106,6 +106,27 @@ def vb_decode(buf: bytes) -> np.ndarray:
     return out.astype(np.int64)
 
 
+def vb_encode_payloads(
+    values: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> list[bytes]:
+    """Slice one global varbyte encode into per-block TAGGED payloads
+    (1 codec-tag byte + raw LEB128 body), decodable by `decode_block`.
+
+    Used for the OCCURRENCE-level position streams (format v3 positional
+    blocks): a posting block of ≤128 postings can carry any number of
+    occurrences (Σtf is unbounded), which rules out PForDelta's one-byte
+    value count — varbyte has no per-block count to store."""
+    buf, sizes = vb_encode_concat(values)
+    offs = np.zeros(len(values) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    raw = buf.tobytes()
+    tag = bytes([CODEC_VARBYTE])
+    return [
+        tag + raw[int(offs[s]):int(offs[e])]
+        for s, e in zip(np.asarray(starts).tolist(), np.asarray(ends).tolist())
+    ]
+
+
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
     """Strictly-increasing int64 ids → first-order deltas (first kept raw)."""
     a = np.asarray(sorted_ids, dtype=np.int64)

@@ -83,17 +83,35 @@ def _compact_partition(
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True)
+        has_pos = "pos_bytes" in pdf.columns
         # decode all payloads (maintenance path: per-block Python is fine —
         # the hot paths stay vectorized)
-        docs_l, tfs_l, dls_l = [], [], []
-        for db, tb, lb in zip(pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"]):
+        docs_l, tfs_l, dls_l, pos_l = [], [], [], []
+        for i, (db, tb, lb) in enumerate(
+            zip(pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"])
+        ):
             docs_l.append(np.cumsum(decode_block(db, prefixed_in)))
-            tfs_l.append(decode_block(tb, prefixed_in))
+            tf_blk = decode_block(tb, prefixed_in)
+            tfs_l.append(tf_blk)
             dls_l.append(decode_block(lb, prefixed_in))
+            if has_pos:
+                # positions: per-posting-reset deltas → absolute (the block's
+                # tf column delimits each posting's occurrence run)
+                deltas = decode_block(pdf["pos_bytes"].iat[i], prefixed_in)
+                cs = np.cumsum(deltas)
+                offs = np.zeros(len(tf_blk) + 1, dtype=np.int64)
+                np.cumsum(tf_blk, out=offs[1:])
+                starts = offs[:-1]
+                base = cs[starts] - deltas[starts]
+                pos_l.append(cs - np.repeat(base, tf_blk))
         ns = pdf["n"].to_numpy(np.int64)
         docs = np.concatenate(docs_l)
         tfs = np.concatenate(tfs_l)
         dls = np.concatenate(dls_l)
+        if has_pos:
+            abs_pos = np.concatenate(pos_l)
+            occ0 = np.zeros(len(tfs) + 1, dtype=np.int64)
+            np.cumsum(tfs, out=occ0[1:])  # posting → global occurrence start
         terms = np.repeat(pdf["term_id"].to_numpy(np.int64), ns)
         buckets = np.repeat(pdf["bucket"].to_numpy(np.int64), ns)
         if merge_epochs:
@@ -104,13 +122,35 @@ def _compact_partition(
             epochs = np.searchsorted(bnd, docs, side="right")
         outs = []
         for e in np.unique(epochs):
-            m = epochs == e
+            sel = np.flatnonzero(epochs == e)
             avgdl = merged_avgdl if merge_epochs else enc_avgdls[int(e)]
-            td, bd, dd, tf_, dl_ = terms[m], buckets[m], docs[m], tfs[m], dls[m]
+            td, bd, dd = terms[sel], buckets[sel], docs[sel]
             order = np.lexsort((dd, td, td % tshards, bd))
+            sel = sel[order]
+            pos_arg = None
+            if has_pos:
+                # gather this epoch's occurrences in the new posting order,
+                # then re-delta with a reset at each posting start
+                lens = tfs[sel]
+                total = int(lens.sum())
+                new_off = np.zeros(len(sel) + 1, dtype=np.int64)
+                np.cumsum(lens, out=new_off[1:])
+                gidx = (
+                    np.repeat(occ0[sel], lens)
+                    + np.arange(total, dtype=np.int64)
+                    - np.repeat(new_off[:-1], lens)
+                )
+                ps = abs_pos[gidx]
+                deltas = np.empty_like(ps)
+                if total:
+                    deltas[0] = ps[0]
+                    np.subtract(ps[1:], ps[:-1], out=deltas[1:])
+                    pstarts = new_off[:-1]
+                    deltas[pstarts] = ps[pstarts]
+                pos_arg = (deltas, new_off[:-1])
             out = _encode_posting_blocks(
-                td[order], bd[order], dd[order], tf_[order], dl_[order],
-                k1, b, avgdl, tshards, prefixed_out,
+                terms[sel], buckets[sel], docs[sel], tfs[sel], dls[sel],
+                k1, b, avgdl, tshards, prefixed_out, pos=pos_arg,
             )
             _write_segment_files(out, seg_dir, epoch=int(e))
             outs.append(out)

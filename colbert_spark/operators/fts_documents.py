@@ -260,6 +260,51 @@ def fts_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fts_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same phrase matches as `fts_phrase_match`, but INDEX-BACKED: build
+    a positional segment index over the documents table and answer the
+    phrases from posting positions (`query/phrase.py`) instead of a corpus
+    scan. Sharing `fts_phrase_match`'s DuckDB oracle makes the driver's
+    value-hash compare a cross-engine proof that the positional index
+    round-trips occurrence positions exactly.
+
+    The url key is the zero-padded doc_id, so the index's dense url-rank
+    doc_ids map back to table doc_ids through the index's own docs sink
+    (never assumed contiguous)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from colbert_spark.index.build import build_index
+    from colbert_spark.query.phrase import phrase_match_segments
+
+    pages = load_table(spark, sf_dir, "documents").select(
+        F.format_string("%012d", F.col("doc_id")).alias("url"), "text"
+    )
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "colbert_spark_phrase_idx_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(spark, pages, idx, bucket_size=1000, positions=True)
+    phrases = spark.createDataFrame(DOC_PHRASES, "phrase_id long, phrase string")
+    hits = phrase_match_segments(spark, idx, phrases)
+    back = spark.read.parquet(os.path.join(idx, "docs")).select(
+        F.col("doc_id").alias("idx_doc"), F.col("url").cast("long").alias("table_doc")
+    )
+    return (
+        hits.join(back, hits.doc_id == back.idx_doc)
+        .select(
+            "phrase_id",
+            F.col("table_doc").alias("doc_id"),
+            F.col("n_occ").cast("long").alias("n_occ"),
+        )
+        .orderBy("phrase_id", "doc_id")
+    )
+
+
 EVAL_DEPTH = 100  # retrieval depth for the metric protocol
 RECALL_CUTS = (10, 50, 100)  # reference: MRR@10 + recall@{50,100}
 # (``proj_utils/dureader_utils.py:51-73``: eval_dureader(topk=10,
@@ -615,6 +660,10 @@ ORACLES["fts_phrase_match"] = f"""
     ORDER BY phrase_id, doc_id
 """
 
+# the index path must reproduce the corpus-scan phrase results exactly —
+# one oracle, two engines-under-test
+ORACLES["fts_phrase_index"] = ORACLES["fts_phrase_match"]
+
 ORACLES["fts_doclen_percentiles"] = f"""
     WITH dl AS (SELECT len({_TOK}) AS doclen FROM documents)
     SELECT round(quantile_cont(doclen, 0.25), 6) AS p25,
@@ -631,6 +680,7 @@ QUERIES = {
     "fts_bm25_topk": fts_bm25_topk,
     "fts_boolean_and": fts_boolean_and,
     "fts_phrase_match": fts_phrase_match,
+    "fts_phrase_index": fts_phrase_index,
     "fts_topk_docs": fts_topk_docs,
     "fts_snippet": fts_snippet,
     "fts_eval_recall": fts_eval_recall,

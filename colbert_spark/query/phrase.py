@@ -1,0 +1,198 @@
+"""Index-backed exact-phrase retrieval over positional segments.
+
+`fts_phrase_match` (operators/fts_documents.py) expresses phrase semantics
+as a full corpus scan — fine as an oracle, wrong at 10^12 docs, where a
+phrase query must touch only the phrase terms' posting lists. This module
+is the index path: blocks built with `build_index(positions=True)` carry
+per-occurrence token positions (see index/build.py SEGMENT_SCHEMA notes),
+and a phrase "t_0 t_1 … t_{m-1}" matches doc d at start position p iff
+every t_j occurs in d at p+j.
+
+Algorithm (per bucket, per phrase): for term j build the sorted int64 key
+set {local_doc · 2^32 + (pos − j) : pos ≥ j}; the intersection of the m key
+sets is exactly the set of (doc, start) phrase occurrences — m−1
+`np.intersect1d` passes over sorted unique arrays (a term occupies distinct
+positions in a doc, docs ascend across merged blocks, so each key array is
+sorted-unique by construction). Duplicate terms in the phrase ("scan scan")
+need no special case: the same posting data joins under two shifts.
+
+Scale shape: identical to the BM25 batch path (query/wand.py) — the phrase
+table resolves to term_ids via one broadcast join, the segment scan prunes
+tshard partition DIRECTORIES + parquet row groups to only the phrase
+terms' blocks, and ONE shuffle keyed `bucket` moves each block's compressed
+bytes exactly once for the whole phrase batch. Matches are exact (no
+top-k), so there is no window stage — output is (phrase_id, doc_id, n_occ).
+
+Key-packing contract: local_doc < bucket_size ≤ 2^31 and positions < 2^32
+(doclen bounded far below that), so keys fit int64 without collision.
+
+Reference parity: the reference has no positional index (dense retrieval,
+``colbert/ranking/colbert_ranker.py``); this is beyond-reference engine
+surface, cross-checked against the DataFrame/DuckDB phrase oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from colbert_spark.functions.tokenizer import tokens_col
+from colbert_spark.index.codec import decode_block
+from colbert_spark.query.wand import load_index
+
+PHRASE_OUT_SCHEMA = "phrase_id long, doc_id long, n_occ long"
+
+_SHIFT = np.int64(1) << np.int64(32)
+
+_EMPTY = pd.DataFrame(
+    {
+        "phrase_id": pd.Series([], dtype="int64"),
+        "doc_id": pd.Series([], dtype="int64"),
+        "n_occ": pd.Series([], dtype="int64"),
+    }
+)
+
+
+def _term_occurrences(sub: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """One (bucket, term)'s blocks → (occ_docs, occ_pos), both occurrence-
+    level, docs ascending (blocks merged by first_doc; doc-range-disjoint
+    across sub-splits/epochs), positions ascending within each doc."""
+    occ_docs_l, occ_pos_l = [], []
+    for db, tb, pb in zip(sub["doc_bytes"], sub["tf_bytes"], sub["pos_bytes"]):
+        docs = np.cumsum(decode_block(db))
+        tfs = decode_block(tb)
+        deltas = decode_block(pb)
+        cs = np.cumsum(deltas)
+        offs = np.zeros(len(tfs) + 1, dtype=np.int64)
+        np.cumsum(tfs, out=offs[1:])
+        starts = offs[:-1]
+        base = cs[starts] - deltas[starts]
+        occ_pos_l.append(cs - np.repeat(base, tfs))
+        occ_docs_l.append(np.repeat(docs, tfs))
+    return np.concatenate(occ_docs_l), np.concatenate(occ_pos_l)
+
+
+def _make_phrase_kernel(phrase_map, bucket_size: int):
+    """Kernel for one bucket frame: decode each needed term's occurrences
+    ONCE, then every phrase of the batch intersects shifted key sets."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        phrases = phrase_map.value if hasattr(phrase_map, "value") else phrase_map
+        bucket_lo = np.int64(int(pdf["bucket"].iat[0])) * np.int64(bucket_size)
+        cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for tid, sub in pdf.groupby("term_id", sort=False):
+            cache[int(tid)] = _term_occurrences(sub.sort_values("first_doc"))
+        out_p, out_d, out_n = [], [], []
+        for pid, tids in phrases:
+            if any(t not in cache for t in tids):
+                continue
+            keys: np.ndarray | None = None
+            for j, t in enumerate(tids):
+                od, op = cache[t]
+                m = op >= j
+                kj = (od[m] - bucket_lo) * _SHIFT + (op[m] - np.int64(j))
+                keys = (
+                    kj
+                    if keys is None
+                    else np.intersect1d(keys, kj, assume_unique=True)
+                )
+                if not keys.size:
+                    break
+            if keys is None or not keys.size:
+                continue
+            loc, counts = np.unique(keys // _SHIFT, return_counts=True)
+            out_p.append(np.full(len(loc), pid, dtype=np.int64))
+            out_d.append(loc + bucket_lo)
+            out_n.append(counts.astype(np.int64))
+        if not out_p:
+            return _EMPTY
+        return pd.DataFrame(
+            {
+                "phrase_id": np.concatenate(out_p),
+                "doc_id": np.concatenate(out_d),
+                "n_occ": np.concatenate(out_n),
+            }
+        )
+
+    return kernel
+
+
+def phrase_match_segments(
+    spark: SparkSession,
+    index_dir: str,
+    phrases: DataFrame,
+    as_of_epoch: int | None = None,
+) -> DataFrame:
+    """phrases(phrase_id, phrase) → (phrase_id, doc_id, n_occ) of every doc
+    containing the exact token sequence, from the positional segment index.
+    A phrase with any out-of-vocabulary token matches nothing; so does an
+    empty (all-punctuation) phrase."""
+    segments, term_dict, stats = load_index(spark, index_dir, as_of_epoch)
+    if not stats.get("positions"):
+        raise ValueError(
+            "phrase_match_segments needs a positional index "
+            "(build_index(positions=True))"
+        )
+    ptoks = phrases.select(
+        "phrase_id", F.posexplode(tokens_col("phrase")).alias("j", "term")
+    )
+    n_toks = {
+        r["phrase_id"]: r["n"]
+        for r in ptoks.groupBy("phrase_id").agg(F.count("*").alias("n")).collect()
+    }
+    # one broadcast join resolves the whole batch; the dictionary-side scan
+    # prunes via the join and is never collected
+    resolved = (
+        term_dict.join(F.broadcast(ptoks), "term")
+        .select("phrase_id", "j", "term_id")
+        .collect()
+    )
+    by_pid: dict[int, list[tuple[int, int]]] = {}
+    for r in resolved:
+        by_pid.setdefault(r["phrase_id"], []).append((r["j"], r["term_id"]))
+    phrase_list = []
+    for pid, pairs in by_pid.items():
+        if len(pairs) != n_toks.get(pid, -1):
+            continue  # an OOV token: the phrase cannot match
+        pairs.sort()
+        phrase_list.append((pid, [tid for _, tid in pairs]))
+    if not phrase_list:
+        return spark.createDataFrame([], PHRASE_OUT_SCHEMA)
+    all_tids = sorted({t for _, tids in phrase_list for t in tids})
+
+    seg = segments
+    if "tshard" in seg.columns and stats.get("tshards"):
+        shards = sorted({t % stats["tshards"] for t in all_tids})
+        seg = seg.filter(F.col("tshard").isin(shards))  # dir pruning
+    seg = seg.filter(
+        F.col("term_id").isin(all_tids)
+        & F.col("term_id").between(min(all_tids), max(all_tids))
+    ).select("bucket", "term_id", "first_doc", "doc_bytes", "tf_bytes", "pos_bytes")
+
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    shuffled = seg.repartition(p, "bucket").sortWithinPartitions(
+        "bucket", "term_id", "first_doc"
+    )
+    bc = spark.sparkContext.broadcast(phrase_list)
+    kernel = _make_phrase_kernel(bc, int(stats["bucket_size"]))
+
+    def stream(batches):
+        tail: pd.DataFrame | None = None
+        for pdf in batches:
+            if tail is not None and len(tail):
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_b = pdf["bucket"].iat[-1]
+            is_tail = pdf["bucket"] == last_b
+            tail = pdf[is_tail]
+            body = pdf[~is_tail]
+            if len(body):
+                out = [kernel(g) for _, g in body.groupby("bucket", sort=False)]
+                yield pd.concat(out, ignore_index=True) if out else _EMPTY
+        if tail is not None and len(tail):
+            yield kernel(tail)
+
+    return shuffled.mapInPandas(stream, PHRASE_OUT_SCHEMA)

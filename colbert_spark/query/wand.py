@@ -396,6 +396,11 @@ class IndexSearcher:
         self.segments, self.term_dict, self.stats = load_index(
             spark, index_dir, as_of_epoch=as_of_epoch
         )
+        if "pos_bytes" in self.segments.columns:
+            # BM25 never reads positions: prune the column so neither the
+            # warm cache nor the per-batch exchange carries the (large)
+            # occurrence-position streams of a positional index
+            self.segments = self.segments.drop("pos_bytes")
         self._warm: DataFrame | None = None
 
     def warm(self) -> "IndexSearcher":

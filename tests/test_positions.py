@@ -1,0 +1,150 @@
+"""Positional segment index + index-backed exact-phrase retrieval.
+
+Correctness bar: `phrase_match_segments` must agree EXACTLY (doc set and
+per-doc occurrence count) with a pure-Python sliding-window oracle built
+from the same tokenizer grammar — through the whole index lifecycle
+(base build → append epoch → epoch-preserving compaction → full merge) —
+and a positional index must answer BM25 queries rank-identically to a
+non-positional one (positions are additive; the BM25 path drops the
+column before the exchange).
+"""
+
+import math
+
+import pandas as pd
+import pytest
+
+from colbert_spark.functions.tokenizer import py_tokenize
+from colbert_spark.index.build import append_index, build_index
+from colbert_spark.index.compact import compact_index
+from colbert_spark.oracle import OracleIndex
+from colbert_spark.query.phrase import phrase_match_segments
+from colbert_spark.query.wand import IndexSearcher
+
+PHRASES = [
+    (0, "term00000 term00001"),  # common bigram
+    (1, "term00001 term00000 term00000"),  # trigram
+    (2, "term00000 term00000"),  # repeated term: overlapping matches
+    (3, "term00003"),  # single-term phrase: n_occ == tf
+    (4, "zzznotindexed term00000"),  # OOV token ⇒ no matches
+    (5, "!!! ..."),  # punctuation-only ⇒ no tokens ⇒ no matches
+]
+
+
+def _oracle_phrase(toks: list[list[str]], phrase: str) -> dict[int, int]:
+    words = py_tokenize(phrase)
+    if not words:
+        return {}
+    m = len(words)
+    out = {}
+    for d, tk in enumerate(toks):
+        c = sum(1 for i in range(len(tk) - m + 1) if tk[i : i + m] == words)
+        if c:
+            out[d] = c
+    return out
+
+
+def _phrase_results(spark, index_dir, phrases=PHRASES, **kw):
+    qdf = spark.createDataFrame(
+        pd.DataFrame(phrases, columns=["phrase_id", "phrase"])
+    )
+    got: dict[int, dict[int, int]] = {}
+    for r in phrase_match_segments(spark, index_dir, qdf, **kw).collect():
+        got.setdefault(r["phrase_id"], {})[r["doc_id"]] = r["n_occ"]
+    return got
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tiny_corpus, tmp_path_factory):
+    """Positional index over the first 600 docs (small buckets ⇒ several
+    buckets and sub-splits), plus the doc_id→tokens mapping both for the
+    base corpus and for the post-append corpus."""
+    base = tiny_corpus.iloc[:600]
+    d = str(tmp_path_factory.mktemp("idx_pos"))
+    build_index(spark, spark.createDataFrame(base), d, bucket_size=131, positions=True)
+    ordered = base.sort_values("url").reset_index(drop=True)
+    toks = [py_tokenize(t) for t in ordered["text"]]
+    return d, ordered, toks
+
+
+def test_phrase_matches_oracle(spark, pos_index):
+    d, _, toks = pos_index
+    got = _phrase_results(spark, d)
+    for pid, phrase in PHRASES:
+        assert got.get(pid, {}) == _oracle_phrase(toks, phrase), (pid, phrase)
+    # sanity: the common bigram actually matches something
+    assert len(got.get(0, {})) > 10
+
+
+def test_single_term_phrase_counts_equal_tf(spark, pos_index):
+    d, _, toks = pos_index
+    got = _phrase_results(spark, d, phrases=[(0, "term00003")])
+    want = {i: tk.count("term00003") for i, tk in enumerate(toks) if "term00003" in tk}
+    assert got.get(0, {}) == want
+
+
+def test_phrase_survives_append_and_compaction(spark, tiny_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_pos_life"))
+    base = tiny_corpus.iloc[:400]
+    extra = tiny_corpus.iloc[:650]  # 250 genuinely new docs
+    build_index(spark, spark.createDataFrame(base), d, bucket_size=97, positions=True)
+    append_index(spark, spark.createDataFrame(extra), d)
+    old = base.sort_values("url").reset_index(drop=True)
+    new = (
+        extra[~extra["url"].isin(set(base["url"]))]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    ordered = pd.concat([old, new], ignore_index=True)
+    toks = [py_tokenize(t) for t in ordered["text"]]
+    want = {pid: _oracle_phrase(toks, p) for pid, p in PHRASES}
+
+    assert {p: _phrase_results(spark, d).get(p, {}) for p, _ in PHRASES} == want
+    compact_index(spark, d, preserve_epochs=True)
+    assert {p: _phrase_results(spark, d).get(p, {}) for p, _ in PHRASES} == want
+    compact_index(spark, d, preserve_epochs=False)
+    assert {p: _phrase_results(spark, d).get(p, {}) for p, _ in PHRASES} == want
+
+
+def test_time_travel_phrase_excludes_appended_epoch(
+    spark, tiny_corpus, tmp_path_factory
+):
+    d = str(tmp_path_factory.mktemp("idx_pos_tt"))
+    base = tiny_corpus.iloc[:400]
+    build_index(spark, spark.createDataFrame(base), d, bucket_size=97, positions=True)
+    live_before = _phrase_results(spark, d, phrases=[(0, "term00000 term00001")])
+    append_index(spark, spark.createDataFrame(tiny_corpus.iloc[:650]), d)
+    snap = _phrase_results(
+        spark, d, phrases=[(0, "term00000 term00001")], as_of_epoch=0
+    )
+    live_after = _phrase_results(spark, d, phrases=[(0, "term00000 term00001")])
+    assert snap == live_before
+    assert len(live_after.get(0, {})) > len(snap.get(0, {}))
+
+
+def test_bm25_rank_identical_on_positional_index(
+    spark, pos_index, tiny_queries
+):
+    d, ordered, _ = pos_index
+    oracle = OracleIndex.build(list(zip(range(len(ordered)), ordered["text"])))
+    queries = spark.createDataFrame(tiny_queries[:15])
+    rows = IndexSearcher(spark, d).search(queries, k=10).collect()
+    byq: dict[int, list] = {}
+    for r in rows:
+        byq.setdefault(r["qid"], []).append(r)
+    for qid, q in zip(tiny_queries["qid"][:15], tiny_queries["question"][:15]):
+        got = sorted(byq.get(qid, []), key=lambda r: r["rank"])
+        want = oracle.topk(q, 10)
+        assert [r["doc_id"] for r in got] == [doc for doc, _ in want]
+        for r, (_, s) in zip(got, want):
+            assert math.isclose(r["score"], s, rel_tol=1e-9)
+
+
+def test_phrase_requires_positional_index(spark, tiny_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_nopos"))
+    build_index(
+        spark, spark.createDataFrame(tiny_corpus.iloc[:100]), d, bucket_size=97
+    )
+    qdf = spark.createDataFrame(pd.DataFrame(PHRASES[:1], columns=["phrase_id", "phrase"]))
+    with pytest.raises(ValueError, match="positional"):
+        phrase_match_segments(spark, d, qdf)
