@@ -46,6 +46,7 @@ def _cmd_index(args) -> int:
         bucket_size=args.bucket_size,
         use_html=args.use_html,
         resume=not args.no_resume,
+        positions=args.positions,
     )
     print(json.dumps(stats))
     return 0
@@ -97,6 +98,29 @@ def _cmd_query(args) -> int:
     return 0
 
 
+def _cmd_phrase(args) -> int:
+    from colbert_spark.query.phrase import phrase_match_segments
+    from colbert_spark.session import get_spark
+
+    spark = get_spark("colbert-phrase")
+    if args.phrases == "-":
+        phrases = [q.strip() for q in sys.stdin if q.strip()]
+    else:
+        with open(args.phrases) as f:
+            phrases = [q.strip() for q in f if q.strip()]
+    pdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(phrases)], "phrase_id long, phrase string"
+    )
+    res = phrase_match_segments(
+        spark, args.index, pdf, as_of_epoch=args.as_of_epoch
+    ).orderBy("phrase_id", "doc_id")
+    for r in res.collect():
+        print(json.dumps(
+            {"phrase_id": r["phrase_id"], "doc_id": r["doc_id"], "n_occ": r["n_occ"]}
+        ))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="colbert_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -113,6 +137,11 @@ def main(argv: list[str] | None = None) -> int:
     ip.add_argument("--bucket-size", type=int, default=100_000)
     ip.add_argument("--use-html", action="store_true", help="extract text from the html column")
     ip.add_argument("--no-resume", action="store_true", help="ignore the manifest and rebuild")
+    ip.add_argument(
+        "--positions",
+        action="store_true",
+        help="store occurrence positions in the blocks (enables phrase queries)",
+    )
     ip.set_defaults(fn=_cmd_index)
 
     ap = sub.add_parser("append", help="incrementally add new documents to an index")
@@ -145,6 +174,17 @@ def main(argv: list[str] | None = None) -> int:
         help="query the index's time-travel snapshot of this epoch (0 = base build)",
     )
     qp.set_defaults(fn=_cmd_query)
+
+    pp = sub.add_parser(
+        "phrase", help="exact-phrase matches over a positional index"
+    )
+    pp.add_argument("--index", required=True, help="index built with --positions")
+    pp.add_argument("--phrases", required=True, help="text file of phrases, or - for stdin")
+    pp.add_argument(
+        "--as-of-epoch", type=int, default=None, dest="as_of_epoch",
+        help="query the index's time-travel snapshot of this epoch (0 = base build)",
+    )
+    pp.set_defaults(fn=_cmd_phrase)
 
     args = p.parse_args(argv)
     return args.fn(args)
