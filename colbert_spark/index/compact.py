@@ -1,8 +1,9 @@
 """Segment compaction — the maintenance pass that heals fragmentation.
 
 Why it exists: the build's sub-split load balancing and every `append_index`
-epoch leave a (term_id, bucket) posting list scattered across many short,
-doc-range-disjoint block runs (the reader merges them by first_doc). Query
+epoch leave a (term_id, bucket) posting list scattered across many short
+block runs (doc-interleaved across one epoch's sub-splits, doc-range-
+disjoint across epochs; readers must not assume cross-block order). Query
 cost per term is ~O(#blocks touched): fragments mean more block rows
 scanned, more per-block decode bookkeeping, and weaker block-max pruning
 (each short block's max is computed over fewer postings, and more blocks

@@ -260,48 +260,128 @@ def fts_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def fts_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same phrase matches as `fts_phrase_match`, but INDEX-BACKED: build
-    a positional segment index over the documents table and answer the
-    phrases from posting positions (`query/phrase.py`) instead of a corpus
-    scan. Sharing `fts_phrase_match`'s DuckDB oracle makes the driver's
-    value-hash compare a cross-engine proof that the positional index
-    round-trips occurrence positions exactly.
+# positional-index dirs already built THIS process (one build serves every
+# index-backed positional entry of a driver/test run over the same sf_dir)
+_PIDX_BUILT: set[str] = set()
 
-    The url key is the zero-padded doc_id, so the index's dense url-rank
-    doc_ids map back to table doc_ids through the index's own docs sink
-    (never assumed contiguous)."""
+
+def _positional_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf_dir) a positional segment index over
+    the documents table, urls = zero-padded doc_ids, and return its path."""
     import hashlib
     import os
     import shutil
     import tempfile
 
     from colbert_spark.index.build import build_index
-    from colbert_spark.query.phrase import phrase_match_segments
 
-    pages = load_table(spark, sf_dir, "documents").select(
-        F.format_string("%012d", F.col("doc_id")).alias("url"), "text"
-    )
     idx = os.path.join(
         tempfile.gettempdir(),
         "colbert_spark_phrase_idx_"
         + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
     )
-    shutil.rmtree(idx, ignore_errors=True)
-    build_index(spark, pages, idx, bucket_size=1000, positions=True)
-    phrases = spark.createDataFrame(DOC_PHRASES, "phrase_id long, phrase string")
-    hits = phrase_match_segments(spark, idx, phrases)
+    if idx not in _PIDX_BUILT:
+        shutil.rmtree(idx, ignore_errors=True)
+        pages = load_table(spark, sf_dir, "documents").select(
+            F.format_string("%012d", F.col("doc_id")).alias("url"), "text"
+        )
+        build_index(spark, pages, idx, bucket_size=1000, positions=True)
+        _PIDX_BUILT.add(idx)
+    return idx
+
+
+def _map_index_docs(
+    spark: SparkSession, idx: str, hits: DataFrame, key_col: str, val_col: str
+) -> DataFrame:
+    """Map the index's dense url-rank doc_ids back to table doc_ids through
+    the index's own docs sink (never assumed contiguous)."""
+    import os
+
     back = spark.read.parquet(os.path.join(idx, "docs")).select(
         F.col("doc_id").alias("idx_doc"), F.col("url").cast("long").alias("table_doc")
     )
-    return (
-        hits.join(back, hits.doc_id == back.idx_doc)
-        .select(
-            "phrase_id",
-            F.col("table_doc").alias("doc_id"),
-            F.col("n_occ").cast("long").alias("n_occ"),
+    return hits.join(back, hits.doc_id == back.idx_doc).select(
+        key_col,
+        F.col("table_doc").alias("doc_id"),
+        F.col(val_col).cast("long").alias(val_col),
+    )
+
+
+def fts_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same phrase matches as `fts_phrase_match`, but INDEX-BACKED: build
+    a positional segment index over the documents table and answer the
+    phrases from posting positions (`query/phrase.py`) instead of a corpus
+    scan. Sharing `fts_phrase_match`'s DuckDB oracle makes the driver's
+    value-hash compare a cross-engine proof that the positional index
+    round-trips occurrence positions exactly."""
+    from colbert_spark.query.phrase import phrase_match_segments
+
+    idx = _positional_index_dir(spark, sf_dir)
+    phrases = spark.createDataFrame(DOC_PHRASES, "phrase_id long, phrase string")
+    hits = phrase_match_segments(spark, idx, phrases)
+    return _map_index_docs(spark, idx, hits, "phrase_id", "n_occ").orderBy(
+        "phrase_id", "doc_id"
+    )
+
+
+# fixed proximity set: (pair_id, t1, t2); NEAR/w with |pos(t1)−pos(t2)| ≤ w
+NEAR_PAIRS = [
+    (0, "hash", "join"),
+    (1, "customer", "order"),
+    (2, "stream", "data"),
+    (3, "zzznot", "here"),
+]
+NEAR_WINDOW = 4
+
+
+def fts_near_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity (NEAR/w) matching by corpus scan: for each pair, the docs
+    where some occurrence of t1 has an occurrence of t2 within NEAR_WINDOW
+    tokens (unordered), with the count of such t1 ANCHOR occurrences.
+    Exact-semantics oracle for the positional-index path (`fts_near_index`);
+    both sides of the position join are pre-filtered to the pairs' terms by
+    broadcast before any shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("p", "term")
+    )
+    pairs = spark.createDataFrame(NEAR_PAIRS, "pair_id long, t1 string, t2 string")
+    a = pos.join(
+        F.broadcast(pairs), pos.term == pairs.t1
+    ).select("pair_id", "doc_id", F.col("p").alias("pa"), "t2")
+    b = pos.join(
+        F.broadcast(pairs.select(F.col("t2").alias("term")).distinct()), "term"
+    ).select(F.col("doc_id").alias("doc_b"), F.col("term").alias("term_b"),
+             F.col("p").alias("pb"))
+    anchors = (
+        a.join(
+            b,
+            (a.doc_id == b.doc_b)
+            & (a.t2 == b.term_b)
+            & (F.abs(F.col("pa") - F.col("pb")) <= NEAR_WINDOW),
+            "leftsemi",
         )
-        .orderBy("phrase_id", "doc_id")
+    )
+    return (
+        anchors.groupBy("pair_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("n_anchor"))
+        .orderBy("pair_id", "doc_id")
+    )
+
+
+def fts_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_near_match` answered from the positional segment index
+    (`query/phrase.py:near_match_segments`): binary-search probes over each
+    pair's two posting position streams instead of a corpus scan. Shares the
+    corpus-scan oracle — the value-hash compare proves the windowed-proximity
+    semantics agree across engines."""
+    from colbert_spark.query.phrase import near_match_segments
+
+    idx = _positional_index_dir(spark, sf_dir)
+    pairs = spark.createDataFrame(NEAR_PAIRS, "pair_id long, t1 string, t2 string")
+    hits = near_match_segments(spark, idx, pairs, window=NEAR_WINDOW)
+    return _map_index_docs(spark, idx, hits, "pair_id", "n_anchor").orderBy(
+        "pair_id", "doc_id"
     )
 
 
@@ -664,6 +744,29 @@ ORACLES["fts_phrase_match"] = f"""
 # one oracle, two engines-under-test
 ORACLES["fts_phrase_index"] = ORACLES["fts_phrase_match"]
 
+_NEAR_VALUES = ", ".join(f"({pid}, '{a}', '{b}')" for pid, a, b in NEAR_PAIRS)
+
+ORACLES["fts_near_match"] = f"""
+    WITH q(pair_id, t1, t2) AS (VALUES {_NEAR_VALUES}),
+    toks AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    pos AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(tok)),
+                    i -> {{'p': i, 'term': tok[i]}}), recursive := true)
+      FROM toks),
+    anch AS (
+      SELECT DISTINCT q.pair_id, a.doc_id, a.p
+      FROM q
+      JOIN pos a ON a.term = q.t1
+      JOIN pos b ON b.doc_id = a.doc_id AND b.term = q.t2
+                AND abs(a.p - b.p) <= {NEAR_WINDOW})
+    SELECT pair_id::BIGINT AS pair_id, doc_id, count(*)::BIGINT AS n_anchor
+    FROM anch GROUP BY pair_id, doc_id ORDER BY pair_id, doc_id
+"""
+
+# index path ≡ corpus scan, same oracle (see fts_phrase_index)
+ORACLES["fts_near_index"] = ORACLES["fts_near_match"]
+
 ORACLES["fts_doclen_percentiles"] = f"""
     WITH dl AS (SELECT len({_TOK}) AS doclen FROM documents)
     SELECT round(quantile_cont(doclen, 0.25), 6) AS p25,
@@ -681,6 +784,8 @@ QUERIES = {
     "fts_boolean_and": fts_boolean_and,
     "fts_phrase_match": fts_phrase_match,
     "fts_phrase_index": fts_phrase_index,
+    "fts_near_match": fts_near_match,
+    "fts_near_index": fts_near_index,
     "fts_topk_docs": fts_topk_docs,
     "fts_snippet": fts_snippet,
     "fts_eval_recall": fts_eval_recall,

@@ -12,9 +12,11 @@ Algorithm (per bucket, per phrase): for term j build the sorted int64 key
 set {local_doc · 2^32 + (pos − j) : pos ≥ j}; the intersection of the m key
 sets is exactly the set of (doc, start) phrase occurrences — m−1
 `np.intersect1d` passes over sorted unique arrays (a term occupies distinct
-positions in a doc, docs ascend across merged blocks, so each key array is
-sorted-unique by construction). Duplicate terms in the phrase ("scan scan")
-need no special case: the same posting data joins under two shifts.
+positions in a doc, and `_term_occurrences` lexsorts the merged stream by
+(doc, pos) — the salted build sub-splits interleave doc SETS, so block
+order alone does not give a sorted stream). Duplicate terms in the phrase
+("scan scan") need no special case: the same posting data joins under two
+shifts.
 
 Scale shape: identical to the BM25 batch path (query/wand.py) — the phrase
 table resolves to term_ids via one broadcast join, the segment scan prunes
@@ -56,9 +58,12 @@ _EMPTY = pd.DataFrame(
 
 
 def _term_occurrences(sub: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
-    """One (bucket, term)'s blocks → (occ_docs, occ_pos), both occurrence-
-    level, docs ascending (blocks merged by first_doc; doc-range-disjoint
-    across sub-splits/epochs), positions ascending within each doc."""
+    """One (bucket, term)'s blocks → (occ_docs, occ_pos), occurrence-level,
+    globally sorted by (doc, pos). Within one block docs ascend, but across
+    the salted sub-splits of the base build the doc SETS interleave (the
+    build salt hashes docs, it does not range-partition them), so a final
+    lexsort is required — `searchsorted` probes and packed-key scans are only
+    sound on the sorted stream."""
     occ_docs_l, occ_pos_l = [], []
     for db, tb, pb in zip(sub["doc_bytes"], sub["tf_bytes"], sub["pos_bytes"]):
         docs = np.cumsum(decode_block(db))
@@ -71,7 +76,10 @@ def _term_occurrences(sub: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         base = cs[starts] - deltas[starts]
         occ_pos_l.append(cs - np.repeat(base, tfs))
         occ_docs_l.append(np.repeat(docs, tfs))
-    return np.concatenate(occ_docs_l), np.concatenate(occ_pos_l)
+    od = np.concatenate(occ_docs_l)
+    op = np.concatenate(occ_pos_l)
+    order = np.lexsort((op, od))
+    return od[order], op[order]
 
 
 def _make_phrase_kernel(phrase_map, bucket_size: int):
@@ -119,6 +127,53 @@ def _make_phrase_kernel(phrase_map, bucket_size: int):
     return kernel
 
 
+def _positional_scan(spark, segments, stats, all_tids, kernel, schema, empty):
+    """Shared scale shape of every positions consumer: prune the segment scan
+    to `all_tids` (tshard partition dirs + pushed term_id range), ONE shuffle
+    keyed `bucket` alone, then run `kernel` once per bucket frame — blocks
+    arrive sorted (bucket, term_id, first_doc) so each term's occurrence
+    stream decodes exactly once per bucket for the whole query batch."""
+    seg = segments
+    if "tshard" in seg.columns and stats.get("tshards"):
+        shards = sorted({t % stats["tshards"] for t in all_tids})
+        seg = seg.filter(F.col("tshard").isin(shards))  # dir pruning
+    seg = seg.filter(
+        F.col("term_id").isin(all_tids)
+        & F.col("term_id").between(min(all_tids), max(all_tids))
+    ).select("bucket", "term_id", "first_doc", "doc_bytes", "tf_bytes", "pos_bytes")
+
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    shuffled = seg.repartition(p, "bucket").sortWithinPartitions(
+        "bucket", "term_id", "first_doc"
+    )
+
+    def stream(batches):
+        tail: pd.DataFrame | None = None
+        for pdf in batches:
+            if tail is not None and len(tail):
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_b = pdf["bucket"].iat[-1]
+            is_tail = pdf["bucket"] == last_b
+            tail = pdf[is_tail]
+            body = pdf[~is_tail]
+            if len(body):
+                out = [kernel(g) for _, g in body.groupby("bucket", sort=False)]
+                yield pd.concat(out, ignore_index=True) if out else empty
+        if tail is not None and len(tail):
+            yield kernel(tail)
+
+    return shuffled.mapInPandas(stream, schema)
+
+
+def _require_positions(stats) -> None:
+    if not stats.get("positions"):
+        raise ValueError(
+            "this query needs a positional index (build_index(positions=True))"
+        )
+
+
 def phrase_match_segments(
     spark: SparkSession,
     index_dir: str,
@@ -130,11 +185,7 @@ def phrase_match_segments(
     A phrase with any out-of-vocabulary token matches nothing; so does an
     empty (all-punctuation) phrase."""
     segments, term_dict, stats = load_index(spark, index_dir, as_of_epoch)
-    if not stats.get("positions"):
-        raise ValueError(
-            "phrase_match_segments needs a positional index "
-            "(build_index(positions=True))"
-        )
+    _require_positions(stats)
     ptoks = phrases.select(
         "phrase_id", F.posexplode(tokens_col("phrase")).alias("j", "term")
     )
@@ -162,37 +213,105 @@ def phrase_match_segments(
         return spark.createDataFrame([], PHRASE_OUT_SCHEMA)
     all_tids = sorted({t for _, tids in phrase_list for t in tids})
 
-    seg = segments
-    if "tshard" in seg.columns and stats.get("tshards"):
-        shards = sorted({t % stats["tshards"] for t in all_tids})
-        seg = seg.filter(F.col("tshard").isin(shards))  # dir pruning
-    seg = seg.filter(
-        F.col("term_id").isin(all_tids)
-        & F.col("term_id").between(min(all_tids), max(all_tids))
-    ).select("bucket", "term_id", "first_doc", "doc_bytes", "tf_bytes", "pos_bytes")
-
-    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    shuffled = seg.repartition(p, "bucket").sortWithinPartitions(
-        "bucket", "term_id", "first_doc"
-    )
     bc = spark.sparkContext.broadcast(phrase_list)
     kernel = _make_phrase_kernel(bc, int(stats["bucket_size"]))
+    return _positional_scan(
+        spark, segments, stats, all_tids, kernel, PHRASE_OUT_SCHEMA, _EMPTY
+    )
 
-    def stream(batches):
-        tail: pd.DataFrame | None = None
-        for pdf in batches:
-            if tail is not None and len(tail):
-                pdf = pd.concat([tail, pdf], ignore_index=True)
-            if not len(pdf):
+
+NEAR_OUT_SCHEMA = "pair_id long, doc_id long, n_anchor long"
+
+_NEAR_EMPTY = pd.DataFrame(
+    {
+        "pair_id": pd.Series([], dtype="int64"),
+        "doc_id": pd.Series([], dtype="int64"),
+        "n_anchor": pd.Series([], dtype="int64"),
+    }
+)
+
+
+def _make_near_kernel(pair_map, bucket_size: int, window: int):
+    """Kernel for one bucket frame: decode each needed term's occurrences
+    once; an ANCHOR is an occurrence of t1 with some occurrence of t2 in the
+    same doc within `window` tokens (|p1 − p2| ≤ window, either side). The
+    t2 side is probed by binary search over its packed sorted (doc, pos)
+    keys — window ≪ 2^32, so the probe range can never leak into a
+    neighboring doc's key space."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pairs = pair_map.value if hasattr(pair_map, "value") else pair_map
+        bucket_lo = np.int64(int(pdf["bucket"].iat[0])) * np.int64(bucket_size)
+        cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for tid, sub in pdf.groupby("term_id", sort=False):
+            cache[int(tid)] = _term_occurrences(sub.sort_values("first_doc"))
+        out_p, out_d, out_n = [], [], []
+        for pid, t1, t2 in pairs:
+            if t1 not in cache or t2 not in cache:
                 continue
-            last_b = pdf["bucket"].iat[-1]
-            is_tail = pdf["bucket"] == last_b
-            tail = pdf[is_tail]
-            body = pdf[~is_tail]
-            if len(body):
-                out = [kernel(g) for _, g in body.groupby("bucket", sort=False)]
-                yield pd.concat(out, ignore_index=True) if out else _EMPTY
-        if tail is not None and len(tail):
-            yield kernel(tail)
+            od1, op1 = cache[t1]
+            od2, op2 = cache[t2]
+            keys2 = (od2 - bucket_lo) * _SHIFT + op2
+            lo1 = (od1 - bucket_lo) * _SHIFT
+            lo = lo1 + np.maximum(op1 - np.int64(window), np.int64(0))
+            hi = lo1 + (op1 + np.int64(window))
+            hit = np.searchsorted(keys2, hi, side="right") > np.searchsorted(
+                keys2, lo, side="left"
+            )
+            if not hit.any():
+                continue
+            loc, counts = np.unique(od1[hit], return_counts=True)
+            out_p.append(np.full(len(loc), pid, dtype=np.int64))
+            out_d.append(loc)
+            out_n.append(counts.astype(np.int64))
+        if not out_p:
+            return _NEAR_EMPTY
+        return pd.DataFrame(
+            {
+                "pair_id": np.concatenate(out_p),
+                "doc_id": np.concatenate(out_d),
+                "n_anchor": np.concatenate(out_n),
+            }
+        )
 
-    return shuffled.mapInPandas(stream, PHRASE_OUT_SCHEMA)
+    return kernel
+
+
+def near_match_segments(
+    spark: SparkSession,
+    index_dir: str,
+    pairs: DataFrame,
+    window: int = 4,
+    as_of_epoch: int | None = None,
+) -> DataFrame:
+    """pairs(pair_id, t1, t2) → (pair_id, doc_id, n_anchor): proximity
+    (NEAR/w) retrieval from the positional index. n_anchor counts the t1
+    occurrences that have a t2 occurrence within `window` tokens in the same
+    doc (unordered, |Δpos| ≤ window). Each side must normalize to a single
+    token under the index grammar; a pair with an out-of-vocabulary side
+    matches nothing."""
+    segments, term_dict, stats = load_index(spark, index_dir, as_of_epoch)
+    _require_positions(stats)
+    sides = pairs.selectExpr(
+        "pair_id", "stack(2, 0, t1, 1, t2) as (side, raw)"
+    ).select("pair_id", "side", F.element_at(tokens_col("raw"), 1).alias("term"))
+    resolved = (
+        term_dict.join(F.broadcast(sides), "term")
+        .select("pair_id", "side", "term_id")
+        .collect()
+    )
+    by_pid: dict[int, dict[int, int]] = {}
+    for r in resolved:
+        by_pid.setdefault(r["pair_id"], {})[r["side"]] = r["term_id"]
+    pair_list = [
+        (pid, d[0], d[1]) for pid, d in by_pid.items() if 0 in d and 1 in d
+    ]
+    if not pair_list:
+        return spark.createDataFrame([], NEAR_OUT_SCHEMA)
+    all_tids = sorted({t for _, a, b in pair_list for t in (a, b)})
+
+    bc = spark.sparkContext.broadcast(pair_list)
+    kernel = _make_near_kernel(bc, int(stats["bucket_size"]), int(window))
+    return _positional_scan(
+        spark, segments, stats, all_tids, kernel, NEAR_OUT_SCHEMA, _NEAR_EMPTY
+    )

@@ -98,8 +98,11 @@ class _TermBlocks:
     """Per-(bucket, term) block metadata + shared lazy decode cache.
 
     Blocks for one (term_id, bucket) may come from several build sub-splits
-    or append epochs (doc-range-disjoint, block_id restarting per split), so
-    they are keyed by frame row position, not block_id. `idf` comes from the
+    or append epochs (block_id restarts per split; epochs are doc-range-
+    disjoint but one epoch's salted sub-splits INTERLEAVE doc sets — the
+    salt hashes docs, it does not range-partition), so they are keyed by
+    frame row position, not block_id, and nothing here assumes cross-block
+    doc order (scoring is scatter-add; pruning is per-block). `idf` comes from the
     CURRENT term_dict (stored block metadata is idf-free, format v2+), so the
     same blocks stay exact after `append_index` changes N and df. `prefixed`
     selects the payload format: v3+ payloads carry a codec tag byte
@@ -149,10 +152,13 @@ class _TermBlocks:
         return dec
 
     def full(self, k1: float, b: float, avgdl: float) -> tuple[np.ndarray, np.ndarray]:
-        """(all docs ascending, per-posting UNIT scores) for the whole term in
-        this bucket — decoded and scored exactly ONCE no matter how many
-        queries of the batch contain the term. unit = idf·tf·(k1+1)/(tf+K·dl)
-        so a query's contribution is just qtf × unit."""
+        """(docs, per-posting UNIT scores) for the whole term in this
+        bucket — decoded and scored exactly ONCE no matter how many queries
+        of the batch contain the term. Docs are UNIQUE (one posting per doc;
+        sub-splits partition docs) but NOT globally sorted (sub-splits
+        interleave) — consumers scatter-add, which needs neither order nor
+        np.add.at. unit = idf·tf·(k1+1)/(tf+K·dl) so a query's contribution
+        is just qtf × unit."""
         if self._full is None:
             order = np.argsort(self.firsts, kind="stable")
             parts = [self.decode(int(i)) for i in order]

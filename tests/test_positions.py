@@ -18,7 +18,7 @@ from colbert_spark.functions.tokenizer import py_tokenize
 from colbert_spark.index.build import append_index, build_index
 from colbert_spark.index.compact import compact_index
 from colbert_spark.oracle import OracleIndex
-from colbert_spark.query.phrase import phrase_match_segments
+from colbert_spark.query.phrase import near_match_segments, phrase_match_segments
 from colbert_spark.query.wand import IndexSearcher
 
 PHRASES = [
@@ -138,6 +138,41 @@ def test_bm25_rank_identical_on_positional_index(
         assert [r["doc_id"] for r in got] == [doc for doc, _ in want]
         for r, (_, s) in zip(got, want):
             assert math.isclose(r["score"], s, rel_tol=1e-9)
+
+
+NEAR_PAIRS_T = [
+    (0, "term00000", "term00005"),
+    (1, "term00002", "term00007"),
+    (2, "zzznotindexed", "term00000"),  # OOV side ⇒ no matches
+]
+
+
+def _oracle_near(toks, t1, t2, w):
+    out = {}
+    for d, tk in enumerate(toks):
+        p1 = [i for i, t in enumerate(tk) if t == t1]
+        p2 = [i for i, t in enumerate(tk) if t == t2]
+        c = sum(1 for a in p1 if any(abs(a - b) <= w for b in p2))
+        if c:
+            out[d] = c
+    return out
+
+
+@pytest.mark.parametrize("window", [0, 1, 4])
+def test_near_matches_oracle_at_each_window(spark, pos_index, window):
+    d, _, toks = pos_index
+    qdf = spark.createDataFrame(
+        pd.DataFrame(NEAR_PAIRS_T, columns=["pair_id", "t1", "t2"])
+    )
+    got: dict[int, dict[int, int]] = {}
+    for r in near_match_segments(spark, d, qdf, window=window).collect():
+        got.setdefault(r["pair_id"], {})[r["doc_id"]] = r["n_anchor"]
+    for pid, t1, t2 in NEAR_PAIRS_T:
+        assert got.get(pid, {}) == _oracle_near(toks, t1, t2, window), (
+            pid, t1, t2, window,
+        )
+    if window == 4:  # sanity: the common pair actually matches something
+        assert len(got.get(0, {})) > 3
 
 
 def test_phrase_requires_positional_index(spark, tiny_corpus, tmp_path_factory):
