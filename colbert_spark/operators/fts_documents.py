@@ -72,7 +72,12 @@ def fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fts_bm25_topk(spark, sf_dir, TOPK)
 
 
-def _fts_bm25_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+def _fts_bm25_topk(
+    spark: SparkSession, sf_dir: str, k: int, allowed: DataFrame | None = None
+) -> DataFrame:
+    """`allowed` (filtered retrieval): a (doc_id) DataFrame restricting the
+    RANKED docs; collection statistics (N, avgdl, df) deliberately stay
+    corpus-wide — the standard filtered-search contract."""
     docs = _docs(spark, sf_dir).cache()
     row = docs.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
     n_docs, avgdl = row["n"], row["avgdl"]
@@ -82,6 +87,8 @@ def _fts_bm25_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     tstats = posts.groupBy("term").agg(F.count("*").alias("df"))
+    if allowed is not None:
+        posts = posts.join(allowed.select("doc_id"), "doc_id", "leftsemi")
     queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
     qt = (
         queries.select("qid", F.explode(tokens_col("question")).alias("term"))
@@ -300,10 +307,9 @@ def _map_index_docs(
     back = spark.read.parquet(os.path.join(idx, "docs")).select(
         F.col("doc_id").alias("idx_doc"), F.col("url").cast("long").alias("table_doc")
     )
+    val = F.col(val_col) if val_col == "score" else F.col(val_col).cast("long")
     return hits.join(back, hits.doc_id == back.idx_doc).select(
-        key_col,
-        F.col("table_doc").alias("doc_id"),
-        F.col(val_col).cast("long").alias(val_col),
+        key_col, F.col("table_doc").alias("doc_id"), val.alias(val_col)
     )
 
 
@@ -321,6 +327,32 @@ def fts_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = phrase_match_segments(spark, idx, phrases)
     return _map_index_docs(spark, idx, hits, "phrase_id", "n_occ").orderBy(
         "phrase_id", "doc_id"
+    )
+
+
+def fts_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship BM25 answered from the COMPRESSED SEGMENT INDEX — the same
+    query set and the same DuckDB oracle as `fts_bm25_topk`, so the driver's
+    value-hash compare proves the block-max/dense segment kernels, the varbyte
+    codec, and the idf-free block format reproduce the declarative DataFrame
+    scores end-to-end (pytest already proves rank-identity vs the pure-Python
+    oracle; this adds the third engine). The kernel ranks by exact float
+    score; the oracle ranks on round(score, 9) — re-rank a small over-fetch
+    (k+5) the oracle's way so mathematically-tied neighbors at the cut agree."""
+    from colbert_spark.query.wand import bm25_topk_segments
+
+    idx = _positional_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    hits = bm25_topk_segments(spark, idx, queries, k=TOPK + 5)
+    mapped = _map_index_docs(spark, idx, hits.select("qid", "doc_id", "score"),
+                             "qid", "score")
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    )
+    return (
+        mapped.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
     )
 
 
@@ -382,6 +414,192 @@ def fts_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = near_match_segments(spark, idx, pairs, window=NEAR_WINDOW)
     return _map_index_docs(spark, idx, hits, "pair_id", "n_anchor").orderBy(
         "pair_id", "doc_id"
+    )
+
+
+# filtered retrieval predicate (≈44% of docs at every sf)
+FILTER_LANG = "en"
+
+
+def fts_filtered_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered retrieval by corpus scan: BM25 top-10 RANKED ONLY over docs
+    satisfying a metadata predicate (lang = 'en'), with corpus-wide
+    collection statistics. Exact-semantics oracle for the index path
+    (`fts_filtered_index`)."""
+    allowed = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == FILTER_LANG
+    ).select("doc_id")
+    return _fts_bm25_topk(spark, sf_dir, TOPK, allowed=allowed)
+
+
+def fts_filtered_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_filtered_bm25` answered from the segment index via
+    `IndexSearcher.search_filtered`: the predicate's doc set is cogrouped
+    with the pruned segment scan on the index's own bucket key (never
+    broadcast/collected) and masked into the dense kernel before top-k.
+    Shares the corpus-scan oracle."""
+    import os
+
+    from colbert_spark.query.wand import IndexSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    allowed_tbl = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == FILTER_LANG
+    ).select(F.col("doc_id").alias("table_doc"))
+    back = spark.read.parquet(os.path.join(idx, "docs")).select(
+        "doc_id", F.col("url").cast("long").alias("table_doc")
+    )
+    allowed_idx = back.join(allowed_tbl, "table_doc").select("doc_id")
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    hits = IndexSearcher(spark, idx).search_filtered(
+        queries, allowed_idx, k=TOPK + 5
+    )
+    mapped = _map_index_docs(
+        spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    )
+    return (
+        mapped.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
+    )
+
+
+# prefix/wildcard query set: a trailing '*' expands against the vocabulary
+PREFIX_QUERIES = [
+    (0, "dat* stream"),
+    (1, "cust* or*"),
+    (2, "qu* qu* table"),  # repeated pattern ⇒ qtf 2 on every expansion
+    (3, "zzzz*"),  # expands to nothing ⇒ no rows
+]
+
+
+def _parse_prefix_queries():
+    """(qid, pattern) → rows (qid, pat, is_prefix, qtf): trailing '*' marks a
+    prefix pattern; the base is normalized by the token grammar. Parsed once
+    in Python (shared verbatim by the Spark plan and the SQL oracle) because
+    the tokenizer itself strips '*'."""
+    from collections import Counter
+
+    from colbert_spark.functions.tokenizer import py_tokenize
+
+    rows = []
+    for qid, q in PREFIX_QUERIES:
+        c: Counter = Counter()
+        for raw in q.split():
+            is_pre = raw.endswith("*")
+            toks = py_tokenize(raw.rstrip("*"))
+            if toks:
+                c[(toks[0], is_pre)] += 1
+        rows += [(qid, pat, pre, n) for (pat, pre), n in sorted(c.items())]
+    return rows
+
+
+PREFIX_PARSED = _parse_prefix_queries()
+
+
+def fts_prefix_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for prefix/wildcard queries by corpus scan: each trailing-
+    '*' pattern expands to every vocabulary term it prefixes (Lucene
+    PrefixQuery semantics, scored — each expansion contributes with its own
+    df/idf, qtf = the pattern's count in the query; a term matched by several
+    patterns of one query sums their qtfs). The expansion is a broadcast
+    theta-join of the tiny pattern table against per-term stats — the big
+    postings table still joins on plain `term` equality."""
+    docs = _docs(spark, sf_dir).cache()
+    row = docs.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
+    n_docs, avgdl = row["n"], row["avgdl"]
+    posts = (
+        docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
+        .groupBy("term", "doc_id", "doclen")
+        .agg(F.count("*").alias("tf"))
+    )
+    tstats = posts.groupBy("term").agg(F.count("*").alias("df"))
+    qp = spark.createDataFrame(
+        PREFIX_PARSED, "qid long, pat string, is_prefix boolean, qtf long"
+    )
+    expanded = (
+        tstats.join(
+            F.broadcast(qp),
+            (qp.is_prefix & tstats.term.startswith(qp.pat))
+            | (~qp.is_prefix & (tstats.term == qp.pat)),
+        )
+        .groupBy("qid", "term")
+        .agg(F.sum("qtf").alias("qtf"), F.first("df").alias("df"))
+    )
+    joined = posts.join(F.broadcast(expanded), "term")
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    k1, b = K1_DEFAULT, B_DEFAULT
+    tf = F.col("tf").cast("double")
+    contrib = (
+        F.col("qtf") * idf * tf * (k1 + 1.0)
+        / (tf + k1 * (1.0 - b + b * F.col("doclen") / F.lit(float(avgdl))))
+    )
+    agg = (
+        joined.withColumn("contrib", contrib)
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
+    )
+
+
+def fts_prefix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_prefix_bm25` answered from the segment index: patterns expand
+    against the index's term DICTIONARY (a broadcast theta-join — the
+    dictionary scan is pruned by the join, never collected wholesale), the
+    expansion is rewritten to a plain disjunctive query string (a term's
+    summed qtf ⇒ the term repeated), and the standard batch kernel scores
+    it. Shares `fts_prefix_bm25`'s oracle."""
+    import os
+
+    from colbert_spark.query.wand import bm25_topk_segments
+
+    idx = _positional_index_dir(spark, sf_dir)
+    td = spark.read.parquet(os.path.join(idx, "term_dict"))
+    qp = spark.createDataFrame(
+        PREFIX_PARSED, "qid long, pat string, is_prefix boolean, qtf long"
+    )
+    expanded = (
+        td.join(
+            F.broadcast(qp),
+            (qp.is_prefix & td.term.startswith(qp.pat))
+            | (~qp.is_prefix & (td.term == qp.pat)),
+        )
+        .groupBy("qid", "term")
+        .agg(F.sum("qtf").alias("qtf"))
+        .collect()
+    )
+    by_qid: dict[int, list[str]] = {}
+    for r in expanded:
+        by_qid.setdefault(r["qid"], []).extend([r["term"]] * int(r["qtf"]))
+    if not by_qid:
+        return spark.createDataFrame([], "qid long, rank long, doc_id long, score_r double")
+    queries = spark.createDataFrame(
+        [(qid, " ".join(ts)) for qid, ts in sorted(by_qid.items())],
+        "qid long, question string",
+    )
+    hits = bm25_topk_segments(spark, idx, queries, k=TOPK + 5)
+    mapped = _map_index_docs(
+        spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    )
+    return (
+        mapped.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
     )
 
 
@@ -767,6 +985,82 @@ ORACLES["fts_near_match"] = f"""
 # index path ≡ corpus scan, same oracle (see fts_phrase_index)
 ORACLES["fts_near_index"] = ORACLES["fts_near_match"]
 
+# the segment-index BM25 path must reproduce the DataFrame BM25 exactly
+ORACLES["fts_bm25_index"] = ORACLES["fts_bm25_topk"]
+
+ORACLES["fts_filtered_bm25"] = f"""
+    WITH q(qid, question) AS (VALUES {_values_clause()}),
+    tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    allowed AS (SELECT doc_id FROM documents WHERE lang = '{FILTER_LANG}'),
+    qt AS (SELECT qid, unnest({_QTOK}) AS term FROM q),
+    qtf AS (SELECT qid, term, count(*) AS qtf FROM qt GROUP BY qid, term),
+    scored AS (
+      SELECT qtf.qid::BIGINT AS qid, tf.doc_id,
+             sum(qtf.qtf * ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl))
+             ) AS score
+      FROM qtf
+      JOIN df USING (term)
+      JOIN tf USING (term)
+      JOIN allowed a ON tf.doc_id = a.doc_id
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY qtf.qid, tf.doc_id),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+# index path ≡ corpus scan, same oracle
+ORACLES["fts_filtered_index"] = ORACLES["fts_filtered_bm25"]
+
+_PREFIX_VALUES = ", ".join(
+    f"({qid}, '{pat}', {'TRUE' if pre else 'FALSE'}, {qtf})"
+    for qid, pat, pre, qtf in PREFIX_PARSED
+)
+
+ORACLES["fts_prefix_bm25"] = f"""
+    WITH qp(qid, pat, is_prefix, qtf) AS (VALUES {_PREFIX_VALUES}),
+    tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    qterm AS (
+      SELECT qp.qid, df.term, sum(qp.qtf) AS qtf, first(df.df) AS df
+      FROM qp JOIN df ON (qp.is_prefix AND df.term LIKE qp.pat || '%')
+                     OR (NOT qp.is_prefix AND df.term = qp.pat)
+      GROUP BY qp.qid, df.term),
+    scored AS (
+      SELECT qterm.qid::BIGINT AS qid, tf.doc_id,
+             sum(qterm.qtf * ln(1 + (stats.n - qterm.df + 0.5) / (qterm.df + 0.5))
+                 * tf.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl))
+             ) AS score
+      FROM qterm
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY qterm.qid, tf.doc_id),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+# index path ≡ corpus scan, same oracle
+ORACLES["fts_prefix_index"] = ORACLES["fts_prefix_bm25"]
+
 ORACLES["fts_doclen_percentiles"] = f"""
     WITH dl AS (SELECT len({_TOK}) AS doclen FROM documents)
     SELECT round(quantile_cont(doclen, 0.25), 6) AS p25,
@@ -786,6 +1080,11 @@ QUERIES = {
     "fts_phrase_index": fts_phrase_index,
     "fts_near_match": fts_near_match,
     "fts_near_index": fts_near_index,
+    "fts_bm25_index": fts_bm25_index,
+    "fts_prefix_bm25": fts_prefix_bm25,
+    "fts_prefix_index": fts_prefix_index,
+    "fts_filtered_bm25": fts_filtered_bm25,
+    "fts_filtered_index": fts_filtered_index,
     "fts_topk_docs": fts_topk_docs,
     "fts_snippet": fts_snippet,
     "fts_eval_recall": fts_eval_recall,

@@ -253,14 +253,26 @@ def _score_batch_dense(
     k1: float,
     b: float,
     avgdl: float,
+    allowed: np.ndarray | None = None,
 ) -> tuple[list, list, list]:
     """Shared-decode exhaustive scoring of a whole query batch against one
     bucket. Docs inside a bucket span a contiguous id range (bucket =
     doc_id // bucket_size), so per-query accumulation is a dense scatter-add
-    over that span — no sorting, no searchsorted, no per-block loop."""
+    over that span — no sorting, no searchsorted, no per-block loop.
+
+    `allowed` (filtered retrieval): global doc_ids the caller permits; all
+    other docs are masked out BEFORE top-k selection, so ranks/scores are
+    exactly those of a search restricted to the allowed set (collection
+    statistics — idf, avgdl — deliberately stay corpus-wide, the standard
+    filtered-search contract)."""
     lo = min(int(tb.firsts.min()) for tb in groups.values())
     hi = max(int(tb.lasts.max()) for tb in groups.values())
     acc = np.zeros(hi - lo + 1, dtype=np.float64)
+    mask = None
+    if allowed is not None:
+        mask = np.zeros(hi - lo + 1, dtype=bool)
+        a = allowed[(allowed >= lo) & (allowed <= hi)]
+        mask[a - lo] = True
     out_q, out_d, out_s = [], [], []
     for qid, tids, qtfs in batch:
         present = [
@@ -272,6 +284,8 @@ def _score_batch_dense(
         for tb, qtf in present:  # ascending term_id == oracle's order
             docs, units = tb.full(k1, b, avgdl)
             acc[docs - lo] += qtf * units
+        if mask is not None:
+            acc[~mask] = 0.0
         nz = np.flatnonzero(acc)
         if not nz.size:
             continue
@@ -334,6 +348,52 @@ def make_batch_kernel(
                     out_q.append(np.full(len(docs), qid, dtype=np.int64))
                     out_d.append(docs)
                     out_s.append(scores)
+        if not out_q:
+            return _EMPTY
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    return kernel
+
+
+def make_filtered_kernel(
+    query_batch,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    prefixed: bool = True,
+    max_scale: float = 1.0,
+):
+    """Cogroup kernel for FILTERED retrieval: one bucket's segment blocks on
+    the left, the bucket's slice of the allowed-doc set on the right (both
+    sides co-partitioned by the cogroup's bucket exchange — the allowed set
+    is never broadcast, so it can be arbitrarily large). Always scores
+    through the dense exhaustive pass: MaxScore's θ pruning is unsound under
+    a filter (θ seeded from unfiltered docs can exceed the k-th ALLOWED
+    score and prune allowed candidates), while the dense pass is exact for
+    any mask."""
+
+    def kernel(seg_pdf: pd.DataFrame, allowed_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(seg_pdf) or not len(allowed_pdf):
+            return _EMPTY
+        payload = query_batch.value if hasattr(query_batch, "value") else query_batch
+        batch, idf_map = payload
+        groups: dict[int, _TermBlocks] = {}
+        for tid, sub in seg_pdf.groupby("term_id", sort=False):
+            tid = int(tid)
+            groups[tid] = _TermBlocks(
+                sub.sort_values("first_doc"), idf_map[tid], prefixed, max_scale
+            )
+        allowed = allowed_pdf["doc_id"].to_numpy(np.int64)
+        out_q, out_d, out_s = _score_batch_dense(
+            groups, batch, k, k1, b, avgdl, allowed=allowed
+        )
         if not out_q:
             return _EMPTY
         return pd.DataFrame(
@@ -440,17 +500,12 @@ class IndexSearcher:
             & F.col("term_id").between(min(term_ids), max(term_ids))
         )
 
-    def search(
-        self, queries: DataFrame, k: int = 10, dense_min: int = DENSE_BATCH_MIN
-    ) -> DataFrame:
-        """queries(qid, question) → (qid, rank, doc_id, score), rank 1..k by
-        (−score, doc_id). Queries whose terms are all absent yield no rows.
-        `dense_min` picks the kernel's batch-vs-pruned crossover (tests force
-        each path with 1/∞)."""
-        spark = self.spark
-        # ONE job resolves the whole batch: qt ⋈ term_dict as a broadcast
-        # join (the vocab-side scan prunes via the join, never collected);
-        # only the tiny per-batch (qid, term_id, qtf) table is collected.
+    def _resolve_batch(self, queries: DataFrame):
+        """(batch, idf_map, all_tids) for a query DataFrame, or None if no
+        query term is in the vocabulary. ONE job resolves the whole batch:
+        qt ⋈ term_dict as a broadcast join (the vocab-side scan prunes via
+        the join, never collected); only the tiny per-batch
+        (qid, term_id, qtf) table is collected."""
         qt = query_terms_df(queries)
         qrows = (
             self.term_dict.join(F.broadcast(qt), "term")
@@ -458,7 +513,7 @@ class IndexSearcher:
             .collect()
         )
         if not qrows:
-            return spark.createDataFrame([], TOPK_SCHEMA)
+            return None
         n_docs = self.stats["N"]
         # idf resolved HERE from the current dictionary (blocks store only
         # idf-free unit scores) — appends that move N/df need no re-encode
@@ -477,7 +532,20 @@ class IndexSearcher:
             tids = np.array([p[0] for p in pairs], dtype=np.int64)
             qtfs = np.array([p[1] for p in pairs], dtype=np.float64)
             batch.append((qid, tids, qtfs))
-        all_tids = sorted(idf_map)
+        return batch, idf_map, sorted(idf_map)
+
+    def search(
+        self, queries: DataFrame, k: int = 10, dense_min: int = DENSE_BATCH_MIN
+    ) -> DataFrame:
+        """queries(qid, question) → (qid, rank, doc_id, score), rank 1..k by
+        (−score, doc_id). Queries whose terms are all absent yield no rows.
+        `dense_min` picks the kernel's batch-vs-pruned crossover (tests force
+        each path with 1/∞)."""
+        spark = self.spark
+        resolved = self._resolve_batch(queries)
+        if resolved is None:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        batch, idf_map, all_tids = resolved
 
         if self._warm is not None:
             # persisted bucket-partitioned sort: filter is narrow, grouping
@@ -530,6 +598,56 @@ class IndexSearcher:
                 yield kernel(tail)
 
         partial = shuffled.mapInPandas(stream, KERNEL_OUT_SCHEMA)
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "doc_id", "score")
+        )
+
+    def search_filtered(
+        self, queries: DataFrame, allowed: DataFrame, k: int = 10
+    ) -> DataFrame:
+        """Filtered retrieval: top-k BM25 restricted to `allowed` (a
+        DataFrame with a `doc_id` column — typically the result of a
+        predicate over a document-attribute table). Ranks/scores are exactly
+        those of a search over the allowed subset; collection statistics
+        (idf, avgdl) stay corpus-wide, the standard filtered-search contract.
+
+        Scale shape: the allowed set is keyed by the SAME bucket function as
+        the index (bucket = doc_id // bucket_size) and cogrouped with the
+        pruned segment scan — both sides exchange once on `bucket`, the
+        filter is never broadcast or collected, so the predicate set can be
+        any size. Always scores through the exhaustive dense pass (θ pruning
+        is unsound under a filter, see `make_filtered_kernel`)."""
+        spark = self.spark
+        resolved = self._resolve_batch(queries)
+        if resolved is None:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        batch, idf_map, all_tids = resolved
+        bucket_size = int(self.stats["bucket_size"])
+        allowed_b = allowed.select(
+            F.floor(F.col("doc_id") / bucket_size).cast("long").alias("bucket"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+        )
+        bc = spark.sparkContext.broadcast((batch, idf_map))
+        kernel = make_filtered_kernel(
+            bc,
+            k,
+            self.stats["k1"],
+            self.stats["b"],
+            self.stats["avgdl"],
+            prefixed=self.stats.get("segver", 2) >= 3,
+            max_scale=max(1.0, self.stats["avgdl"] / enc_avgdl)
+            if (enc_avgdl := self.stats.get("min_enc_avgdl") or self.stats["avgdl"])
+            else 1.0,
+        )
+        partial = (
+            self.pruned_scan(all_tids)
+            .groupby("bucket")
+            .cogroup(allowed_b.groupby("bucket"))
+            .applyInPandas(kernel, KERNEL_OUT_SCHEMA)
+        )
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             partial.withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,89 @@
+"""Filtered retrieval: `IndexSearcher.search_filtered` must rank exactly the
+allowed subset (corpus-wide idf/avgdl), matching a pure-Python oracle whose
+exhaustive scores are filtered before top-k — including boundary cases
+(allow-everything ≡ plain search, allow-nothing ≡ no rows). The allowed set
+travels through the cogroup exchange keyed by the index's own bucket
+function, never the driver."""
+
+import math
+
+import pytest
+
+from colbert_spark.index.build import build_index
+from colbert_spark.oracle import OracleIndex
+from colbert_spark.query.wand import IndexSearcher
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def fidx(spark, tiny_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_filt"))
+    build_index(spark, spark.createDataFrame(tiny_corpus), d, bucket_size=127)
+    ordered = tiny_corpus.sort_values("url").reset_index(drop=True)
+    oracle = OracleIndex.build(list(zip(range(len(ordered)), ordered["text"])))
+    return d, oracle, len(ordered)
+
+
+def _golden_filtered(oracle, question, allowed, k=K):
+    scores = oracle.score_all(question)
+    ranked = sorted(
+        ((d, s) for d, s in scores.items() if d in allowed),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    return ranked[:k]
+
+
+def _run(spark, d, queries_df, allowed_ids):
+    allowed_df = spark.createDataFrame([(int(x),) for x in allowed_ids], "doc_id long")
+    return IndexSearcher(spark, d).search_filtered(queries_df, allowed_df, k=K).collect()
+
+
+def test_filtered_matches_oracle(spark, fidx, tiny_queries):
+    d, oracle, n = fidx
+    allowed = set(range(0, n, 2))  # every even doc
+    qdf = spark.createDataFrame(tiny_queries[:15])
+    rows = _run(spark, d, qdf, allowed)
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append(r)
+    for qid, q in zip(tiny_queries["qid"][:15], tiny_queries["question"][:15]):
+        want = _golden_filtered(oracle, q, allowed)
+        got = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [doc for doc, _ in want], f"qid={qid}"
+        for r, (_, s) in zip(got, want):
+            assert math.isclose(r["score"], s, rel_tol=1e-9)
+        assert all(r["doc_id"] % 2 == 0 for r in got)
+
+
+def test_allow_everything_equals_plain_search(spark, fidx, tiny_queries):
+    d, _, n = fidx
+    qdf = spark.createDataFrame(tiny_queries[:8])
+    filt = _run(spark, d, qdf, range(n))
+    plain = IndexSearcher(spark, d).search(qdf, k=K).collect()
+    key = lambda rows: sorted((r["qid"], r["rank"], r["doc_id"]) for r in rows)
+    assert key(filt) == key(plain)
+
+
+def test_allow_nothing_yields_no_rows(spark, fidx, tiny_queries):
+    d, _, _ = fidx
+    qdf = spark.createDataFrame(tiny_queries[:5])
+    assert _run(spark, d, qdf, []) == []
+
+
+def test_sparse_filter_ranks_deep_docs(spark, fidx, tiny_queries):
+    """A 1% filter must surface docs the unfiltered top-k never shows."""
+    d, oracle, n = fidx
+    allowed = set(range(0, n, 97))
+    qdf = spark.createDataFrame(tiny_queries[:5])
+    rows = _run(spark, d, qdf, allowed)
+    assert rows, "expected some filtered hits"
+    for r in rows:
+        assert r["doc_id"] in allowed
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append(r)
+    for qid, q in zip(tiny_queries["qid"][:5], tiny_queries["question"][:5]):
+        want = _golden_filtered(oracle, q, allowed)
+        got = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [doc for doc, _ in want], f"qid={qid}"
