@@ -110,6 +110,40 @@ def main() -> None:
         extra["bm25_warm_latency_p95"] = round(lat[int(len(lat) * 0.95)], 3)
         searcher.close()
 
+        # positional index (positions ride the same single build shuffle) +
+        # phrase / NEAR-proximity batches answered from posting positions
+        from colbert_spark.query.phrase import (
+            near_match_segments,
+            phrase_match_segments,
+        )
+
+        pidx = os.path.join(work, "pindex")
+        t0 = time.perf_counter()
+        build_index(
+            spark, corpus, pidx,
+            bucket_size=max(n_corpus // (4 * cpus), 500), positions=True,
+        )
+        timings["index_build_positional"] = time.perf_counter() - t0
+        extra["positional_build_overhead"] = round(
+            timings["index_build_positional"] / timings["index_build"], 2
+        )
+        qp = synth_queries(50)
+        two_term = [q for q in qp["question"] if len(q.split()) >= 2][:50]
+        phrases = spark.createDataFrame(
+            [(i, " ".join(q.split()[:2])) for i, q in enumerate(two_term)],
+            "phrase_id long, phrase string",
+        )
+        t0 = time.perf_counter()
+        phrase_match_segments(spark, pidx, phrases).count()
+        timings["phrase_batch"] = time.perf_counter() - t0
+        pairs = spark.createDataFrame(
+            [(i, q.split()[0], q.split()[1]) for i, q in enumerate(two_term)],
+            "pair_id long, t1 string, t2 string",
+        )
+        t0 = time.perf_counter()
+        near_match_segments(spark, pidx, pairs, window=4).count()
+        timings["near_batch"] = time.perf_counter() - t0
+
         for name, fn in [
             ("bm25_dataframe", fts_bm25_topk),
             ("tpch_q1", tpch_q1_pricing_summary),

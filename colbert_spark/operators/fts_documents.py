@@ -417,6 +417,82 @@ def fts_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_MATCH = 2  # minimum-should-match threshold for the msm entries
+
+
+def fts_msm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-should-match by corpus scan: BM25 top-10 ranking ONLY docs
+    that contain ≥ MIN_MATCH distinct terms of the query (Lucene
+    minimum_should_match between pure disjunction and boolean-AND).
+    Single-term queries cannot meet the threshold and return nothing.
+    Exact-semantics oracle for the index path (`fts_msm_index`)."""
+    docs = _docs(spark, sf_dir).cache()
+    row = docs.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
+    n_docs, avgdl = row["n"], row["avgdl"]
+    posts = (
+        docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
+        .groupBy("term", "doc_id", "doclen")
+        .agg(F.count("*").alias("tf"))
+    )
+    tstats = posts.groupBy("term").agg(F.count("*").alias("df"))
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    qt = (
+        queries.select("qid", F.explode(tokens_col("question")).alias("term"))
+        .groupBy("qid", "term")
+        .agg(F.count("*").alias("qtf"))
+    )
+    joined = posts.join(F.broadcast(qt.join(tstats, "term")), "term")
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    k1, b = K1_DEFAULT, B_DEFAULT
+    tf = F.col("tf").cast("double")
+    contrib = (
+        F.col("qtf") * idf * tf * (k1 + 1.0)
+        / (tf + k1 * (1.0 - b + b * F.col("doclen") / F.lit(float(avgdl))))
+    )
+    agg = (
+        joined.withColumn("contrib", contrib)
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.count("*").alias("n_matched"),  # distinct by grouping construction
+        )
+        .filter(F.col("n_matched") >= MIN_MATCH)
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
+    )
+
+
+def fts_msm_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_msm_bm25` answered from the segment index: the dense kernel
+    counts distinct matched terms with a second scatter-add and masks docs
+    below the threshold before top-k (`wand.py:_score_batch_dense`
+    min_match). Shares the corpus-scan oracle."""
+    from colbert_spark.query.wand import IndexSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    hits = IndexSearcher(spark, idx).search(queries, k=TOPK + 5, min_match=MIN_MATCH)
+    mapped = _map_index_docs(
+        spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    )
+    return (
+        mapped.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
+    )
+
+
 # filtered retrieval predicate (≈44% of docs at every sf)
 FILTER_LANG = "en"
 
@@ -1022,6 +1098,39 @@ ORACLES["fts_filtered_bm25"] = f"""
 # index path ≡ corpus scan, same oracle
 ORACLES["fts_filtered_index"] = ORACLES["fts_filtered_bm25"]
 
+ORACLES["fts_msm_bm25"] = f"""
+    WITH q(qid, question) AS (VALUES {_values_clause()}),
+    tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    qt AS (SELECT qid, unnest({_QTOK}) AS term FROM q),
+    qtf AS (SELECT qid, term, count(*) AS qtf FROM qt GROUP BY qid, term),
+    scored AS (
+      SELECT qtf.qid::BIGINT AS qid, tf.doc_id,
+             sum(qtf.qtf * ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl))
+             ) AS score
+      FROM qtf
+      JOIN df USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY qtf.qid, tf.doc_id
+      HAVING count(*) >= {MIN_MATCH}),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+# index path ≡ corpus scan, same oracle
+ORACLES["fts_msm_index"] = ORACLES["fts_msm_bm25"]
+
 _PREFIX_VALUES = ", ".join(
     f"({qid}, '{pat}', {'TRUE' if pre else 'FALSE'}, {qtf})"
     for qid, pat, pre, qtf in PREFIX_PARSED
@@ -1085,6 +1194,8 @@ QUERIES = {
     "fts_prefix_index": fts_prefix_index,
     "fts_filtered_bm25": fts_filtered_bm25,
     "fts_filtered_index": fts_filtered_index,
+    "fts_msm_bm25": fts_msm_bm25,
+    "fts_msm_index": fts_msm_index,
     "fts_topk_docs": fts_topk_docs,
     "fts_snippet": fts_snippet,
     "fts_eval_recall": fts_eval_recall,

@@ -254,6 +254,7 @@ def _score_batch_dense(
     b: float,
     avgdl: float,
     allowed: np.ndarray | None = None,
+    min_match: int = 1,
 ) -> tuple[list, list, list]:
     """Shared-decode exhaustive scoring of a whole query batch against one
     bucket. Docs inside a bucket span a contiguous id range (bucket =
@@ -264,7 +265,11 @@ def _score_batch_dense(
     other docs are masked out BEFORE top-k selection, so ranks/scores are
     exactly those of a search restricted to the allowed set (collection
     statistics — idf, avgdl — deliberately stay corpus-wide, the standard
-    filtered-search contract)."""
+    filtered-search contract).
+
+    `min_match` (minimum-should-match): only docs matching ≥ this many
+    DISTINCT query terms are ranked (batch tids are distinct per qid, so one
+    int scatter-add per term counts exactly)."""
     lo = min(int(tb.firsts.min()) for tb in groups.values())
     hi = max(int(tb.lasts.max()) for tb in groups.values())
     acc = np.zeros(hi - lo + 1, dtype=np.float64)
@@ -273,19 +278,26 @@ def _score_batch_dense(
         mask = np.zeros(hi - lo + 1, dtype=bool)
         a = allowed[(allowed >= lo) & (allowed <= hi)]
         mask[a - lo] = True
+    cnt = np.zeros(hi - lo + 1, dtype=np.int32) if min_match > 1 else None
     out_q, out_d, out_s = [], [], []
     for qid, tids, qtfs in batch:
         present = [
             (groups[t], float(qtf)) for t, qtf in zip(tids, qtfs) if t in groups
         ]
-        if not present:
+        if not present or len(present) < min_match:
             continue
         acc[:] = 0.0
+        if cnt is not None:
+            cnt[:] = 0
         for tb, qtf in present:  # ascending term_id == oracle's order
             docs, units = tb.full(k1, b, avgdl)
             acc[docs - lo] += qtf * units
+            if cnt is not None:
+                cnt[docs - lo] += 1
         if mask is not None:
             acc[~mask] = 0.0
+        if cnt is not None:
+            acc[cnt < min_match] = 0.0
         nz = np.flatnonzero(acc)
         if not nz.size:
             continue
@@ -312,11 +324,14 @@ def make_batch_kernel(
     dense_min: int = DENSE_BATCH_MIN,
     prefixed: bool = True,
     max_scale: float = 1.0,
+    min_match: int = 1,
 ):
     """Kernel for one complete bucket frame: group blocks by term once, share
     decodes across ALL queries in the batch, emit per-bucket top-k per qid.
     Small batches go through block-max MaxScore (pruning pays off); batches
     ≥ `dense_min` through the dense shared-scoring pass (see above).
+    `min_match` > 1 forces the dense pass (θ pruning is unsound under a
+    match-count constraint, same argument as the filtered kernel).
 
     `query_batch` is a broadcast (or plain) pair (batch, idf_map): batch is a
     list of (qid, term_ids, qtfs) with term_ids ascending; idf_map maps every
@@ -331,8 +346,10 @@ def make_batch_kernel(
             groups[tid] = _TermBlocks(
                 sub.sort_values("first_doc"), idf_map[tid], prefixed, max_scale
             )
-        if len(batch) >= dense_min:
-            out_q, out_d, out_s = _score_batch_dense(groups, batch, k, k1, b, avgdl)
+        if len(batch) >= dense_min or min_match > 1:
+            out_q, out_d, out_s = _score_batch_dense(
+                groups, batch, k, k1, b, avgdl, min_match=min_match
+            )
         else:
             out_q, out_d, out_s = [], [], []
             for qid, tids, qtfs in batch:
@@ -535,12 +552,18 @@ class IndexSearcher:
         return batch, idf_map, sorted(idf_map)
 
     def search(
-        self, queries: DataFrame, k: int = 10, dense_min: int = DENSE_BATCH_MIN
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        dense_min: int = DENSE_BATCH_MIN,
+        min_match: int = 1,
     ) -> DataFrame:
         """queries(qid, question) → (qid, rank, doc_id, score), rank 1..k by
         (−score, doc_id). Queries whose terms are all absent yield no rows.
         `dense_min` picks the kernel's batch-vs-pruned crossover (tests force
-        each path with 1/∞)."""
+        each path with 1/∞). `min_match=m` ranks only docs matching ≥ m
+        distinct query terms (Lucene minimum_should_match; m=1 is plain
+        disjunctive BM25, m = #query-terms is scored boolean-AND)."""
         spark = self.spark
         resolved = self._resolve_batch(queries)
         if resolved is None:
@@ -568,6 +591,7 @@ class IndexSearcher:
             self.stats["b"],
             self.stats["avgdl"],
             dense_min=dense_min,
+            min_match=min_match,
             prefixed=self.stats.get("segver", 2) >= 3,
             # soundness across appends: stored block maxima are exact at
             # their encode-time avgdl; inflate to bound CURRENT unit scores

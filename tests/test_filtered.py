@@ -71,6 +71,60 @@ def test_allow_nothing_yields_no_rows(spark, fidx, tiny_queries):
     assert _run(spark, d, qdf, []) == []
 
 
+def test_min_match_matches_oracle(spark, fidx, tiny_queries):
+    """min_match=2 must rank exactly the docs containing ≥2 distinct query
+    terms, scored identically to the unconstrained oracle."""
+    from colbert_spark.functions.tokenizer import py_tokenize
+
+    d, oracle, _ = fidx
+    qdf = spark.createDataFrame(tiny_queries[:12])
+    rows = IndexSearcher(spark, d).search(qdf, k=K, min_match=2).collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append(r)
+    for qid, q in zip(tiny_queries["qid"][:12], tiny_queries["question"][:12]):
+        terms = set(py_tokenize(q))
+        term_docs = {
+            t: {d2 for d2, _ in oracle.postings.get(t, [])} for t in terms
+        }
+        scores = oracle.score_all(q)
+        eligible = {
+            doc for doc in scores
+            if sum(doc in term_docs[t] for t in terms) >= 2
+        }
+        want = sorted(
+            ((d2, s) for d2, s in scores.items() if d2 in eligible),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:K]
+        got = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [doc for doc, _ in want], f"qid={qid}"
+        for r, (_, s) in zip(got, want):
+            assert math.isclose(r["score"], s, rel_tol=1e-9)
+
+
+def test_min_match_all_terms_is_scored_boolean_and(spark, fidx, tiny_queries):
+    """min_match == #distinct-query-terms keeps only docs containing every
+    term (scored boolean-AND)."""
+    from colbert_spark.functions.tokenizer import py_tokenize
+
+    d, oracle, _ = fidx
+    sel = tiny_queries[:20]
+    multi = [
+        (qid, q)
+        for qid, q in zip(sel["qid"], sel["question"])
+        if len(set(py_tokenize(q))) >= 2
+    ][:5]
+    for qid, q in multi:
+        m = len(set(py_tokenize(q)))
+        qdf = spark.createDataFrame([(qid, q)], "qid long, question string")
+        rows = IndexSearcher(spark, d).search(qdf, k=K, min_match=m).collect()
+        for r in rows:
+            for t in set(py_tokenize(q)):
+                assert any(
+                    r["doc_id"] == d2 for d2, _ in oracle.postings.get(t, [])
+                ), (qid, t, r["doc_id"])
+
+
 def test_sparse_filter_ranks_deep_docs(spark, fidx, tiny_queries):
     """A 1% filter must surface docs the unfiltered top-k never shows."""
     d, oracle, n = fidx
