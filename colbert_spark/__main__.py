@@ -98,6 +98,25 @@ def _cmd_query(args) -> int:
     return 0
 
 
+def _cmd_stats(args) -> int:
+    from colbert_spark.index.inspect import index_stats
+    from colbert_spark.session import get_spark
+
+    spark = get_spark("colbert-stats")
+    print(json.dumps(index_stats(spark, args.index, as_of_epoch=args.as_of_epoch)))
+    return 0
+
+
+def _cmd_fsck(args) -> int:
+    from colbert_spark.index.inspect import index_fsck
+    from colbert_spark.session import get_spark
+
+    spark = get_spark("colbert-fsck")
+    res = index_fsck(spark, args.index, deep=args.deep, as_of_epoch=args.as_of_epoch)
+    print(json.dumps(res))
+    return 0 if res["ok"] else 1
+
+
 def _cmd_phrase(args) -> int:
     from colbert_spark.query.phrase import phrase_match_segments
     from colbert_spark.session import get_spark
@@ -185,6 +204,17 @@ def main(argv: list[str] | None = None) -> int:
         help="query the index's time-travel snapshot of this epoch (0 = base build)",
     )
     pp.set_defaults(fn=_cmd_phrase)
+
+    st = sub.add_parser("stats", help="index tree statistics (blocks, fill, bytes)")
+    st.add_argument("--index", required=True)
+    st.add_argument("--as-of-epoch", type=int, default=None, dest="as_of_epoch")
+    st.set_defaults(fn=_cmd_stats)
+
+    fs = sub.add_parser("fsck", help="verify index invariants; --deep decodes payloads")
+    fs.add_argument("--index", required=True)
+    fs.add_argument("--deep", action="store_true")
+    fs.add_argument("--as-of-epoch", type=int, default=None, dest="as_of_epoch")
+    fs.set_defaults(fn=_cmd_fsck)
 
     args = p.parse_args(argv)
     return args.fn(args)
