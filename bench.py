@@ -117,32 +117,39 @@ def main() -> None:
             phrase_match_segments,
         )
 
-        pidx = os.path.join(work, "pindex")
-        t0 = time.perf_counter()
-        build_index(
-            spark, corpus, pidx,
-            bucket_size=max(n_corpus // (4 * cpus), 500), positions=True,
-        )
-        timings["index_build_positional"] = time.perf_counter() - t0
+        pos_reps = []
+        for i in range(2):  # best of 2 — same host-noise defense as the build
+            t0 = time.perf_counter()
+            build_index(
+                spark, corpus, os.path.join(work, f"pindex{i}"),
+                bucket_size=max(n_corpus // (4 * cpus), 500), positions=True,
+            )
+            pos_reps.append(time.perf_counter() - t0)
+        timings["index_build_positional"] = min(pos_reps)
         extra["positional_build_overhead"] = round(
             timings["index_build_positional"] / timings["index_build"], 2
         )
+        pidx = os.path.join(work, "pindex0")
         qp = synth_queries(50)
         two_term = [q for q in qp["question"] if len(q.split()) >= 2][:50]
         phrases = spark.createDataFrame(
             [(i, " ".join(q.split()[:2])) for i, q in enumerate(two_term)],
             "phrase_id long, phrase string",
         )
-        t0 = time.perf_counter()
-        phrase_match_segments(spark, pidx, phrases).count()
-        timings["phrase_batch"] = time.perf_counter() - t0
         pairs = spark.createDataFrame(
             [(i, q.split()[0], q.split()[1]) for i, q in enumerate(two_term)],
             "pair_id long, t1 string, t2 string",
         )
-        t0 = time.perf_counter()
-        near_match_segments(spark, pidx, pairs, window=4).count()
-        timings["near_batch"] = time.perf_counter() - t0
+        for name, run in [
+            ("phrase_batch", lambda: phrase_match_segments(spark, pidx, phrases).count()),
+            ("near_batch", lambda: near_match_segments(spark, pidx, pairs, window=4).count()),
+        ]:
+            reps = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run()
+                reps.append(time.perf_counter() - t0)
+            timings[name] = min(reps)
 
         for name, fn in [
             ("bm25_dataframe", fts_bm25_topk),
