@@ -417,6 +417,78 @@ def fts_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LMD_MU = 2000.0  # Dirichlet smoothing parameter for the QL entries
+
+
+def fts_lmd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood (Dirichlet-smoothed) top-10 by corpus scan — the
+    second scoring model over the same query set (see `query/lm.py` for the
+    formula and its rank-invariant simplification). Exact-semantics oracle
+    for the index path (`fts_lmd_index`)."""
+    docs = _docs(spark, sf_dir).cache()
+    c_total = float(docs.agg(F.sum("doclen")).collect()[0][0])
+    posts = (
+        docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
+        .groupBy("term", "doc_id", "doclen")
+        .agg(F.count("*").alias("tf"))
+    )
+    cfs = posts.groupBy("term").agg(F.sum("tf").alias("cf"))
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    qt = (
+        queries.select("qid", F.explode(tokens_col("question")).alias("term"))
+        .groupBy("qid", "term")
+        .agg(F.count("*").alias("qtf"))
+    )
+    qv = qt.join(cfs, "term")  # query terms present in the collection vocab
+    mu = LMD_MU
+    ml = F.col("qtf") * F.log1p(
+        F.col("tf") / (F.lit(mu) * F.col("cf") / F.lit(c_total))
+    )
+    agg = (
+        posts.join(F.broadcast(qv), "term")
+        .withColumn("ml", ml)
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("ml").alias("mlsum"), F.first("doclen").alias("doclen"))
+    )
+    qn = qv.groupBy("qid").agg(F.sum("qtf").alias("nq"))
+    scored = agg.join(F.broadcast(qn), "qid").withColumn(
+        "score",
+        F.col("mlsum")
+        + F.col("nq") * F.log(F.lit(mu) / (F.col("doclen") + F.lit(mu))),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
+    )
+
+
+def fts_lmd_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_lmd_topk` answered from the segment index (`query/lm.py`): the
+    same blocks price under a different scorer at query time — tf/dl come
+    from the payloads, cf from the dictionary, nothing re-encoded. Shares
+    the corpus-scan oracle."""
+    from colbert_spark.query.lm import lm_topk_segments
+
+    idx = _positional_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    hits = lm_topk_segments(spark, idx, queries, k=TOPK + 5, mu=LMD_MU)
+    mapped = _map_index_docs(
+        spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    )
+    return (
+        mapped.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
+    )
+
+
 MIN_MATCH = 2  # minimum-should-match threshold for the msm entries
 
 
@@ -1131,6 +1203,41 @@ ORACLES["fts_msm_bm25"] = f"""
 # index path ≡ corpus scan, same oracle
 ORACLES["fts_msm_index"] = ORACLES["fts_msm_bm25"]
 
+ORACLES["fts_lmd_topk"] = f"""
+    WITH q(qid, question) AS (VALUES {_values_clause()}),
+    tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+    stats AS (SELECT sum(doclen)::DOUBLE AS c FROM dl),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+    cfs AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+    qt AS (SELECT qid, unnest({_QTOK}) AS term FROM q),
+    qtf AS (SELECT qid, term, count(*) AS qtf FROM qt GROUP BY qid, term),
+    qv AS (SELECT qtf.qid, qtf.term, qtf.qtf, cfs.cf FROM qtf JOIN cfs USING (term)),
+    agg AS (
+      SELECT qv.qid::BIGINT AS qid, tf.doc_id,
+             sum(qv.qtf * ln(1 + tf.tf / ({LMD_MU} * qv.cf / stats.c))) AS mlsum,
+             first(dl.doclen) AS doclen
+      FROM qv
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY qv.qid, tf.doc_id),
+    qn AS (SELECT qid, sum(qtf) AS nq FROM qv GROUP BY qid),
+    scored AS (
+      SELECT agg.qid, agg.doc_id,
+             agg.mlsum + qn.nq * ln({LMD_MU} / (agg.doclen + {LMD_MU})) AS score
+      FROM agg JOIN qn ON agg.qid = qn.qid),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+# index path ≡ corpus scan, same oracle
+ORACLES["fts_lmd_index"] = ORACLES["fts_lmd_topk"]
+
 _PREFIX_VALUES = ", ".join(
     f"({qid}, '{pat}', {'TRUE' if pre else 'FALSE'}, {qtf})"
     for qid, pat, pre, qtf in PREFIX_PARSED
@@ -1196,6 +1303,8 @@ QUERIES = {
     "fts_filtered_index": fts_filtered_index,
     "fts_msm_bm25": fts_msm_bm25,
     "fts_msm_index": fts_msm_index,
+    "fts_lmd_topk": fts_lmd_topk,
+    "fts_lmd_index": fts_lmd_index,
     "fts_topk_docs": fts_topk_docs,
     "fts_snippet": fts_snippet,
     "fts_eval_recall": fts_eval_recall,

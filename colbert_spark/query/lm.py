@@ -1,0 +1,180 @@
+"""Query-likelihood ranking with Dirichlet smoothing — a second scoring
+model over the SAME segment blocks (blocks store tf/dl and the dictionary
+stores cf, so any tf/dl/df/cf scorer prices them at query time; nothing is
+re-encoded — the same property that makes the blocks idf-free for BM25).
+
+Semantics (shared verbatim by the DuckDB oracle): for docs matching ≥1
+query term,
+
+    score(q, d) = Σ_t qtf_t · ln(1 + tf_td / (μ · cf_t / C))
+                + (Σ_t qtf_t) · ln(μ / (dl_d + μ))
+
+with both sums over the query terms present in the COLLECTION vocabulary
+(C = total collection tokens). This is the standard query-likelihood
+decomposition with the doc-independent Σ qtf·ln p(t|C) dropped
+(rank-invariant). Docs matching no query term are not ranked.
+
+Scale shape = the BM25 batch path: broadcast dictionary resolution, pruned
+segment scan, ONE bucket-keyed shuffle, shared decode per (bucket, term)
+across the whole query batch, per-bucket top-k then one global window.
+
+Reference parity: beyond-reference surface (the reference scores only its
+dense MaxSim, ``colbert/modeling/colbert_model.py``); cross-checked against
+the DataFrame/DuckDB corpus-scan oracle like every other operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from colbert_spark.index.codec import decode_block
+from colbert_spark.query.wand import (
+    _EMPTY,
+    KERNEL_OUT_SCHEMA,
+    TOPK_SCHEMA,
+    IndexSearcher,
+    query_terms_df,
+)
+
+MU_DEFAULT = 2000.0
+
+
+def make_lm_kernel(query_batch, k: int, mu: float, c_total: float, prefixed: bool):
+    """Kernel for one bucket frame: decode each needed term's postings once,
+    score every query of the batch with the QL-Dirichlet formula, emit the
+    per-bucket top-k per qid. Exhaustive (no pruning metadata exists for this
+    scorer — block max_unit is a BM25 bound), which matches the dense BM25
+    batch path's cost model."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        payload = query_batch.value if hasattr(query_batch, "value") else query_batch
+        batch, cf_map = payload
+        cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for tid, sub in pdf.groupby("term_id", sort=False):
+            docs_l, tfs_l, dls_l = [], [], []
+            for db, tb, lb in zip(sub["doc_bytes"], sub["tf_bytes"], sub["dl_bytes"]):
+                docs_l.append(np.cumsum(decode_block(db, prefixed)))
+                tfs_l.append(decode_block(tb, prefixed))
+                dls_l.append(decode_block(lb, prefixed))
+            cache[int(tid)] = (
+                np.concatenate(docs_l),
+                np.concatenate(tfs_l),
+                np.concatenate(dls_l),
+            )
+        if not cache:
+            return _EMPTY
+        lo = min(int(d[0].min()) for d in cache.values())
+        hi = max(int(d[0].max()) for d in cache.values())
+        span = hi - lo + 1
+        acc = np.zeros(span, dtype=np.float64)
+        dl_span = np.zeros(span, dtype=np.float64)
+        for docs, _, dls in cache.values():
+            dl_span[docs - lo] = dls  # same dl from every term's stream
+        out_q, out_d, out_s = [], [], []
+        for qid, tids, qtfs, nq in batch:
+            present = [
+                (cache[t], float(qtf), float(cf_map[t]))
+                for t, qtf in zip(tids, qtfs)
+                if t in cache
+            ]
+            if not present:
+                continue
+            acc[:] = 0.0
+            for (docs, tfs, _), qtf, cf in present:  # ascending term_id
+                acc[docs - lo] += qtf * np.log1p(tfs / (mu * cf / c_total))
+            nz = np.flatnonzero(acc)  # tf ≥ 1 ⇒ every match contributes > 0
+            if not nz.size:
+                continue
+            scores = acc[nz] + nq * np.log(mu / (dl_span[nz] + mu))
+            top = min(k, nz.size)
+            if nz.size > top:
+                kth = np.partition(scores, nz.size - top)[nz.size - top]
+                keep = scores >= kth
+                nz, scores = nz[keep], scores[keep]
+            sel = np.lexsort((nz, -scores))[:top]
+            out_q.append(np.full(len(sel), qid, dtype=np.int64))
+            out_d.append(nz[sel] + lo)
+            out_s.append(scores[sel])
+        if not out_q:
+            return _EMPTY
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    return kernel
+
+
+def lm_topk_segments(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    mu: float = MU_DEFAULT,
+    as_of_epoch: int | None = None,
+) -> DataFrame:
+    """queries(qid, question) → (qid, rank, doc_id, score) under
+    QL-Dirichlet, from the segment index."""
+    s = IndexSearcher(spark, index_dir, as_of_epoch=as_of_epoch)
+    qt = query_terms_df(queries)
+    qrows = (
+        s.term_dict.join(F.broadcast(qt), "term")
+        .select("qid", "term_id", "qtf", "cf")
+        .collect()
+    )
+    if not qrows:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    cf_map = {int(r["term_id"]): float(r["cf"]) for r in qrows}
+    by_qid: dict[int, list[tuple[int, int]]] = {}
+    for r in qrows:
+        by_qid.setdefault(r["qid"], []).append((r["term_id"], r["qtf"]))
+    batch = []
+    for qid, pairs in by_qid.items():
+        pairs.sort()  # ascending term_id == the oracle's accumulation order
+        tids = np.array([p[0] for p in pairs], dtype=np.int64)
+        qtfs = np.array([p[1] for p in pairs], dtype=np.float64)
+        batch.append((qid, tids, qtfs, float(qtfs.sum())))
+    all_tids = sorted(cf_map)
+
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    shuffled = (
+        s.pruned_scan(all_tids)
+        .repartition(p, "bucket")
+        .sortWithinPartitions("bucket", "term_id", "first_doc")
+    )
+    bc = spark.sparkContext.broadcast((batch, cf_map))
+    kernel = make_lm_kernel(
+        bc, k, float(mu), float(s.stats["total_cf"]),
+        prefixed=s.stats.get("segver", 2) >= 3,
+    )
+
+    def stream(batches):
+        tail: pd.DataFrame | None = None
+        for pdf in batches:
+            if tail is not None and len(tail):
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_b = pdf["bucket"].iat[-1]
+            is_tail = pdf["bucket"] == last_b
+            tail = pdf[is_tail]
+            body = pdf[~is_tail]
+            if len(body):
+                out = [kernel(g) for _, g in body.groupby("bucket", sort=False)]
+                yield pd.concat(out, ignore_index=True) if out else _EMPTY
+        if tail is not None and len(tail):
+            yield kernel(tail)
+
+    partial = shuffled.mapInPandas(stream, KERNEL_OUT_SCHEMA)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
