@@ -666,10 +666,11 @@ def build_index(
 
     # plain join: AQE converts it to broadcast while the vocabulary is small
     # and falls back to a skew-split shuffle join at web-scale vocabularies.
-    # The shuffle payload is ONLY (doc_id, doclen, term_id): bucket, tshard
-    # and sub travel as hash EXPRESSIONS of the repartition (and are
-    # re-derived inside the kernel), never as row columns — and df stays in
-    # the dictionary (idf-free block format, see SEGMENT_SCHEMA).
+    # The shuffle payload is ONLY (doc_id, doclen, term_id) — plus the
+    # occurrence position for positional builds: bucket, tshard and sub
+    # travel as hash EXPRESSIONS of the repartition (and are re-derived
+    # inside the kernel), never as row columns — and df stays in the
+    # dictionary (idf-free block format, see SEGMENT_SCHEMA).
     posts = tokens.join(tdict_ids.select("term", "term_id"), "term").drop("term")
     resumed = resume and os.path.isdir(manifest_path)
     if resumed:

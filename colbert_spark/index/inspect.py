@@ -102,14 +102,21 @@ def index_fsck(
     meta = segments.select(
         "bucket", "term_id", "block_id", "first_doc", "last_doc", "n"
     )
-    bad_rows = meta.filter(
+    bad_pred = (
         (F.col("n") <= 0)
         | (F.col("n") > BLOCK_SIZE)
         | (F.col("first_doc") > F.col("last_doc"))
         | (F.col("first_doc") < F.col("bucket") * bucket_size)
         | (F.col("last_doc") >= (F.col("bucket") + 1) * bucket_size)
         | (F.col("last_doc") >= stats["N"])
-    ).count()
+    )
+    # one metadata scan yields both the total and the violation count
+    mrow = meta.agg(
+        F.count("*").alias("total"),
+        F.sum(bad_pred.cast("long")).alias("bad"),
+    ).collect()[0]
+    blocks_checked = int(mrow["total"] or 0)
+    bad_rows = int(mrow["bad"] or 0)
     if bad_rows:
         errors.append(f"{bad_rows} blocks with inconsistent metadata")
 
@@ -156,7 +163,10 @@ def index_fsck(
                         n_bad += int(not ok)
                     except Exception:
                         n_bad += 1
-                yield pd.DataFrame({"ok": [n_ok], "bad": [n_bad]})
+            # one summary row per PARTITION, after all its Arrow batches —
+            # yielding inside the batch loop would re-emit the running
+            # totals once per batch and over-count
+            yield pd.DataFrame({"ok": [n_ok], "bad": [n_bad]})
 
         res = (
             segments.select(*cols)
@@ -171,7 +181,7 @@ def index_fsck(
     return {
         "ok": not errors,
         "errors": errors,
-        "blocks_checked": meta.count(),
+        "blocks_checked": blocks_checked,
         "blocks_decoded": decoded_blocks,
         "deep": deep,
     }

@@ -72,6 +72,21 @@ def fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fts_bm25_topk(spark, sf_dir, TOPK)
 
 
+def _rank_topk(scored, k: int = TOPK):
+    """The engine's tie-break contract, shared by every ranked entry AND its
+    oracle: rank per qid on (round(score, 9) DESC, doc_id ASC), keep k, emit
+    round(score, 4) AS score_r. One definition so the protocol cannot drift
+    between operators."""
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
+    )
+
+
 def _fts_bm25_topk(
     spark: SparkSession, sf_dir: str, k: int, allowed: DataFrame | None = None
 ) -> DataFrame:
@@ -113,12 +128,7 @@ def _fts_bm25_topk(
         .groupBy("qid", "doc_id")
         .agg(F.sum("contrib").alias("score"))
     )
-    w = Window.partitionBy("qid").orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
-    )
+    return _rank_topk(agg, k)
 
 
 def fts_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,12 +238,7 @@ def fts_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_req), "qid")
         .filter(F.col("n_matched") == F.col("n_req"))
     )
-    w = Window.partitionBy("qid").orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK)
-        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
-    )
+    return _rank_topk(agg)
 
 
 # fixed phrase set for exact-adjacency matching (tokenizer-normal word pairs)
@@ -346,14 +351,7 @@ def fts_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = bm25_topk_segments(spark, idx, queries, k=TOPK + 5)
     mapped = _map_index_docs(spark, idx, hits.select("qid", "doc_id", "score"),
                              "qid", "score")
-    w = Window.partitionBy("qid").orderBy(
-        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
-    )
-    return (
-        mapped.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK)
-        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
-    )
+    return _rank_topk(mapped)
 
 
 # fixed proximity set: (pair_id, t1, t2); NEAR/w with |pos(t1)−pos(t2)| ≤ w
@@ -456,14 +454,7 @@ def fts_lmd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mlsum")
         + F.col("nq") * F.log(F.lit(mu) / (F.col("doclen") + F.lit(mu))),
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK)
-        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
-    )
+    return _rank_topk(scored)
 
 
 def fts_lmd_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,14 +470,7 @@ def fts_lmd_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapped = _map_index_docs(
         spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
-    )
-    return (
-        mapped.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK)
-        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
-    )
+    return _rank_topk(mapped)
 
 
 MIN_MATCH = 2  # minimum-should-match threshold for the msm entries
@@ -532,14 +516,7 @@ def fts_msm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_matched") >= MIN_MATCH)
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
-    )
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK)
-        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
-    )
+    return _rank_topk(agg)
 
 
 def fts_msm_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,14 +532,7 @@ def fts_msm_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapped = _map_index_docs(
         spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
-    )
-    return (
-        mapped.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK)
-        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
-    )
+    return _rank_topk(mapped)
 
 
 # filtered retrieval predicate (≈44% of docs at every sf)
@@ -605,14 +575,7 @@ def fts_filtered_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapped = _map_index_docs(
         spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
-    )
-    return (
-        mapped.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK)
-        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
-    )
+    return _rank_topk(mapped)
 
 
 # prefix/wildcard query set: a trailing '*' expands against the vocabulary
@@ -692,14 +655,7 @@ def fts_prefix_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid", "doc_id")
         .agg(F.sum("contrib").alias("score"))
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
-    )
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK)
-        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
-    )
+    return _rank_topk(agg)
 
 
 def fts_prefix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,14 +697,7 @@ def fts_prefix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapped = _map_index_docs(
         spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
-    )
-    return (
-        mapped.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK)
-        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
-    )
+    return _rank_topk(mapped)
 
 
 EVAL_DEPTH = 100  # retrieval depth for the metric protocol

@@ -36,6 +36,7 @@ from colbert_spark.query.wand import (
     KERNEL_OUT_SCHEMA,
     TOPK_SCHEMA,
     IndexSearcher,
+    bucket_frame_stream,
     query_terms_df,
 )
 
@@ -149,29 +150,16 @@ def lm_topk_segments(
         .sortWithinPartitions("bucket", "term_id", "first_doc")
     )
     bc = spark.sparkContext.broadcast((batch, cf_map))
+    # legacy stats.json may predate total_cf; avgdl·N prices it exactly
+    c_total = float(s.stats.get("total_cf") or s.stats["avgdl"] * s.stats["N"])
     kernel = make_lm_kernel(
-        bc, k, float(mu), float(s.stats["total_cf"]),
+        bc, k, float(mu), c_total,
         prefixed=s.stats.get("segver", 2) >= 3,
     )
 
-    def stream(batches):
-        tail: pd.DataFrame | None = None
-        for pdf in batches:
-            if tail is not None and len(tail):
-                pdf = pd.concat([tail, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
-            last_b = pdf["bucket"].iat[-1]
-            is_tail = pdf["bucket"] == last_b
-            tail = pdf[is_tail]
-            body = pdf[~is_tail]
-            if len(body):
-                out = [kernel(g) for _, g in body.groupby("bucket", sort=False)]
-                yield pd.concat(out, ignore_index=True) if out else _EMPTY
-        if tail is not None and len(tail):
-            yield kernel(tail)
-
-    partial = shuffled.mapInPandas(stream, KERNEL_OUT_SCHEMA)
+    partial = shuffled.mapInPandas(
+        bucket_frame_stream(kernel, _EMPTY), KERNEL_OUT_SCHEMA
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         partial.withColumn("rank", F.row_number().over(w))

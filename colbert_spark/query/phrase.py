@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from colbert_spark.functions.tokenizer import tokens_col
 from colbert_spark.index.codec import decode_block
-from colbert_spark.query.wand import load_index
+from colbert_spark.query.wand import bucket_frame_stream, load_index
 
 PHRASE_OUT_SCHEMA = "phrase_id long, doc_id long, n_occ long"
 
@@ -91,7 +91,7 @@ def _make_phrase_kernel(phrase_map, bucket_size: int):
         bucket_lo = np.int64(int(pdf["bucket"].iat[0])) * np.int64(bucket_size)
         cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for tid, sub in pdf.groupby("term_id", sort=False):
-            cache[int(tid)] = _term_occurrences(sub.sort_values("first_doc"))
+            cache[int(tid)] = _term_occurrences(sub)
         out_p, out_d, out_n = [], [], []
         for pid, tids in phrases:
             if any(t not in cache for t in tids):
@@ -146,25 +146,7 @@ def _positional_scan(spark, segments, stats, all_tids, kernel, schema, empty):
     shuffled = seg.repartition(p, "bucket").sortWithinPartitions(
         "bucket", "term_id", "first_doc"
     )
-
-    def stream(batches):
-        tail: pd.DataFrame | None = None
-        for pdf in batches:
-            if tail is not None and len(tail):
-                pdf = pd.concat([tail, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
-            last_b = pdf["bucket"].iat[-1]
-            is_tail = pdf["bucket"] == last_b
-            tail = pdf[is_tail]
-            body = pdf[~is_tail]
-            if len(body):
-                out = [kernel(g) for _, g in body.groupby("bucket", sort=False)]
-                yield pd.concat(out, ignore_index=True) if out else empty
-        if tail is not None and len(tail):
-            yield kernel(tail)
-
-    return shuffled.mapInPandas(stream, schema)
+    return shuffled.mapInPandas(bucket_frame_stream(kernel, empty), schema)
 
 
 def _require_positions(stats) -> None:
@@ -244,7 +226,7 @@ def _make_near_kernel(pair_map, bucket_size: int, window: int):
         bucket_lo = np.int64(int(pdf["bucket"].iat[0])) * np.int64(bucket_size)
         cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for tid, sub in pdf.groupby("term_id", sort=False):
-            cache[int(tid)] = _term_occurrences(sub.sort_values("first_doc"))
+            cache[int(tid)] = _term_occurrences(sub)
         out_p, out_d, out_n = [], [], []
         for pid, t1, t2 in pairs:
             if t1 not in cache or t2 not in cache:

@@ -378,6 +378,33 @@ def make_batch_kernel(
     return kernel
 
 
+def bucket_frame_stream(kernel, empty: pd.DataFrame):
+    """mapInPandas generator factory: feed `kernel` one COMPLETE bucket frame
+    at a time. The trailing (possibly incomplete) bucket group of each Arrow
+    batch carries into the next, so a bucket never splits across kernel calls
+    and Python overhead is per-partition, not per-bucket. Shared by every
+    bucket-keyed scorer (BM25 batch, QL-Dirichlet, phrase/NEAR)."""
+
+    def stream(batches):
+        tail: pd.DataFrame | None = None
+        for pdf in batches:
+            if tail is not None and len(tail):
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_b = pdf["bucket"].iat[-1]
+            is_tail = pdf["bucket"] == last_b
+            tail = pdf[is_tail]
+            body = pdf[~is_tail]
+            if len(body):
+                out = [kernel(g) for _, g in body.groupby("bucket", sort=False)]
+                yield pd.concat(out, ignore_index=True) if out else empty
+        if tail is not None and len(tail):
+            yield kernel(tail)
+
+    return stream
+
+
 def make_filtered_kernel(
     query_batch,
     k: int,
@@ -600,28 +627,9 @@ class IndexSearcher:
             else 1.0,
         )
 
-        def stream(batches):
-            """One streaming pass per partition: the trailing (possibly
-            incomplete) bucket group of each Arrow batch carries into the
-            next, so a bucket never splits and Python overhead is
-            per-partition, not per-bucket."""
-            tail: pd.DataFrame | None = None
-            for pdf in batches:
-                if tail is not None and len(tail):
-                    pdf = pd.concat([tail, pdf], ignore_index=True)
-                if not len(pdf):
-                    continue
-                last_b = pdf["bucket"].iat[-1]
-                is_tail = pdf["bucket"] == last_b
-                tail = pdf[is_tail]
-                body = pdf[~is_tail]
-                if len(body):
-                    out = [kernel(g) for _, g in body.groupby("bucket", sort=False)]
-                    yield pd.concat(out, ignore_index=True) if out else _EMPTY
-            if tail is not None and len(tail):
-                yield kernel(tail)
-
-        partial = shuffled.mapInPandas(stream, KERNEL_OUT_SCHEMA)
+        partial = shuffled.mapInPandas(
+            bucket_frame_stream(kernel, _EMPTY), KERNEL_OUT_SCHEMA
+        )
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             partial.withColumn("rank", F.row_number().over(w))
