@@ -157,3 +157,35 @@ def test_pfor_all_zeros_and_equal():
 def test_v2_unprefixed_decode_still_works():
     arr = np.array([3, 1, 4, 1, 5, 926], dtype=np.int64)
     assert decode_block(vb_encode(arr), prefixed=False).tolist() == arr.tolist()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**32), min_size=0, max_size=400),
+    st.data(),
+)
+def test_vb_encode_payloads_slicing(values, data):
+    """The positional-stream slicer: one global varbyte encode cut at
+    arbitrary block boundaries must yield per-block tagged payloads that
+    `decode_block` round-trips to exactly the original slices (including
+    empty slices — a block whose postings all have tf counted elsewhere)."""
+    from colbert_spark.index.codec import vb_encode_payloads
+
+    arr = np.array(values, dtype=np.int64)
+    n_cuts = data.draw(st.integers(min_value=0, max_value=8))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(values)),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    bounds = [0] + cuts + [len(values)]
+    starts = np.array(bounds[:-1], dtype=np.int64)
+    ends = np.array(bounds[1:], dtype=np.int64)
+    payloads = vb_encode_payloads(arr, starts, ends)
+    assert len(payloads) == len(starts)
+    for p, s, e in zip(payloads, bounds[:-1], bounds[1:]):
+        assert decode_block(p).tolist() == values[s:e]
