@@ -415,6 +415,60 @@ def fts_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fts_snippet_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_snippet` with the highlighting positions answered from the
+    POSITIONAL INDEX (`query/phrase.py:first_hit_segments`) instead of
+    array-scanning each hit document's tokens: BM25 top-k from the segment
+    kernel, first-hit position from posting positions for just the k·|Q|
+    candidate pairs, and only the final window slice touches document text.
+    Shares `fts_snippet`'s oracle — the value-hash compare proves stored
+    positions reproduce the corpus-scan highlighting exactly."""
+    import os
+
+    from colbert_spark.query.phrase import first_hit_segments
+    from colbert_spark.query.wand import bm25_topk_segments
+
+    idx = _positional_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    hits = bm25_topk_segments(spark, idx, queries, k=TOPK + 5)
+    # index doc_ids are the dense rank of zero-padded table ids, so the
+    # (round-9 score, doc_id) tie-break orders identically to the oracle's
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    )
+    ranked = (
+        hits.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "rank", F.col("doc_id").alias("idx_doc"))
+    )
+    fh = first_hit_segments(
+        spark, idx, queries, ranked.select("qid", F.col("idx_doc").alias("doc_id"))
+    ).select("qid", F.col("doc_id").alias("idx_doc"), "first_pos")
+    back = spark.read.parquet(os.path.join(idx, "docs")).select(
+        F.col("doc_id").alias("idx_doc"), F.col("url").cast("long").alias("table_doc")
+    )
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("table_doc"), tokens_col("text").alias("toks")
+    )
+    j = (
+        ranked.join(fh, ["qid", "idx_doc"])
+        .join(back, "idx_doc")
+        .join(toks, "table_doc")
+        .withColumn("fp1", F.col("first_pos") + 1)  # oracle is 1-based
+    )
+    snippet = F.expr(
+        f"array_join(slice(toks, greatest(fp1 - {SNIPPET_BEFORE}, 1),"
+        f" {SNIPPET_LEN}), ' ')"
+    )
+    return j.select(
+        "qid",
+        "rank",
+        F.col("table_doc").alias("doc_id"),
+        F.col("fp1").cast("long").alias("first_pos"),
+        snippet.alias("snippet"),
+    ).orderBy("qid", "rank")
+
+
 LMD_MU = 2000.0  # Dirichlet smoothing parameter for the QL entries
 
 
@@ -1187,6 +1241,9 @@ ORACLES["fts_lmd_topk"] = f"""
 # index path ≡ corpus scan, same oracle
 ORACLES["fts_lmd_index"] = ORACLES["fts_lmd_topk"]
 
+# index-backed snippets must reproduce the corpus-scan highlighting exactly
+ORACLES["fts_snippet_index"] = ORACLES["fts_snippet"]
+
 _PREFIX_VALUES = ", ".join(
     f"({qid}, '{pat}', {'TRUE' if pre else 'FALSE'}, {qtf})"
     for qid, pat, pre, qtf in PREFIX_PARSED
@@ -1254,6 +1311,7 @@ QUERIES = {
     "fts_msm_index": fts_msm_index,
     "fts_lmd_topk": fts_lmd_topk,
     "fts_lmd_index": fts_lmd_index,
+    "fts_snippet_index": fts_snippet_index,
     "fts_topk_docs": fts_topk_docs,
     "fts_snippet": fts_snippet,
     "fts_eval_recall": fts_eval_recall,

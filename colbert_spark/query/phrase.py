@@ -202,6 +202,101 @@ def phrase_match_segments(
     )
 
 
+FIRSTHIT_OUT_SCHEMA = "qid long, doc_id long, first_pos long"
+
+_FH_EMPTY = pd.DataFrame(
+    {
+        "qid": pd.Series([], dtype="int64"),
+        "doc_id": pd.Series([], dtype="int64"),
+        "first_pos": pd.Series([], dtype="int64"),
+    }
+)
+
+
+def _make_firsthit_kernel(payload_bc, bucket_size: int):
+    """Kernel for one bucket frame: per needed term, the FIRST occurrence
+    position per doc (one np.unique over the sorted occurrence stream); each
+    (qid, candidate-doc) pair then takes the min over the query's terms via
+    binary-search probes. Candidates are a broadcast k·|Q| set — tiny by
+    construction (they come from a top-k), so the probe loop is bounded."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        payload = payload_bc.value if hasattr(payload_bc, "value") else payload_bc
+        qid_terms, cands = payload
+        bkt = int(pdf["bucket"].iat[0])
+        lo, hi = bkt * bucket_size, (bkt + 1) * bucket_size
+        mine = [(q, d) for q, d in cands if lo <= d < hi]
+        if not mine:
+            return _FH_EMPTY
+        cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for tid, sub in pdf.groupby("term_id", sort=False):
+            od, op = _term_occurrences(sub)
+            ud, idx = np.unique(od, return_index=True)  # stream is (doc,pos)-
+            cache[int(tid)] = (ud, op[idx])  # sorted ⇒ idx = first occurrence
+        out_q, out_d, out_p = [], [], []
+        for q, d in mine:
+            best = None
+            for t in qid_terms.get(q, ()):
+                e = cache.get(t)
+                if e is None:
+                    continue
+                ud, fp = e
+                i = int(np.searchsorted(ud, d))
+                if i < len(ud) and ud[i] == d:
+                    p = int(fp[i])
+                    best = p if best is None or p < best else best
+            if best is not None:
+                out_q.append(q)
+                out_d.append(d)
+                out_p.append(best)
+        if not out_q:
+            return _FH_EMPTY
+        return pd.DataFrame(
+            {
+                "qid": np.array(out_q, dtype=np.int64),
+                "doc_id": np.array(out_d, dtype=np.int64),
+                "first_pos": np.array(out_p, dtype=np.int64),
+            }
+        )
+
+    return kernel
+
+
+def first_hit_segments(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    candidates: DataFrame,
+    as_of_epoch: int | None = None,
+) -> DataFrame:
+    """(qid, doc_id, first_pos) for each candidate pair: the 0-BASED position
+    of the EARLIEST occurrence of any of the query's distinct terms in that
+    doc — the highlighting primitive, answered from posting positions
+    without touching document text. `candidates(qid, doc_id)` is a top-k
+    result (k·|Q| rows — broadcast-small by construction); pairs whose doc
+    contains no query term produce no row."""
+    segments, term_dict, stats = load_index(spark, index_dir, as_of_epoch)
+    _require_positions(stats)
+    qtoks = queries.select(
+        "qid", F.explode(F.array_distinct(tokens_col("question"))).alias("term")
+    )
+    resolved = (
+        term_dict.join(F.broadcast(qtoks), "term").select("qid", "term_id").collect()
+    )
+    qid_terms: dict[int, list[int]] = {}
+    for r in resolved:
+        qid_terms.setdefault(r["qid"], []).append(r["term_id"])
+    cands = [(r["qid"], r["doc_id"]) for r in candidates.collect()]
+    if not qid_terms or not cands:
+        return spark.createDataFrame([], FIRSTHIT_OUT_SCHEMA)
+    all_tids = sorted({t for ts in qid_terms.values() for t in ts})
+    bc = spark.sparkContext.broadcast((qid_terms, cands))
+    kernel = _make_firsthit_kernel(bc, int(stats["bucket_size"]))
+    return _positional_scan(
+        spark, segments, stats, all_tids, kernel, FIRSTHIT_OUT_SCHEMA, _FH_EMPTY
+    )
+
+
 NEAR_OUT_SCHEMA = "pair_id long, doc_id long, n_anchor long"
 
 _NEAR_EMPTY = pd.DataFrame(

@@ -18,7 +18,11 @@ from colbert_spark.functions.tokenizer import py_tokenize
 from colbert_spark.index.build import append_index, build_index
 from colbert_spark.index.compact import compact_index
 from colbert_spark.oracle import OracleIndex
-from colbert_spark.query.phrase import near_match_segments, phrase_match_segments
+from colbert_spark.query.phrase import (
+    first_hit_segments,
+    near_match_segments,
+    phrase_match_segments,
+)
 from colbert_spark.query.wand import IndexSearcher
 
 PHRASES = [
@@ -173,6 +177,34 @@ def test_near_matches_oracle_at_each_window(spark, pos_index, window):
         )
     if window == 4:  # sanity: the common pair actually matches something
         assert len(got.get(0, {})) > 3
+
+
+def test_first_hit_matches_tokenizer(spark, pos_index):
+    """first_hit_segments must return, for every candidate (query, doc)
+    pair, the earliest 0-based occurrence of any query term per the same
+    tokenizer — and no row when the doc contains none of the terms."""
+    d, _, toks = pos_index
+    queries = spark.createDataFrame(
+        [(0, "term00000 term00007"), (1, "zzznotindexed")],
+        "qid long, question string",
+    )
+    cand = spark.createDataFrame(
+        [(0, dd) for dd in range(40)] + [(1, dd) for dd in range(10)],
+        "qid long, doc_id long",
+    )
+    got = {
+        (r["qid"], r["doc_id"]): r["first_pos"]
+        for r in first_hit_segments(spark, d, queries, cand).collect()
+    }
+    want = {}
+    for dd in range(40):
+        pos = [
+            i for i, t in enumerate(toks[dd]) if t in ("term00000", "term00007")
+        ]
+        if pos:
+            want[(0, dd)] = min(pos)
+    assert got == want
+    assert want, "candidates should include real hits"
 
 
 def test_phrase_requires_positional_index(spark, tiny_corpus, tmp_path_factory):
