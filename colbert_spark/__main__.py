@@ -78,7 +78,7 @@ def _cmd_compact(args) -> int:
 
 
 def _cmd_query(args) -> int:
-    from colbert_spark.query.wand import bm25_topk_segments
+    from colbert_spark.query.wand import IndexSearcher
     from colbert_spark.session import get_spark
 
     spark = get_spark("colbert-query")
@@ -90,9 +90,17 @@ def _cmd_query(args) -> int:
     queries = spark.createDataFrame(
         [(i, q) for i, q in enumerate(questions)], "qid long, question string"
     )
-    res = bm25_topk_segments(
-        spark, args.index, queries, k=args.k, as_of_epoch=args.as_of_epoch
-    )
+    if args.scorer == "lmd":
+        from colbert_spark.query.lm import lm_topk_segments
+
+        res = lm_topk_segments(
+            spark, args.index, queries, k=args.k, mu=args.mu,
+            as_of_epoch=args.as_of_epoch,
+        )
+    else:
+        res = IndexSearcher(spark, args.index, as_of_epoch=args.as_of_epoch).search(
+            queries, k=args.k, min_match=args.min_match
+        )
     for r in res.collect():
         print(json.dumps({"qid": r["qid"], "rank": r["rank"], "doc_id": r["doc_id"], "score": r["score"]}))
     return 0
@@ -191,6 +199,15 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         dest="as_of_epoch",
         help="query the index's time-travel snapshot of this epoch (0 = base build)",
+    )
+    qp.add_argument(
+        "--scorer", choices=["bm25", "lmd"], default="bm25",
+        help="ranking model: BM25 (default) or query-likelihood Dirichlet",
+    )
+    qp.add_argument("--mu", type=float, default=2000.0, help="Dirichlet mu (lmd)")
+    qp.add_argument(
+        "--min-match", type=int, default=1, dest="min_match",
+        help="rank only docs matching at least this many distinct query terms (bm25)",
     )
     qp.set_defaults(fn=_cmd_query)
 
