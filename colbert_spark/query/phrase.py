@@ -127,25 +127,34 @@ def _make_phrase_kernel(phrase_map, bucket_size: int):
     return kernel
 
 
-def _positional_scan(spark, segments, stats, all_tids, kernel, schema, empty):
+def _positional_scan(spark, segments, stats, all_tids, kernel, schema, empty,
+                     warm=None):
     """Shared scale shape of every positions consumer: prune the segment scan
     to `all_tids` (tshard partition dirs + pushed term_id range), ONE shuffle
     keyed `bucket` alone, then run `kernel` once per bucket frame — blocks
     arrive sorted (bucket, term_id, first_doc) so each term's occurrence
-    stream decodes exactly once per bucket for the whole query batch."""
-    seg = segments
-    if "tshard" in seg.columns and stats.get("tshards"):
-        shards = sorted({t % stats["tshards"] for t in all_tids})
-        seg = seg.filter(F.col("tshard").isin(shards))  # dir pruning
-    seg = seg.filter(
-        F.col("term_id").isin(all_tids)
-        & F.col("term_id").between(min(all_tids), max(all_tids))
-    ).select("bucket", "term_id", "first_doc", "doc_bytes", "tf_bytes", "pos_bytes")
+    stream decodes exactly once per bucket for the whole query batch.
 
-    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    shuffled = seg.repartition(p, "bucket").sortWithinPartitions(
-        "bucket", "term_id", "first_doc"
-    )
+    `warm`: a persisted bucket-partitioned sorted frame
+    (`PositionalSearcher.warm`) — a narrow filter preserves its partitioning
+    and grouping contiguity, so a warm batch exchanges NO index data."""
+    if warm is not None:
+        shuffled = warm.filter(F.col("term_id").isin(all_tids))
+    else:
+        seg = segments
+        if "tshard" in seg.columns and stats.get("tshards"):
+            shards = sorted({t % stats["tshards"] for t in all_tids})
+            seg = seg.filter(F.col("tshard").isin(shards))  # dir pruning
+        seg = seg.filter(
+            F.col("term_id").isin(all_tids)
+            & F.col("term_id").between(min(all_tids), max(all_tids))
+        ).select(
+            "bucket", "term_id", "first_doc", "doc_bytes", "tf_bytes", "pos_bytes"
+        )
+        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        shuffled = seg.repartition(p, "bucket").sortWithinPartitions(
+            "bucket", "term_id", "first_doc"
+        )
     return shuffled.mapInPandas(bucket_frame_stream(kernel, empty), schema)
 
 
@@ -156,50 +165,159 @@ def _require_positions(stats) -> None:
         )
 
 
+class PositionalSearcher:
+    """Warm/batched service over one POSITIONAL index — the phrase/proximity/
+    highlighting sibling of `wand.IndexSearcher`. Construct once, query many
+    times; after `warm()` the bucket-partitioned sorted segments (INCLUDING
+    the position streams) stay persisted, so each batch is a narrow filter →
+    kernel with zero index-data exchange."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        as_of_epoch: int | None = None,
+    ):
+        self.spark = spark
+        self.segments, self.term_dict, self.stats = load_index(
+            spark, index_dir, as_of_epoch=as_of_epoch
+        )
+        _require_positions(self.stats)
+        self._warm: DataFrame | None = None
+
+    def warm(self) -> "PositionalSearcher":
+        if self._warm is None:
+            p = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            self._warm = (
+                self.segments.select(
+                    "bucket", "term_id", "first_doc",
+                    "doc_bytes", "tf_bytes", "pos_bytes",
+                )
+                .repartition(p, "bucket")
+                .sortWithinPartitions("bucket", "term_id", "first_doc")
+                .persist()
+            )
+            self._warm.count()
+        return self
+
+    def close(self) -> None:
+        if self._warm is not None:
+            self._warm.unpersist()
+            self._warm = None
+
+    def phrase(self, phrases: DataFrame) -> DataFrame:
+        """phrases(phrase_id, phrase) → (phrase_id, doc_id, n_occ) of every
+        doc containing the exact token sequence. A phrase with any
+        out-of-vocabulary token matches nothing; so does an empty
+        (all-punctuation) phrase."""
+        spark = self.spark
+        ptoks = phrases.select(
+            "phrase_id", F.posexplode(tokens_col("phrase")).alias("j", "term")
+        )
+        n_toks = {
+            r["phrase_id"]: r["n"]
+            for r in ptoks.groupBy("phrase_id").agg(F.count("*").alias("n")).collect()
+        }
+        # one broadcast join resolves the whole batch; the dictionary-side
+        # scan prunes via the join and is never collected
+        resolved = (
+            self.term_dict.join(F.broadcast(ptoks), "term")
+            .select("phrase_id", "j", "term_id")
+            .collect()
+        )
+        by_pid: dict[int, list[tuple[int, int]]] = {}
+        for r in resolved:
+            by_pid.setdefault(r["phrase_id"], []).append((r["j"], r["term_id"]))
+        phrase_list = []
+        for pid, pairs in by_pid.items():
+            if len(pairs) != n_toks.get(pid, -1):
+                continue  # an OOV token: the phrase cannot match
+            pairs.sort()
+            phrase_list.append((pid, [tid for _, tid in pairs]))
+        if not phrase_list:
+            return spark.createDataFrame([], PHRASE_OUT_SCHEMA)
+        all_tids = sorted({t for _, tids in phrase_list for t in tids})
+
+        bc = spark.sparkContext.broadcast(phrase_list)
+        kernel = _make_phrase_kernel(bc, int(self.stats["bucket_size"]))
+        return _positional_scan(
+            spark, self.segments, self.stats, all_tids, kernel,
+            PHRASE_OUT_SCHEMA, _EMPTY, warm=self._warm,
+        )
+
+    def near(self, pairs: DataFrame, window: int = 4) -> DataFrame:
+        """pairs(pair_id, t1, t2) → (pair_id, doc_id, n_anchor): proximity
+        (NEAR/w) retrieval. n_anchor counts the t1 occurrences that have a
+        t2 occurrence within `window` tokens in the same doc (unordered,
+        |Δpos| ≤ window). Each side must normalize to a single token under
+        the index grammar; a pair with an out-of-vocabulary side matches
+        nothing."""
+        spark = self.spark
+        sides = pairs.selectExpr(
+            "pair_id", "stack(2, 0, t1, 1, t2) as (side, raw)"
+        ).select("pair_id", "side", F.element_at(tokens_col("raw"), 1).alias("term"))
+        resolved = (
+            self.term_dict.join(F.broadcast(sides), "term")
+            .select("pair_id", "side", "term_id")
+            .collect()
+        )
+        by_pid: dict[int, dict[int, int]] = {}
+        for r in resolved:
+            by_pid.setdefault(r["pair_id"], {})[r["side"]] = r["term_id"]
+        pair_list = [
+            (pid, d[0], d[1]) for pid, d in by_pid.items() if 0 in d and 1 in d
+        ]
+        if not pair_list:
+            return spark.createDataFrame([], NEAR_OUT_SCHEMA)
+        all_tids = sorted({t for _, a, b in pair_list for t in (a, b)})
+
+        bc = spark.sparkContext.broadcast(pair_list)
+        kernel = _make_near_kernel(bc, int(self.stats["bucket_size"]), int(window))
+        return _positional_scan(
+            spark, self.segments, self.stats, all_tids, kernel,
+            NEAR_OUT_SCHEMA, _NEAR_EMPTY, warm=self._warm,
+        )
+
+    def first_hit(self, queries: DataFrame, candidates: DataFrame) -> DataFrame:
+        """(qid, doc_id, first_pos) for each candidate pair: the 0-BASED
+        position of the EARLIEST occurrence of any of the query's distinct
+        terms in that doc — the highlighting primitive, answered from
+        posting positions without touching document text. `candidates(qid,
+        doc_id)` is a top-k result (k·|Q| rows — broadcast-small by
+        construction); pairs whose doc contains no query term produce no
+        row."""
+        spark = self.spark
+        qtoks = queries.select(
+            "qid", F.explode(F.array_distinct(tokens_col("question"))).alias("term")
+        )
+        resolved = (
+            self.term_dict.join(F.broadcast(qtoks), "term")
+            .select("qid", "term_id")
+            .collect()
+        )
+        qid_terms: dict[int, list[int]] = {}
+        for r in resolved:
+            qid_terms.setdefault(r["qid"], []).append(r["term_id"])
+        cands = [(r["qid"], r["doc_id"]) for r in candidates.collect()]
+        if not qid_terms or not cands:
+            return spark.createDataFrame([], FIRSTHIT_OUT_SCHEMA)
+        all_tids = sorted({t for ts in qid_terms.values() for t in ts})
+        bc = spark.sparkContext.broadcast((qid_terms, cands))
+        kernel = _make_firsthit_kernel(bc, int(self.stats["bucket_size"]))
+        return _positional_scan(
+            spark, self.segments, self.stats, all_tids, kernel,
+            FIRSTHIT_OUT_SCHEMA, _FH_EMPTY, warm=self._warm,
+        )
+
+
 def phrase_match_segments(
     spark: SparkSession,
     index_dir: str,
     phrases: DataFrame,
     as_of_epoch: int | None = None,
 ) -> DataFrame:
-    """phrases(phrase_id, phrase) → (phrase_id, doc_id, n_occ) of every doc
-    containing the exact token sequence, from the positional segment index.
-    A phrase with any out-of-vocabulary token matches nothing; so does an
-    empty (all-punctuation) phrase."""
-    segments, term_dict, stats = load_index(spark, index_dir, as_of_epoch)
-    _require_positions(stats)
-    ptoks = phrases.select(
-        "phrase_id", F.posexplode(tokens_col("phrase")).alias("j", "term")
-    )
-    n_toks = {
-        r["phrase_id"]: r["n"]
-        for r in ptoks.groupBy("phrase_id").agg(F.count("*").alias("n")).collect()
-    }
-    # one broadcast join resolves the whole batch; the dictionary-side scan
-    # prunes via the join and is never collected
-    resolved = (
-        term_dict.join(F.broadcast(ptoks), "term")
-        .select("phrase_id", "j", "term_id")
-        .collect()
-    )
-    by_pid: dict[int, list[tuple[int, int]]] = {}
-    for r in resolved:
-        by_pid.setdefault(r["phrase_id"], []).append((r["j"], r["term_id"]))
-    phrase_list = []
-    for pid, pairs in by_pid.items():
-        if len(pairs) != n_toks.get(pid, -1):
-            continue  # an OOV token: the phrase cannot match
-        pairs.sort()
-        phrase_list.append((pid, [tid for _, tid in pairs]))
-    if not phrase_list:
-        return spark.createDataFrame([], PHRASE_OUT_SCHEMA)
-    all_tids = sorted({t for _, tids in phrase_list for t in tids})
-
-    bc = spark.sparkContext.broadcast(phrase_list)
-    kernel = _make_phrase_kernel(bc, int(stats["bucket_size"]))
-    return _positional_scan(
-        spark, segments, stats, all_tids, kernel, PHRASE_OUT_SCHEMA, _EMPTY
-    )
+    """One-shot convenience wrapper over `PositionalSearcher.phrase`."""
+    return PositionalSearcher(spark, index_dir, as_of_epoch).phrase(phrases)
 
 
 FIRSTHIT_OUT_SCHEMA = "qid long, doc_id long, first_pos long"
@@ -269,31 +387,9 @@ def first_hit_segments(
     candidates: DataFrame,
     as_of_epoch: int | None = None,
 ) -> DataFrame:
-    """(qid, doc_id, first_pos) for each candidate pair: the 0-BASED position
-    of the EARLIEST occurrence of any of the query's distinct terms in that
-    doc — the highlighting primitive, answered from posting positions
-    without touching document text. `candidates(qid, doc_id)` is a top-k
-    result (k·|Q| rows — broadcast-small by construction); pairs whose doc
-    contains no query term produce no row."""
-    segments, term_dict, stats = load_index(spark, index_dir, as_of_epoch)
-    _require_positions(stats)
-    qtoks = queries.select(
-        "qid", F.explode(F.array_distinct(tokens_col("question"))).alias("term")
-    )
-    resolved = (
-        term_dict.join(F.broadcast(qtoks), "term").select("qid", "term_id").collect()
-    )
-    qid_terms: dict[int, list[int]] = {}
-    for r in resolved:
-        qid_terms.setdefault(r["qid"], []).append(r["term_id"])
-    cands = [(r["qid"], r["doc_id"]) for r in candidates.collect()]
-    if not qid_terms or not cands:
-        return spark.createDataFrame([], FIRSTHIT_OUT_SCHEMA)
-    all_tids = sorted({t for ts in qid_terms.values() for t in ts})
-    bc = spark.sparkContext.broadcast((qid_terms, cands))
-    kernel = _make_firsthit_kernel(bc, int(stats["bucket_size"]))
-    return _positional_scan(
-        spark, segments, stats, all_tids, kernel, FIRSTHIT_OUT_SCHEMA, _FH_EMPTY
+    """One-shot convenience wrapper over `PositionalSearcher.first_hit`."""
+    return PositionalSearcher(spark, index_dir, as_of_epoch).first_hit(
+        queries, candidates
     )
 
 
@@ -361,34 +457,5 @@ def near_match_segments(
     window: int = 4,
     as_of_epoch: int | None = None,
 ) -> DataFrame:
-    """pairs(pair_id, t1, t2) → (pair_id, doc_id, n_anchor): proximity
-    (NEAR/w) retrieval from the positional index. n_anchor counts the t1
-    occurrences that have a t2 occurrence within `window` tokens in the same
-    doc (unordered, |Δpos| ≤ window). Each side must normalize to a single
-    token under the index grammar; a pair with an out-of-vocabulary side
-    matches nothing."""
-    segments, term_dict, stats = load_index(spark, index_dir, as_of_epoch)
-    _require_positions(stats)
-    sides = pairs.selectExpr(
-        "pair_id", "stack(2, 0, t1, 1, t2) as (side, raw)"
-    ).select("pair_id", "side", F.element_at(tokens_col("raw"), 1).alias("term"))
-    resolved = (
-        term_dict.join(F.broadcast(sides), "term")
-        .select("pair_id", "side", "term_id")
-        .collect()
-    )
-    by_pid: dict[int, dict[int, int]] = {}
-    for r in resolved:
-        by_pid.setdefault(r["pair_id"], {})[r["side"]] = r["term_id"]
-    pair_list = [
-        (pid, d[0], d[1]) for pid, d in by_pid.items() if 0 in d and 1 in d
-    ]
-    if not pair_list:
-        return spark.createDataFrame([], NEAR_OUT_SCHEMA)
-    all_tids = sorted({t for _, a, b in pair_list for t in (a, b)})
-
-    bc = spark.sparkContext.broadcast(pair_list)
-    kernel = _make_near_kernel(bc, int(stats["bucket_size"]), int(window))
-    return _positional_scan(
-        spark, segments, stats, all_tids, kernel, NEAR_OUT_SCHEMA, _NEAR_EMPTY
-    )
+    """One-shot convenience wrapper over `PositionalSearcher.near`."""
+    return PositionalSearcher(spark, index_dir, as_of_epoch).near(pairs, window)

@@ -179,6 +179,39 @@ def test_near_matches_oracle_at_each_window(spark, pos_index, window):
         assert len(got.get(0, {})) > 3
 
 
+def test_warm_positional_searcher_identical_and_no_exchange(spark, pos_index):
+    """A warmed PositionalSearcher must (a) return exactly the cold-path
+    phrase results across repeated batches and (b) run each warm batch with
+    ZERO index-data exchange (narrow filter over the persisted
+    bucket-partitioned sort)."""
+    import contextlib
+    import io
+
+    from colbert_spark.query.phrase import PositionalSearcher
+
+    d, _, _ = pos_index
+    cold = _phrase_results(spark, d)
+    s = PositionalSearcher(spark, d).warm()
+    qdf = spark.createDataFrame(
+        pd.DataFrame(PHRASES, columns=["phrase_id", "phrase"])
+    )
+    try:
+        for _ in range(2):
+            got: dict[int, dict[int, int]] = {}
+            for r in s.phrase(qdf).collect():
+                got.setdefault(r["phrase_id"], {})[r["doc_id"]] = r["n_occ"]
+            assert got == cold
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            s.phrase(qdf).explain("formatted")
+        # the per-batch plan must be filter-over-cache; an Exchange may only
+        # appear INSIDE the InMemoryRelation's cached-build description
+        head = buf.getvalue().split("InMemoryRelation")[0]
+        assert "InMemoryTableScan" in head and "Exchange" not in head
+    finally:
+        s.close()
+
+
 def test_first_hit_matches_tokenizer(spark, pos_index):
     """first_hit_segments must return, for every candidate (query, doc)
     pair, the earliest 0-based occurrence of any query term per the same
