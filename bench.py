@@ -112,10 +112,8 @@ def main() -> None:
 
         # positional index (positions ride the same single build shuffle) +
         # phrase / NEAR-proximity batches answered from posting positions
-        from colbert_spark.query.phrase import (
-            near_match_segments,
-            phrase_match_segments,
-        )
+        # on the WARM resident service (warm() untimed, like bm25_warm_*)
+        from colbert_spark.query.phrase import PositionalSearcher
 
         pos_reps = []
         for i in range(2):  # best of 2 — same host-noise defense as the build
@@ -140,9 +138,10 @@ def main() -> None:
             [(i, q.split()[0], q.split()[1]) for i, q in enumerate(two_term)],
             "pair_id long, t1 string, t2 string",
         )
+        psearch = PositionalSearcher(spark, pidx).warm()
         for name, run in [
-            ("phrase_batch", lambda: phrase_match_segments(spark, pidx, phrases).count()),
-            ("near_batch", lambda: near_match_segments(spark, pidx, pairs, window=4).count()),
+            ("phrase_batch", lambda: psearch.phrase(phrases).count()),
+            ("near_batch", lambda: psearch.near(pairs, window=4).count()),
         ]:
             reps = []
             for _ in range(2):
@@ -150,6 +149,7 @@ def main() -> None:
                 run()
                 reps.append(time.perf_counter() - t0)
             timings[name] = min(reps)
+        psearch.close()
 
         for name, fn in [
             ("bm25_dataframe", fts_bm25_topk),
