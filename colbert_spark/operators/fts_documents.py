@@ -527,6 +527,22 @@ def fts_lmd_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(mapped)
 
 
+def fts_boolean_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_boolean_and` answered from the segment index: scored boolean-AND
+    via `search(min_match=MATCH_ALL)` — the dense kernel's match counter
+    with the threshold set to each query's own distinct-term count, OOV
+    queries dropped at resolution. Shares the corpus-scan oracle."""
+    from colbert_spark.query.wand import MATCH_ALL, IndexSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    hits = IndexSearcher(spark, idx).search(queries, k=TOPK + 5, min_match=MATCH_ALL)
+    mapped = _map_index_docs(
+        spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
+    )
+    return _rank_topk(mapped).orderBy("qid", "rank")
+
+
 MIN_MATCH = 2  # minimum-should-match threshold for the msm entries
 
 
@@ -1206,6 +1222,9 @@ ORACLES["fts_msm_bm25"] = f"""
 # index path ≡ corpus scan, same oracle
 ORACLES["fts_msm_index"] = ORACLES["fts_msm_bm25"]
 
+# scored boolean-AND from the index ≡ the corpus-scan conjunction
+ORACLES["fts_boolean_index"] = ORACLES["fts_boolean_and"]
+
 ORACLES["fts_lmd_topk"] = f"""
     WITH q(qid, question) AS (VALUES {_values_clause()}),
     tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
@@ -1309,6 +1328,7 @@ QUERIES = {
     "fts_filtered_index": fts_filtered_index,
     "fts_msm_bm25": fts_msm_bm25,
     "fts_msm_index": fts_msm_index,
+    "fts_boolean_index": fts_boolean_index,
     "fts_lmd_topk": fts_lmd_topk,
     "fts_lmd_index": fts_lmd_index,
     "fts_snippet_index": fts_snippet_index,

@@ -244,6 +244,8 @@ def _score_query_in_bucket(
 # ONCE per bucket, then each query is ~|terms| numpy scatter-adds. Both paths
 # are exact and accumulate float64 in ascending-term order (oracle-identical).
 DENSE_BATCH_MIN = 4
+# min_match sentinel: require EVERY distinct query term (boolean-AND)
+MATCH_ALL = -1
 
 
 def _score_batch_dense(
@@ -269,7 +271,10 @@ def _score_batch_dense(
 
     `min_match` (minimum-should-match): only docs matching ≥ this many
     DISTINCT query terms are ranked (batch tids are distinct per qid, so one
-    int scatter-add per term counts exactly)."""
+    int scatter-add per term counts exactly). `min_match=MATCH_ALL` requires
+    EVERY query term (boolean-AND): the threshold becomes the query's own
+    term count — a term with no postings in this bucket then correctly
+    zeroes the whole bucket (no doc here can contain it)."""
     lo = min(int(tb.firsts.min()) for tb in groups.values())
     hi = max(int(tb.lasts.max()) for tb in groups.values())
     acc = np.zeros(hi - lo + 1, dtype=np.float64)
@@ -278,13 +283,14 @@ def _score_batch_dense(
         mask = np.zeros(hi - lo + 1, dtype=bool)
         a = allowed[(allowed >= lo) & (allowed <= hi)]
         mask[a - lo] = True
-    cnt = np.zeros(hi - lo + 1, dtype=np.int32) if min_match > 1 else None
+    cnt = np.zeros(hi - lo + 1, dtype=np.int32) if min_match != 1 else None
     out_q, out_d, out_s = [], [], []
     for qid, tids, qtfs in batch:
+        thr = len(tids) if min_match == MATCH_ALL else min_match
         present = [
             (groups[t], float(qtf)) for t, qtf in zip(tids, qtfs) if t in groups
         ]
-        if not present or len(present) < min_match:
+        if not present or len(present) < thr:
             continue
         acc[:] = 0.0
         if cnt is not None:
@@ -297,7 +303,7 @@ def _score_batch_dense(
         if mask is not None:
             acc[~mask] = 0.0
         if cnt is not None:
-            acc[cnt < min_match] = 0.0
+            acc[cnt < thr] = 0.0
         nz = np.flatnonzero(acc)
         if not nz.size:
             continue
@@ -346,7 +352,7 @@ def make_batch_kernel(
             groups[tid] = _TermBlocks(
                 sub.sort_values("first_doc"), idf_map[tid], prefixed, max_scale
             )
-        if len(batch) >= dense_min or min_match > 1:
+        if len(batch) >= dense_min or min_match != 1:
             out_q, out_d, out_s = _score_batch_dense(
                 groups, batch, k, k1, b, avgdl, min_match=min_match
             )
@@ -590,12 +596,28 @@ class IndexSearcher:
         `dense_min` picks the kernel's batch-vs-pruned crossover (tests force
         each path with 1/∞). `min_match=m` ranks only docs matching ≥ m
         distinct query terms (Lucene minimum_should_match; m=1 is plain
-        disjunctive BM25, m = #query-terms is scored boolean-AND)."""
+        disjunctive BM25); `min_match=MATCH_ALL` is scored boolean-AND —
+        every distinct query term required, and a query containing an
+        out-of-vocabulary term returns nothing."""
         spark = self.spark
         resolved = self._resolve_batch(queries)
         if resolved is None:
             return spark.createDataFrame([], TOPK_SCHEMA)
         batch, idf_map, all_tids = resolved
+        if min_match == MATCH_ALL:
+            # strict AND counts OOV tokens too: drop any qid whose resolved
+            # term count falls short of its distinct-token count
+            want = {
+                r["qid"]: r["n"]
+                for r in query_terms_df(queries)
+                .groupBy("qid")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            batch = [b for b in batch if len(b[1]) == want.get(b[0], -1)]
+            if not batch:
+                return spark.createDataFrame([], TOPK_SCHEMA)
+            all_tids = sorted({int(t) for b in batch for t in b[1]})
 
         if self._warm is not None:
             # persisted bucket-partitioned sort: filter is narrow, grouping

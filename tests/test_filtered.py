@@ -114,6 +114,9 @@ def test_min_match_all_terms_is_scored_boolean_and(spark, fidx, tiny_queries):
         for qid, q in zip(sel["qid"], sel["question"])
         if len(set(py_tokenize(q))) >= 2
     ][:5]
+    from colbert_spark.query.wand import MATCH_ALL
+
+    key = lambda rows: sorted((r["qid"], r["rank"], r["doc_id"]) for r in rows)
     for qid, q in multi:
         m = len(set(py_tokenize(q)))
         qdf = spark.createDataFrame([(qid, q)], "qid long, question string")
@@ -123,6 +126,24 @@ def test_min_match_all_terms_is_scored_boolean_and(spark, fidx, tiny_queries):
                 assert any(
                     r["doc_id"] == d2 for d2, _ in oracle.postings.get(t, [])
                 ), (qid, t, r["doc_id"])
+        # the MATCH_ALL sentinel must agree with the explicit threshold
+        # (these queries have no OOV tokens, so the strict drop is a no-op)
+        rows_all = IndexSearcher(spark, d).search(
+            qdf, k=K, min_match=MATCH_ALL
+        ).collect()
+        assert key(rows_all) == key(rows)
+
+
+def test_match_all_oov_query_returns_nothing(spark, fidx):
+    from colbert_spark.query.wand import MATCH_ALL
+
+    d, _, _ = fidx
+    qdf = spark.createDataFrame(
+        [(0, "term00000 zzzznotavocabword")], "qid long, question string"
+    )
+    assert IndexSearcher(spark, d).search(qdf, k=K, min_match=MATCH_ALL).count() == 0
+    # same query disjunctively still matches
+    assert IndexSearcher(spark, d).search(qdf, k=K).count() > 0
 
 
 def test_sparse_filter_ranks_deep_docs(spark, fidx, tiny_queries):
