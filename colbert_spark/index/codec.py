@@ -48,16 +48,8 @@ def vb_encode_concat(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
-    # number of 7-bit groups per value (>=1)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    # 64 bits -> at most 10 groups; loop over group count, not elements
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    tmp >>= np.uint64(7)
-    while tmp.any():
-        nbytes += (tmp > 0).astype(np.int64)
-        tmp >>= np.uint64(7)
-    del nbits
+    # number of 7-bit groups per value (>=1), from the single-pass bitlen
+    nbytes = np.maximum((_bitlens(v) + 6) // 7, 1)
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
     # end offset of each value's byte run
@@ -119,10 +111,11 @@ def vb_encode_payloads(
     buf, sizes = vb_encode_concat(values)
     offs = np.zeros(len(values) + 1, dtype=np.int64)
     np.cumsum(sizes, out=offs[1:])
+    offs_l = offs.tolist()  # plain ints: cheap indexing in the slice loop
     raw = buf.tobytes()
     tag = bytes([CODEC_VARBYTE])
     return [
-        tag + raw[int(offs[s]):int(offs[e])]
+        tag + raw[offs_l[s]:offs_l[e]]
         for s, e in zip(np.asarray(starts).tolist(), np.asarray(ends).tolist())
     ]
 
@@ -164,11 +157,22 @@ def decode_postings(doc_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.n
 # by construction (posting blocks are ≤ BLOCK_SIZE = 128 values).
 
 _PFOR_HDR = 3  # w, n, n_exc — one byte each
+_SHIFTS_U64 = np.arange(64, dtype=np.uint64)  # shared shift vector
 
 
 def _bitlens(v: np.ndarray) -> np.ndarray:
-    """Bit length of each uint64 value (0 → 0), vectorized: ≤64 shift passes
-    over the array, none over elements."""
+    """Bit length of each uint64 value (0 → 0), vectorized.
+
+    Fast path: one `np.frexp` pass — v = m·2^e with m ∈ [0.5, 1) makes e
+    exactly the bit length, and float64 represents every integer < 2^53
+    exactly (doc deltas, tf, dl and position deltas are all far below).
+    Values ≥ 2^53 (possible only for pathological id spaces) fall back to
+    the shift loop."""
+    if v.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    if int(v.max()) < (1 << 53):
+        _, e = np.frexp(v.astype(np.float64))
+        return e.astype(np.int64)
     bits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
     while tmp.any():
@@ -303,7 +307,7 @@ def encode_block_payloads(
                 continue
             mat = pv[int(val_base[c0]):int(val_base[c1])].reshape(m, nn)
             bits = (
-                (mat[:, :, None] >> np.arange(w, dtype=np.uint64)) & np.uint64(1)
+                (mat[:, :, None] >> _SHIFTS_U64[:w]) & np.uint64(1)
             ).astype(np.uint8)
             rows = np.packbits(
                 bits.reshape(m, nn * w), axis=1, bitorder="little"
@@ -331,22 +335,34 @@ def encode_block_payloads(
     high_raw = high_buf.tobytes()
 
     # --- assemble per block (per-block slicing loop — same granularity as
-    # the v2 varbyte path's existing slice loop)
+    # the v2 varbyte path's existing slice loop). Plain-int lists up front:
+    # numpy scalar indexing/int() inside a multi-million-block loop costs
+    # more than the slicing itself.
     out: list[bytes] = []
     vb_tag = bytes([CODEC_VARBYTE])
     pf_tag = bytes([CODEC_PFOR])
+    use_l = use_pfor.tolist()
+    w_l = w_block.tolist()
+    ns_l = ns.tolist()
+    pb_l = pb.tolist()
+    po_l = packed_off.tolist()
+    e0_l = exc_base[:-1].tolist()
+    e1_l = exc_base[1:].tolist()
+    ho_l = high_offs.tolist()
+    lo_l = vb_lo.tolist()
+    sz_l = vb_size.tolist()
     for i in range(n_blocks):
-        if use_pfor[i]:
-            e0, e1 = int(exc_base[i]), int(exc_base[i + 1])
-            po = int(packed_off[i])
+        if use_l[i]:
+            e0, e1 = e0_l[i], e1_l[i]
+            po = po_l[i]
             out.append(
                 pf_tag
-                + bytes([int(w_block[i]), int(ns[i]), e1 - e0])
-                + packed[po:po + int(pb[i])]
+                + bytes([w_l[i], ns_l[i], e1 - e0])
+                + packed[po:po + pb_l[i]]
                 + pos_raw[e0:e1]
-                + high_raw[int(high_offs[e0]):int(high_offs[e1])]
+                + high_raw[ho_l[e0]:ho_l[e1]]
             )
         else:
-            lo = int(vb_lo[i])
-            out.append(vb_tag + vb_raw[lo:lo + int(vb_size[i])])
+            lo = lo_l[i]
+            out.append(vb_tag + vb_raw[lo:lo + sz_l[i]])
     return out
