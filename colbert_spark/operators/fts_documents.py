@@ -335,6 +335,50 @@ def fts_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fts_doclen_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_doclen` answered from the index's docs SINK (doc_id, url,
+    doclen) instead of re-tokenizing the corpus — the oracle compare proves
+    the build's stored document lengths equal a fresh tokenization."""
+    import os
+
+    idx = _positional_index_dir(spark, sf_dir)
+    return spark.read.parquet(os.path.join(idx, "docs")).select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("doclen").cast("long").alias("doclen"),
+    )
+
+
+def fts_collection_stats_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_collection_stats` from the index's committed stats.json (exact
+    aggregates persisted by the build) — N, total tokens (Σcf), avgdl."""
+    import json
+    import os
+
+    idx = _positional_index_dir(spark, sf_dir)
+    with open(os.path.join(idx, "stats.json")) as f:
+        s = json.load(f)
+    return spark.createDataFrame(
+        [(int(s["N"]), int(s["total_cf"]), float(round(s["avgdl"], 6)))],
+        "n_docs long, total_tokens long, avgdl_r double",
+    )
+
+
+def fts_term_df_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_term_df` from the index's term DICTIONARY (df/cf aggregated from
+    the encode kernel's per-term partials) — the oracle compare proves the
+    dictionary agrees with a full corpus recount."""
+    import os
+
+    idx = _positional_index_dir(spark, sf_dir)
+    td = spark.read.parquet(os.path.join(idx, "term_dict"))
+    return (
+        td.select("term", F.col("df").cast("long").alias("df"),
+                  F.col("cf").cast("long").alias("cf"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(30)
+    )
+
+
 def fts_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship BM25 answered from the COMPRESSED SEGMENT INDEX — the same
     query set and the same DuckDB oracle as `fts_bm25_topk`, so the driver's
@@ -1155,6 +1199,11 @@ ORACLES["fts_near_index"] = ORACLES["fts_near_match"]
 # the segment-index BM25 path must reproduce the DataFrame BM25 exactly
 ORACLES["fts_bm25_index"] = ORACLES["fts_bm25_topk"]
 
+# build ARTIFACTS (docs sink, stats.json, dictionary) vs corpus recounts
+ORACLES["fts_doclen_index"] = ORACLES["fts_doclen"]
+ORACLES["fts_collection_stats_index"] = ORACLES["fts_collection_stats"]
+ORACLES["fts_term_df_index"] = ORACLES["fts_term_df"]
+
 ORACLES["fts_filtered_bm25"] = f"""
     WITH q(qid, question) AS (VALUES {_values_clause()}),
     tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
@@ -1322,6 +1371,9 @@ QUERIES = {
     "fts_near_match": fts_near_match,
     "fts_near_index": fts_near_index,
     "fts_bm25_index": fts_bm25_index,
+    "fts_doclen_index": fts_doclen_index,
+    "fts_collection_stats_index": fts_collection_stats_index,
+    "fts_term_df_index": fts_term_df_index,
     "fts_prefix_bm25": fts_prefix_bm25,
     "fts_prefix_index": fts_prefix_index,
     "fts_filtered_bm25": fts_filtered_bm25,
