@@ -725,14 +725,14 @@ def _parse_prefix_queries():
 PREFIX_PARSED = _parse_prefix_queries()
 
 
-def fts_prefix_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 for prefix/wildcard queries by corpus scan: each trailing-
-    '*' pattern expands to every vocabulary term it prefixes (Lucene
-    PrefixQuery semantics, scored — each expansion contributes with its own
-    df/idf, qtf = the pattern's count in the query; a term matched by several
-    patterns of one query sums their qtfs). The expansion is a broadcast
-    theta-join of the tiny pattern table against per-term stats — the big
-    postings table still joins on plain `term` equality."""
+def _expanded_bm25_scan(spark, sf_dir, patterns, cond_fn) -> DataFrame:
+    """Shared corpus-scan skeleton for DICTIONARY-EXPANDED retrieval (prefix
+    / fuzzy / any pattern class): `cond_fn(tstats, qp)` returns the
+    pattern-vs-vocabulary join condition; each expanded term scores with its
+    own df/idf and the summed qtfs of the patterns that produced it. The
+    expansion is a broadcast theta-join of the tiny pattern table against
+    per-term stats — the big postings table still joins on plain `term`
+    equality."""
     docs = _docs(spark, sf_dir).cache()
     row = docs.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
     n_docs, avgdl = row["n"], row["avgdl"]
@@ -742,15 +742,8 @@ def fts_prefix_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     tstats = posts.groupBy("term").agg(F.count("*").alias("df"))
-    qp = spark.createDataFrame(
-        PREFIX_PARSED, "qid long, pat string, is_prefix boolean, qtf long"
-    )
     expanded = (
-        tstats.join(
-            F.broadcast(qp),
-            (qp.is_prefix & tstats.term.startswith(qp.pat))
-            | (~qp.is_prefix & (tstats.term == qp.pat)),
-        )
+        tstats.join(F.broadcast(patterns), cond_fn(tstats, patterns))
         .groupBy("qid", "term")
         .agg(F.sum("qtf").alias("qtf"), F.first("df").alias("df"))
     )
@@ -772,28 +765,19 @@ def fts_prefix_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(agg)
 
 
-def fts_prefix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`fts_prefix_bm25` answered from the segment index: patterns expand
-    against the index's term DICTIONARY (a broadcast theta-join — the
-    dictionary scan is pruned by the join, never collected wholesale), the
-    expansion is rewritten to a plain disjunctive query string (a term's
-    summed qtf ⇒ the term repeated), and the standard batch kernel scores
-    it. Shares `fts_prefix_bm25`'s oracle."""
+def _expanded_bm25_index(spark, sf_dir, patterns, cond_fn) -> DataFrame:
+    """Index-path sibling of `_expanded_bm25_scan`: expand against the
+    index's term DICTIONARY (broadcast theta-join, never collected
+    wholesale), rewrite to a plain disjunctive question string (summed qtf ⇒
+    the term repeated), and score with the standard batch kernel."""
     import os
 
     from colbert_spark.query.wand import bm25_topk_segments
 
     idx = _positional_index_dir(spark, sf_dir)
     td = spark.read.parquet(os.path.join(idx, "term_dict"))
-    qp = spark.createDataFrame(
-        PREFIX_PARSED, "qid long, pat string, is_prefix boolean, qtf long"
-    )
     expanded = (
-        td.join(
-            F.broadcast(qp),
-            (qp.is_prefix & td.term.startswith(qp.pat))
-            | (~qp.is_prefix & (td.term == qp.pat)),
-        )
+        td.join(F.broadcast(patterns), cond_fn(td, patterns))
         .groupBy("qid", "term")
         .agg(F.sum("qtf").alias("qtf"))
         .collect()
@@ -802,7 +786,9 @@ def fts_prefix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in expanded:
         by_qid.setdefault(r["qid"], []).extend([r["term"]] * int(r["qtf"]))
     if not by_qid:
-        return spark.createDataFrame([], "qid long, rank long, doc_id long, score_r double")
+        return spark.createDataFrame(
+            [], "qid long, rank long, doc_id long, score_r double"
+        )
     queries = spark.createDataFrame(
         [(qid, " ".join(ts)) for qid, ts in sorted(by_qid.items())],
         "qid long, question string",
@@ -812,6 +798,80 @@ def fts_prefix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
     )
     return _rank_topk(mapped)
+
+
+def _prefix_cond(ts, qp):
+    return (qp.is_prefix & ts.term.startswith(qp.pat)) | (
+        ~qp.is_prefix & (ts.term == qp.pat)
+    )
+
+
+def fts_prefix_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for prefix/wildcard queries by corpus scan: each trailing-
+    '*' pattern expands to every vocabulary term it prefixes (Lucene
+    PrefixQuery semantics, scored). See `_expanded_bm25_scan`."""
+    qp = spark.createDataFrame(
+        PREFIX_PARSED, "qid long, pat string, is_prefix boolean, qtf long"
+    )
+    return _expanded_bm25_scan(spark, sf_dir, qp, _prefix_cond)
+
+
+def fts_prefix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_prefix_bm25` answered from the segment index (see
+    `_expanded_bm25_index`). Shares `fts_prefix_bm25`'s oracle."""
+    qp = spark.createDataFrame(
+        PREFIX_PARSED, "qid long, pat string, is_prefix boolean, qtf long"
+    )
+    return _expanded_bm25_index(spark, sf_dir, qp, _prefix_cond)
+
+
+# fuzzy query set: each token expands to every vocabulary term within
+# Levenshtein distance 1 (Lucene FuzzyQuery semantics, scored)
+FUZZY_QUERIES = [
+    (0, "hsh joim"),  # hash / join misspelled
+    (1, "custoner ordr"),
+    (2, "strean"),
+    (3, "zzzzqqqq"),  # nothing within distance 1 ⇒ no rows
+]
+FUZZY_MAX_EDITS = 1
+
+
+def _fuzzy_parsed():
+    from collections import Counter
+
+    from colbert_spark.functions.tokenizer import py_tokenize
+
+    rows = []
+    for qid, q in FUZZY_QUERIES:
+        c = Counter(t for t in py_tokenize(q))
+        rows += [(qid, pat, n) for pat, n in sorted(c.items())]
+    return rows
+
+
+FUZZY_PARSED = _fuzzy_parsed()
+
+
+def _fuzzy_cond(ts, qf):
+    return F.levenshtein(ts.term, qf.pat) <= FUZZY_MAX_EDITS
+
+
+def fts_fuzzy_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for FUZZY queries by corpus scan: each token expands to
+    every vocabulary term within edit distance FUZZY_MAX_EDITS (JVM
+    `levenshtein` in the broadcast theta-join — Lucene FuzzyQuery, scored;
+    exact matches are included at distance 0). Exact-semantics oracle for
+    `fts_fuzzy_index` via DuckDB's levenshtein."""
+    qf = spark.createDataFrame(FUZZY_PARSED, "qid long, pat string, qtf long")
+    return _expanded_bm25_scan(spark, sf_dir, qf, _fuzzy_cond)
+
+
+def fts_fuzzy_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_fuzzy_bm25` answered from the segment index: the edit-distance
+    expansion runs against the term dictionary, then the standard batch
+    kernel scores the rewritten disjunction. Shares the corpus-scan
+    oracle."""
+    qf = spark.createDataFrame(FUZZY_PARSED, "qid long, pat string, qtf long")
+    return _expanded_bm25_index(spark, sf_dir, qf, _fuzzy_cond)
 
 
 EVAL_DEPTH = 100  # retrieval depth for the metric protocol
@@ -1351,6 +1411,43 @@ ORACLES["fts_prefix_bm25"] = f"""
 # index path ≡ corpus scan, same oracle
 ORACLES["fts_prefix_index"] = ORACLES["fts_prefix_bm25"]
 
+_FUZZY_VALUES = ", ".join(
+    f"({qid}, '{pat}', {qtf})" for qid, pat, qtf in FUZZY_PARSED
+)
+
+ORACLES["fts_fuzzy_bm25"] = f"""
+    WITH qf(qid, pat, qtf) AS (VALUES {_FUZZY_VALUES}),
+    tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    qterm AS (
+      SELECT qf.qid, df.term, sum(qf.qtf) AS qtf, first(df.df) AS df
+      FROM qf JOIN df ON levenshtein(qf.pat, df.term) <= {FUZZY_MAX_EDITS}
+      GROUP BY qf.qid, df.term),
+    scored AS (
+      SELECT qterm.qid::BIGINT AS qid, tf.doc_id,
+             sum(qterm.qtf * ln(1 + (stats.n - qterm.df + 0.5) / (qterm.df + 0.5))
+                 * tf.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl))
+             ) AS score
+      FROM qterm
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY qterm.qid, tf.doc_id),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+# index path ≡ corpus scan, same oracle
+ORACLES["fts_fuzzy_index"] = ORACLES["fts_fuzzy_bm25"]
+
 ORACLES["fts_doclen_percentiles"] = f"""
     WITH dl AS (SELECT len({_TOK}) AS doclen FROM documents)
     SELECT round(quantile_cont(doclen, 0.25), 6) AS p25,
@@ -1376,6 +1473,8 @@ QUERIES = {
     "fts_term_df_index": fts_term_df_index,
     "fts_prefix_bm25": fts_prefix_bm25,
     "fts_prefix_index": fts_prefix_index,
+    "fts_fuzzy_bm25": fts_fuzzy_bm25,
+    "fts_fuzzy_index": fts_fuzzy_index,
     "fts_filtered_bm25": fts_filtered_bm25,
     "fts_filtered_index": fts_filtered_index,
     "fts_msm_bm25": fts_msm_bm25,
