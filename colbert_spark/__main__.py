@@ -87,9 +87,24 @@ def _cmd_query(args) -> int:
     else:
         with open(args.questions) as f:
             questions = [q.strip() for q in f if q.strip()]
-    queries = spark.createDataFrame(
-        [(i, q) for i, q in enumerate(questions)], "qid long, question string"
-    )
+    # Lucene-style negation: whitespace tokens prefixed '-' are must_not
+    # terms ("hash join -slow"); bm25 scorer only
+    def _split_neg(q: str) -> tuple[str, str | None]:
+        words = q.split()
+        pos = [w for w in words if not (w.startswith("-") and len(w) > 1)]
+        neg = [w[1:] for w in words if w.startswith("-") and len(w) > 1]
+        return " ".join(pos), (" ".join(neg) or None)
+
+    parsed = [_split_neg(q) for q in questions]
+    if any(x for _, x in parsed) and args.scorer == "bm25":
+        queries = spark.createDataFrame(
+            [(i, p, x) for i, (p, x) in enumerate(parsed)],
+            "qid long, question string, exclude string",
+        )
+    else:
+        queries = spark.createDataFrame(
+            [(i, q) for i, q in enumerate(questions)], "qid long, question string"
+        )
     if args.scorer == "lmd":
         from colbert_spark.query.lm import lm_topk_segments
 

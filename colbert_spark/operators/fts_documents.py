@@ -874,6 +874,88 @@ def fts_fuzzy_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _expanded_bm25_index(spark, sf_dir, qf, _fuzzy_cond)
 
 
+# boolean must_not set: (qid, positive question, excluded terms) — any doc
+# containing ANY excluded term is removed from that query's ranking
+NOT_QUERIES = [
+    (0, "hash join table", "slow"),
+    (1, "customer order line", "window batch"),
+    (2, "window", "zzznotfound"),  # OOV negation excludes nothing
+    (3, "scan filter", "scan"),  # negating one of the positives
+    (4, "data value", "part"),
+]
+
+
+def fts_not_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean must_not by corpus scan (Lucene `-term`): BM25 top-10 over
+    the positive terms, minus every doc containing ANY of the query's
+    excluded terms. The per-qid exclusion set is a tiny broadcast join of
+    the negated-term table against postings, anti-joined after
+    aggregation. Exact-semantics oracle for `fts_not_index`."""
+    docs = _docs(spark, sf_dir).cache()
+    row = docs.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
+    n_docs, avgdl = row["n"], row["avgdl"]
+    posts = (
+        docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
+        .groupBy("term", "doc_id", "doclen")
+        .agg(F.count("*").alias("tf"))
+    )
+    tstats = posts.groupBy("term").agg(F.count("*").alias("df"))
+    queries = spark.createDataFrame(
+        NOT_QUERIES, "qid long, question string, exclude string"
+    )
+    qt = (
+        queries.select("qid", F.explode(tokens_col("question")).alias("term"))
+        .groupBy("qid", "term")
+        .agg(F.count("*").alias("qtf"))
+    )
+    nt = queries.select(
+        "qid", F.explode(tokens_col("exclude")).alias("term")
+    ).distinct()
+    excl = (
+        posts.select("term", "doc_id")
+        .join(F.broadcast(nt), "term")
+        .select("qid", "doc_id")
+        .distinct()
+    )
+    joined = posts.join(F.broadcast(qt.join(tstats, "term")), "term")
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    k1, b = K1_DEFAULT, B_DEFAULT
+    tf = F.col("tf").cast("double")
+    contrib = (
+        F.col("qtf") * idf * tf * (k1 + 1.0)
+        / (tf + k1 * (1.0 - b + b * F.col("doclen") / F.lit(float(avgdl))))
+    )
+    agg = (
+        joined.withColumn("contrib", contrib)
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+        .join(excl, ["qid", "doc_id"], "left_anti")
+    )
+    return _rank_topk(agg)
+
+
+def fts_not_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_not_bm25` answered from the segment index: the `exclude` column
+    resolves through the same dictionary join, the negated terms' blocks
+    ride the same pruned scan and bucket exchange (a doc's postings all
+    live in one bucket), and the dense kernel zeroes excluded docs after
+    accumulation (`wand.py:_score_batch_dense` neg_map). Shares the
+    corpus-scan oracle."""
+    from colbert_spark.query.wand import IndexSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(
+        NOT_QUERIES, "qid long, question string, exclude string"
+    )
+    hits = IndexSearcher(spark, idx).search(queries, k=TOPK + 5)
+    mapped = _map_index_docs(
+        spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
+    )
+    return _rank_topk(mapped)
+
+
 EVAL_DEPTH = 100  # retrieval depth for the metric protocol
 RECALL_CUTS = (10, 50, 100)  # reference: MRR@10 + recall@{50,100}
 # (``proj_utils/dureader_utils.py:51-73``: eval_dureader(topk=10,
@@ -1448,6 +1530,47 @@ ORACLES["fts_fuzzy_bm25"] = f"""
 # index path ≡ corpus scan, same oracle
 ORACLES["fts_fuzzy_index"] = ORACLES["fts_fuzzy_bm25"]
 
+_NOT_VALUES = ", ".join(f"({qid}, '{q}', '{x}')" for qid, q, x in NOT_QUERIES)
+_XTOK = duckdb_tokens_sql("exclude")
+
+ORACLES["fts_not_bm25"] = f"""
+    WITH q(qid, question, exclude) AS (VALUES {_NOT_VALUES}),
+    tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    qt AS (SELECT qid, unnest({_QTOK}) AS term FROM q),
+    qtf AS (SELECT qid, term, count(*) AS qtf FROM qt GROUP BY qid, term),
+    nt AS (SELECT DISTINCT qid, unnest({_XTOK}) AS term FROM q),
+    excl AS (SELECT DISTINCT nt.qid, tf.doc_id FROM nt JOIN tf USING (term)),
+    scored AS (
+      SELECT qtf.qid::BIGINT AS qid, tf.doc_id,
+             sum(qtf.qtf * ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl))
+             ) AS score
+      FROM qtf
+      JOIN df USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY qtf.qid, tf.doc_id),
+    kept AS (
+      SELECT s.* FROM scored s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM excl e WHERE e.qid = s.qid AND e.doc_id = s.doc_id)),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM kept)
+    SELECT qid, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+# index path ≡ corpus scan, same oracle
+ORACLES["fts_not_index"] = ORACLES["fts_not_bm25"]
+
 ORACLES["fts_doclen_percentiles"] = f"""
     WITH dl AS (SELECT len({_TOK}) AS doclen FROM documents)
     SELECT round(quantile_cont(doclen, 0.25), 6) AS p25,
@@ -1475,6 +1598,8 @@ QUERIES = {
     "fts_prefix_index": fts_prefix_index,
     "fts_fuzzy_bm25": fts_fuzzy_bm25,
     "fts_fuzzy_index": fts_fuzzy_index,
+    "fts_not_bm25": fts_not_bm25,
+    "fts_not_index": fts_not_index,
     "fts_filtered_bm25": fts_filtered_bm25,
     "fts_filtered_index": fts_filtered_index,
     "fts_msm_bm25": fts_msm_bm25,

@@ -257,6 +257,7 @@ def _score_batch_dense(
     avgdl: float,
     allowed: np.ndarray | None = None,
     min_match: int = 1,
+    neg_map: dict | None = None,
 ) -> tuple[list, list, list]:
     """Shared-decode exhaustive scoring of a whole query batch against one
     bucket. Docs inside a bucket span a contiguous id range (bucket =
@@ -274,7 +275,13 @@ def _score_batch_dense(
     int scatter-add per term counts exactly). `min_match=MATCH_ALL` requires
     EVERY query term (boolean-AND): the threshold becomes the query's own
     term count — a term with no postings in this bucket then correctly
-    zeroes the whole bucket (no doc here can contain it)."""
+    zeroes the whole bucket (no doc here can contain it).
+
+    `neg_map` (boolean must_not): qid → ndarray of NEGATED term_ids; any doc
+    containing any of them is zeroed after accumulation. Negated terms'
+    blocks arrive in the same bucket frame as the positives (doc-range
+    bucketing puts all of one doc's postings in one bucket), so exclusion is
+    bucket-local — no extra exchange, no global excluded-doc set."""
     lo = min(int(tb.firsts.min()) for tb in groups.values())
     hi = max(int(tb.lasts.max()) for tb in groups.values())
     acc = np.zeros(hi - lo + 1, dtype=np.float64)
@@ -304,6 +311,12 @@ def _score_batch_dense(
             acc[~mask] = 0.0
         if cnt is not None:
             acc[cnt < thr] = 0.0
+        if neg_map is not None:
+            for nt in neg_map.get(qid, ()):
+                ntb = groups.get(int(nt))
+                if ntb is not None:
+                    ndocs, _ = ntb.full(k1, b, avgdl)
+                    acc[ndocs - lo] = 0.0
         nz = np.flatnonzero(acc)
         if not nz.size:
             continue
@@ -339,22 +352,28 @@ def make_batch_kernel(
     `min_match` > 1 forces the dense pass (θ pruning is unsound under a
     match-count constraint, same argument as the filtered kernel).
 
-    `query_batch` is a broadcast (or plain) pair (batch, idf_map): batch is a
-    list of (qid, term_ids, qtfs) with term_ids ascending; idf_map maps every
-    referenced term_id to its CURRENT idf (blocks are stored idf-free)."""
+    `query_batch` is a broadcast (or plain) pair (batch, idf_map) — or triple
+    (batch, idf_map, neg_map) for boolean must_not: batch is a list of
+    (qid, term_ids, qtfs) with term_ids ascending; idf_map maps every
+    referenced term_id (negated ones included) to its CURRENT idf (blocks
+    are stored idf-free); neg_map maps qid → negated term_ids. Exclusion
+    forces the dense pass — θ pruning seeded from soon-to-be-excluded docs
+    could over-prune, the same soundness argument as filters/min_match."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         payload = query_batch.value if hasattr(query_batch, "value") else query_batch
-        batch, idf_map = payload
+        batch, idf_map, *rest = payload
+        neg_map = rest[0] if rest else None
         groups: dict[int, _TermBlocks] = {}
         for tid, sub in pdf.groupby("term_id", sort=False):
             tid = int(tid)
             groups[tid] = _TermBlocks(
                 sub.sort_values("first_doc"), idf_map[tid], prefixed, max_scale
             )
-        if len(batch) >= dense_min or min_match != 1:
+        if len(batch) >= dense_min or min_match != 1 or neg_map:
             out_q, out_d, out_s = _score_batch_dense(
-                groups, batch, k, k1, b, avgdl, min_match=min_match
+                groups, batch, k, k1, b, avgdl, min_match=min_match,
+                neg_map=neg_map,
             )
         else:
             out_q, out_d, out_s = [], [], []
@@ -433,7 +452,7 @@ def make_filtered_kernel(
         if not len(seg_pdf) or not len(allowed_pdf):
             return _EMPTY
         payload = query_batch.value if hasattr(query_batch, "value") else query_batch
-        batch, idf_map = payload
+        batch, idf_map, *_ = payload
         groups: dict[int, _TermBlocks] = {}
         for tid, sub in seg_pdf.groupby("term_id", sort=False):
             tid = int(tid)
@@ -551,11 +570,17 @@ class IndexSearcher:
         )
 
     def _resolve_batch(self, queries: DataFrame):
-        """(batch, idf_map, all_tids) for a query DataFrame, or None if no
-        query term is in the vocabulary. ONE job resolves the whole batch:
-        qt ⋈ term_dict as a broadcast join (the vocab-side scan prunes via
-        the join, never collected); only the tiny per-batch
-        (qid, term_id, qtf) table is collected."""
+        """(batch, idf_map, all_tids, neg_map) for a query DataFrame, or None
+        if no query term is in the vocabulary. ONE job resolves the whole
+        batch: qt ⋈ term_dict as a broadcast join (the vocab-side scan prunes
+        via the join, never collected); only the tiny per-batch
+        (qid, term_id, qtf) table is collected.
+
+        An optional `exclude` string column carries boolean must_not terms:
+        they resolve through the same dictionary join (a second tiny
+        broadcast-join job), join `all_tids` so their blocks ride the same
+        pruned scan, and come back as neg_map (qid → ascending term_ids).
+        Out-of-vocabulary negated terms exclude nothing (no postings)."""
         qt = query_terms_df(queries)
         qrows = (
             self.term_dict.join(F.broadcast(qt), "term")
@@ -582,7 +607,31 @@ class IndexSearcher:
             tids = np.array([p[0] for p in pairs], dtype=np.int64)
             qtfs = np.array([p[1] for p in pairs], dtype=np.float64)
             batch.append((qid, tids, qtfs))
-        return batch, idf_map, sorted(idf_map)
+        neg_map: dict[int, np.ndarray] = {}
+        if "exclude" in queries.columns:
+            nt = query_terms_df(
+                queries.filter(F.col("exclude").isNotNull()).select(
+                    "qid", F.col("exclude").alias("question")
+                )
+            )
+            nrows = (
+                self.term_dict.join(F.broadcast(nt), "term")
+                .select("qid", "term_id", "df")
+                .collect()
+            )
+            by_neg: dict[int, list[int]] = {}
+            for r in nrows:
+                tid = int(r["term_id"])
+                idf_map.setdefault(
+                    tid,
+                    float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))),
+                )
+                by_neg.setdefault(r["qid"], []).append(tid)
+            neg_map = {
+                qid: np.array(sorted(ts), dtype=np.int64)
+                for qid, ts in by_neg.items()
+            }
+        return batch, idf_map, sorted(idf_map), neg_map
 
     def search(
         self,
@@ -598,12 +647,18 @@ class IndexSearcher:
         distinct query terms (Lucene minimum_should_match; m=1 is plain
         disjunctive BM25); `min_match=MATCH_ALL` is scored boolean-AND —
         every distinct query term required, and a query containing an
-        out-of-vocabulary term returns nothing."""
+        out-of-vocabulary term returns nothing.
+
+        Boolean must_not: an optional `exclude` string column on `queries`
+        removes every doc containing ANY of its terms from that query's
+        results (Lucene `-term`); positives still score plain BM25. A query
+        with only excluded terms (no in-vocabulary positives) yields no
+        rows."""
         spark = self.spark
         resolved = self._resolve_batch(queries)
         if resolved is None:
             return spark.createDataFrame([], TOPK_SCHEMA)
-        batch, idf_map, all_tids = resolved
+        batch, idf_map, all_tids, neg_map = resolved
         if min_match == MATCH_ALL:
             # strict AND counts OOV tokens too: drop any qid whose resolved
             # term count falls short of its distinct-token count
@@ -618,6 +673,12 @@ class IndexSearcher:
             if not batch:
                 return spark.createDataFrame([], TOPK_SCHEMA)
             all_tids = sorted({int(t) for b in batch for t in b[1]})
+        if neg_map:
+            # negated terms' blocks must reach the kernel too: join the scan
+            # set AFTER any MATCH_ALL re-derivation of the positive tids
+            all_tids = sorted(
+                set(all_tids) | {int(t) for ts in neg_map.values() for t in ts}
+            )
 
         if self._warm is not None:
             # persisted bucket-partitioned sort: filter is narrow, grouping
@@ -632,7 +693,7 @@ class IndexSearcher:
                 p, "bucket"
             ).sortWithinPartitions("bucket", "term_id", "first_doc")
 
-        bc = spark.sparkContext.broadcast((batch, idf_map))
+        bc = spark.sparkContext.broadcast((batch, idf_map, neg_map))
         kernel = make_batch_kernel(
             bc,
             k,
@@ -678,7 +739,7 @@ class IndexSearcher:
         resolved = self._resolve_batch(queries)
         if resolved is None:
             return spark.createDataFrame([], TOPK_SCHEMA)
-        batch, idf_map, all_tids = resolved
+        batch, idf_map, all_tids, _ = resolved
         bucket_size = int(self.stats["bucket_size"])
         allowed_b = allowed.select(
             F.floor(F.col("doc_id") / bucket_size).cast("long").alias("bucket"),

@@ -212,3 +212,56 @@ def test_streaming_state_bounded_across_triggers(spark, tmp_path):
     )
     closed = closed[closed["ws"] + pd.Timedelta(hours=1) <= wm]
     assert got[0] == len(closed), (got[0], len(closed))
+
+
+def test_exclusion_matches_bruteforce(spark, index_dir, tiny_corpus, tiny_queries):
+    """Boolean must_not (`exclude` column): results equal the plain search
+    with every doc containing a negated term removed BEFORE the top-k cut —
+    computed brute-force from a re-tokenization of the corpus. Covers warm
+    and cold paths, a negation that is also a positive term, and an
+    out-of-vocabulary negation (which must change nothing)."""
+    import pandas as pd
+
+    from colbert_spark.functions.tokenizer import py_tokenize
+    from colbert_spark.oracle import OracleIndex
+
+    ordered = tiny_corpus.sort_values("url").reset_index(drop=True)
+    oracle = OracleIndex.build(list(zip(range(len(ordered)), ordered["text"])))
+    doc_terms = {i: set(py_tokenize(t)) for i, t in enumerate(ordered["text"])}
+
+    qs = tiny_queries.iloc[:8].copy()
+    first_tokens = [py_tokenize(q)[0] for q in qs["question"]]
+    # negate the first token of the NEXT query (usually present in corpus),
+    # one self-negation, one OOV negation
+    excludes = first_tokens[1:] + ["zzznotindexed"]
+    excludes[3] = first_tokens[3]  # self-negation: every hit doc excluded
+    qs["exclude"] = excludes
+
+    def brute(question, exclude):
+        banned = set(py_tokenize(exclude))
+        full = oracle.topk(question, len(doc_terms))
+        kept = [(d, s) for d, s in full if not (doc_terms[d] & banned)]
+        return kept[:K]
+
+    golden = {
+        qid: brute(q, x)
+        for qid, q, x in zip(qs["qid"], qs["question"], qs["exclude"])
+    }
+    searcher = IndexSearcher(spark, index_dir)
+    try:
+        for warm in (False, True):
+            if warm:
+                searcher.warm()
+            rows = searcher.search(spark.createDataFrame(qs), k=K).collect()
+            _assert_rank_identical(rows, golden)
+    finally:
+        searcher.close()
+
+    # OOV-only negation ≡ plain search
+    plain = searcher.search(spark.createDataFrame(qs.drop(columns=["exclude"])), k=K)
+    oov = qs.copy()
+    oov["exclude"] = "zzznotindexed"
+    withx = searcher.search(spark.createDataFrame(oov), k=K)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, withx.collect()))
+    assert a == b
