@@ -956,6 +956,76 @@ def fts_not_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(mapped)
 
 
+FACET_FIELDS = ("lang", "source")  # metadata dimensions faceted per query
+
+
+def fts_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search by corpus scan (the Lucene/Elasticsearch terms-
+    aggregation analog): for each query, count the docs of its FULL boolean-
+    OR match set (≥1 query term) per metadata value, for each facet field.
+    Output (qid, facet, value, n_docs). Exact-semantics oracle for
+    `fts_facets_index`."""
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    qt = queries.select(
+        "qid", F.explode(tokens_col("question")).alias("term")
+    ).distinct()
+    matched = (
+        docs.select("doc_id", F.explode("terms").alias("term"))
+        .join(F.broadcast(qt), "term")
+        .select("qid", "doc_id")
+        .distinct()
+    )
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", *FACET_FIELDS)
+    joined = matched.join(meta, "doc_id")
+    per_field = [
+        joined.groupBy("qid", F.col(f).alias("value"))
+        .agg(F.count("*").alias("n_docs"))
+        .select("qid", F.lit(f).alias("facet"), "value", "n_docs")
+        for f in FACET_FIELDS
+    ]
+    out = per_field[0]
+    for df in per_field[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("qid", "facet", "value")
+
+
+def fts_facets_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_facets` answered from the segment index: the match set comes
+    from `IndexSearcher.matching_docs` (per-bucket union of each query
+    term's decoded postings — no scoring, no top-k cut), mapped back to
+    table doc_ids and joined to the metadata table for counting. Shares the
+    corpus-scan oracle, proving the index's postings reproduce the exact
+    boolean match set."""
+    import os
+
+    from colbert_spark.query.wand import IndexSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    hits = IndexSearcher(spark, idx).matching_docs(queries)
+    back = spark.read.parquet(os.path.join(idx, "docs")).select(
+        F.col("doc_id").alias("idx_doc"), F.col("url").cast("long").alias("doc_id")
+    )
+    mapped = (
+        hits.withColumnRenamed("doc_id", "idx_doc")
+        .join(back, "idx_doc")
+        .select("qid", "doc_id")
+    )
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", *FACET_FIELDS)
+    joined = mapped.join(meta, "doc_id")
+    per_field = [
+        joined.groupBy("qid", F.col(f).alias("value"))
+        .agg(F.count("*").alias("n_docs"))
+        .select("qid", F.lit(f).alias("facet"), "value", "n_docs")
+        for f in FACET_FIELDS
+    ]
+    out = per_field[0]
+    for df in per_field[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("qid", "facet", "value")
+
+
 EVAL_DEPTH = 100  # retrieval depth for the metric protocol
 RECALL_CUTS = (10, 50, 100)  # reference: MRR@10 + recall@{50,100}
 # (``proj_utils/dureader_utils.py:51-73``: eval_dureader(topk=10,
@@ -1571,6 +1641,25 @@ ORACLES["fts_not_bm25"] = f"""
 # index path ≡ corpus scan, same oracle
 ORACLES["fts_not_index"] = ORACLES["fts_not_bm25"]
 
+ORACLES["fts_facets"] = f"""
+    WITH q(qid, question) AS (VALUES {_values_clause()}),
+    qt AS (SELECT DISTINCT qid, unnest({_QTOK}) AS term FROM q),
+    tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    matched AS (SELECT DISTINCT qt.qid, tok.doc_id FROM qt JOIN tok USING (term)),
+    joined AS (SELECT m.qid, d.lang, d.source
+               FROM matched m JOIN documents d USING (doc_id))
+    SELECT qid::BIGINT AS qid, facet, value, n_docs FROM (
+      SELECT qid, 'lang' AS facet, lang AS value, count(*) AS n_docs
+      FROM joined GROUP BY qid, lang
+      UNION ALL
+      SELECT qid, 'source' AS facet, source AS value, count(*) AS n_docs
+      FROM joined GROUP BY qid, source)
+    ORDER BY qid, facet, value
+"""
+
+# index path ≡ corpus scan, same oracle
+ORACLES["fts_facets_index"] = ORACLES["fts_facets"]
+
 ORACLES["fts_doclen_percentiles"] = f"""
     WITH dl AS (SELECT len({_TOK}) AS doclen FROM documents)
     SELECT round(quantile_cont(doclen, 0.25), 6) AS p25,
@@ -1600,6 +1689,8 @@ QUERIES = {
     "fts_fuzzy_index": fts_fuzzy_index,
     "fts_not_bm25": fts_not_bm25,
     "fts_not_index": fts_not_index,
+    "fts_facets": fts_facets,
+    "fts_facets_index": fts_facets_index,
     "fts_filtered_bm25": fts_filtered_bm25,
     "fts_filtered_index": fts_filtered_index,
     "fts_msm_bm25": fts_msm_bm25,

@@ -720,6 +720,64 @@ class IndexSearcher:
             .select("qid", "rank", "doc_id", "score")
         )
 
+    def matching_docs(self, queries: DataFrame) -> DataFrame:
+        """Unscored boolean-OR matching: queries(qid, question) → every
+        (qid, doc_id) where the doc contains ≥1 query term — the engine's
+        match-set primitive under faceting / aggregations (where the FULL
+        match set matters, not a top-k cut). Same plan shape as `search`
+        (pruned scan or warm cache → one bucket-keyed pass), but the kernel
+        only unions each present term's decoded doc_ids per qid — no
+        scoring, no per-bucket top-k, output size = the true match set."""
+        spark = self.spark
+        resolved = self._resolve_batch(queries)
+        if resolved is None:
+            return spark.createDataFrame([], "qid long, doc_id long")
+        batch, _, all_tids, _ = resolved
+
+        if self._warm is not None:
+            shuffled = self._warm.filter(F.col("term_id").isin(all_tids))
+        else:
+            p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            shuffled = self.pruned_scan(all_tids).repartition(
+                p, "bucket"
+            ).sortWithinPartitions("bucket", "term_id", "first_doc")
+
+        prefixed = self.stats.get("segver", 2) >= 3
+        bc = spark.sparkContext.broadcast(batch)
+        empty = pd.DataFrame(
+            {"qid": pd.Series([], dtype="int64"),
+             "doc_id": pd.Series([], dtype="int64")}
+        )
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            groups: dict[int, np.ndarray] = {}
+            for tid, sub in pdf.groupby("term_id", sort=False):
+                tb = _TermBlocks(sub.sort_values("first_doc"), 0.0, prefixed, 1.0)
+                groups[int(tid)] = np.unique(
+                    np.concatenate([tb.decode(i)[0] for i in range(len(tb.firsts))])
+                )
+            out_q, out_d = [], []
+            for qid, tids, _qtfs in bc.value:
+                present = [groups[t] for t in tids if t in groups]
+                if not present:
+                    continue
+                docs = (
+                    present[0]
+                    if len(present) == 1
+                    else np.unique(np.concatenate(present))
+                )
+                out_q.append(np.full(len(docs), qid, dtype=np.int64))
+                out_d.append(docs)
+            if not out_q:
+                return empty
+            return pd.DataFrame(
+                {"qid": np.concatenate(out_q), "doc_id": np.concatenate(out_d)}
+            )
+
+        return shuffled.mapInPandas(
+            bucket_frame_stream(kernel, empty), "qid long, doc_id long"
+        )
+
     def search_filtered(
         self, queries: DataFrame, allowed: DataFrame, k: int = 10
     ) -> DataFrame:
