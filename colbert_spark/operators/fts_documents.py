@@ -1026,6 +1026,190 @@ def fts_facets_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("qid", "facet", "value")
 
 
+MLT_SEEDS = (0, 7, 23)  # seed doc_ids for more-like-this
+MLT_TERMS = 5  # representative terms per seed (top tf·idf)
+
+
+def _mlt_seed_terms(spark: SparkSession, sf_dir: str):
+    """(qid=seed doc_id, term) — each seed's top-MLT_TERMS terms by tf·idf
+    (rank on round(w, 9) DESC, term ASC, the engine tie-break contract).
+    Term selection reads only the seed docs' term vectors plus the global
+    df table — the Lucene MoreLikeThis interesting-terms stage."""
+    docs = _docs(spark, sf_dir)
+    row = docs.agg(F.count("*").alias("n")).collect()[0]
+    n_docs = row["n"]
+    posts = (
+        docs.select("doc_id", F.explode("terms").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    tstats = posts.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    seed_posts = posts.filter(F.col("doc_id").isin(list(MLT_SEEDS))).join(
+        tstats, "term"
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round(F.col("tf") * idf, 9)), F.asc("term")
+    )
+    return (
+        seed_posts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MLT_TERMS)
+        .select(F.col("doc_id").alias("qid"), "term")
+    )
+
+
+def fts_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this by corpus scan (Lucene MoreLikeThisQuery): each seed
+    doc's top tf·idf terms form a disjunctive query (qtf 1 each); BM25
+    top-10 over the rest of the corpus, the seed itself excluded. qid = the
+    seed doc_id. Exact-semantics oracle for `fts_mlt_index`."""
+    docs = _docs(spark, sf_dir).cache()
+    row = docs.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
+    n_docs, avgdl = row["n"], row["avgdl"]
+    posts = (
+        docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
+        .groupBy("term", "doc_id", "doclen")
+        .agg(F.count("*").alias("tf"))
+    )
+    tstats = posts.groupBy("term").agg(F.count("*").alias("df"))
+    qt = _mlt_seed_terms(spark, sf_dir).withColumn("qtf", F.lit(1).cast("long"))
+    joined = posts.join(F.broadcast(qt.join(tstats, "term")), "term").filter(
+        F.col("doc_id") != F.col("qid")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    k1, b = K1_DEFAULT, B_DEFAULT
+    tf = F.col("tf").cast("double")
+    contrib = (
+        F.col("qtf") * idf * tf * (k1 + 1.0)
+        / (tf + k1 * (1.0 - b + b * F.col("doclen") / F.lit(float(avgdl))))
+    )
+    agg = (
+        joined.withColumn("contrib", contrib)
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return _rank_topk(agg)
+
+
+def fts_mlt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_mlt` answered from the segment index: term selection touches
+    only the seed docs (the term-vector stage); the rewritten disjunctions
+    then score through the standard batch kernel, and the seed doc is
+    dropped after the doc-id mapping (over-fetched to keep the cut exact).
+    Shares the corpus-scan oracle."""
+    from colbert_spark.query.wand import IndexSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    seed_terms = _mlt_seed_terms(spark, sf_dir).collect()
+    by_qid: dict[int, list[str]] = {}
+    for r in seed_terms:
+        by_qid.setdefault(r["qid"], []).append(r["term"])
+    queries = spark.createDataFrame(
+        [(qid, " ".join(sorted(ts))) for qid, ts in sorted(by_qid.items())],
+        "qid long, question string",
+    )
+    hits = IndexSearcher(spark, idx).search(queries, k=TOPK + 6)
+    mapped = _map_index_docs(
+        spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
+    ).filter(F.col("doc_id") != F.col("qid"))
+    return _rank_topk(mapped)
+
+
+EXPLAIN_K = 3  # docs per query whose scores get a per-term breakdown
+
+
+def fts_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score explain by corpus scan (the Lucene Explanation analog): for
+    each query's top-EXPLAIN_K docs, one row per matching query term with
+    the raw statistics (tf, doclen) and that term's BM25 contribution —
+    Σ contrib per doc = the doc's search score. Exact-semantics oracle for
+    `fts_explain_index`."""
+    docs = _docs(spark, sf_dir).cache()
+    row = docs.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
+    n_docs, avgdl = row["n"], row["avgdl"]
+    posts = (
+        docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
+        .groupBy("term", "doc_id", "doclen")
+        .agg(F.count("*").alias("tf"))
+    )
+    tstats = posts.groupBy("term").agg(F.count("*").alias("df"))
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    qt = (
+        queries.select("qid", F.explode(tokens_col("question")).alias("term"))
+        .groupBy("qid", "term")
+        .agg(F.count("*").alias("qtf"))
+    )
+    joined = posts.join(F.broadcast(qt.join(tstats, "term")), "term")
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    k1, b = K1_DEFAULT, B_DEFAULT
+    tf = F.col("tf").cast("double")
+    contrib = (
+        F.col("qtf") * idf * tf * (k1 + 1.0)
+        / (tf + k1 * (1.0 - b + b * F.col("doclen") / F.lit(float(avgdl))))
+    ).alias("contrib")
+    detailed = joined.select("qid", "doc_id", "term", "tf", "doclen", contrib)
+    agg = detailed.groupBy("qid", "doc_id").agg(F.sum("contrib").alias("score"))
+    top = _rank_topk(agg, EXPLAIN_K).select("qid", "doc_id")
+    return (
+        detailed.join(top, ["qid", "doc_id"], "leftsemi")
+        .select(
+            "qid",
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doclen").cast("long").alias("doclen"),
+            F.round("contrib", 4).alias("contrib_r"),
+        )
+        .orderBy("qid", "doc_id", "term")
+    )
+
+
+def fts_explain_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_explain` answered from the segment index: the top-EXPLAIN_K cut
+    comes from the standard search, then `IndexSearcher.explain` decodes the
+    query terms' blocks once per bucket and emits per-(doc, term) tf /
+    doclen / contribution for the candidate set. Sharing the corpus-scan
+    oracle proves the index's STORED statistics (tf and dl streams) equal a
+    fresh corpus recount, per posting."""
+    import os
+
+    from colbert_spark.query.wand import IndexSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    searcher = IndexSearcher(spark, idx)
+    hits = searcher.search(queries, k=EXPLAIN_K + 5)
+    mapped = _map_index_docs(
+        spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
+    )
+    top = _rank_topk(mapped, EXPLAIN_K).select("qid", "doc_id")
+    back = spark.read.parquet(os.path.join(idx, "docs")).select(
+        F.col("doc_id").alias("idx_doc"), F.col("url").cast("long").alias("doc_id")
+    )
+    cand_idx = top.join(back, "doc_id").select("qid", F.col("idx_doc").alias("doc_id"))
+    rows = searcher.explain(queries, cand_idx)
+    td = spark.read.parquet(os.path.join(idx, "term_dict")).select("term_id", "term")
+    return (
+        rows.join(back, rows.doc_id == back.idx_doc)
+        .join(td, "term_id")
+        .select(
+            "qid",
+            back.doc_id.alias("doc_id"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doclen").cast("long").alias("doclen"),
+            F.round("contrib", 4).alias("contrib_r"),
+        )
+        .orderBy("qid", "doc_id", "term")
+    )
+
+
 EVAL_DEPTH = 100  # retrieval depth for the metric protocol
 RECALL_CUTS = (10, 50, 100)  # reference: MRR@10 + recall@{50,100}
 # (``proj_utils/dureader_utils.py:51-73``: eval_dureader(topk=10,
@@ -1660,6 +1844,73 @@ ORACLES["fts_facets"] = f"""
 # index path ≡ corpus scan, same oracle
 ORACLES["fts_facets_index"] = ORACLES["fts_facets"]
 
+_MLT_SEED_VALUES = ", ".join(f"({s})" for s in MLT_SEEDS)
+
+ORACLES["fts_mlt"] = f"""
+    WITH seeds(qid) AS (VALUES {_MLT_SEED_VALUES}),
+    tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    st AS (
+      SELECT tf.doc_id AS qid, tf.term,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)), 9) DESC,
+                        tf.term ASC) AS rn
+      FROM tf
+      JOIN seeds ON tf.doc_id = seeds.qid
+      JOIN df USING (term)
+      CROSS JOIN stats),
+    qterm AS (SELECT qid, term FROM st WHERE rn <= {MLT_TERMS}),
+    scored AS (
+      SELECT qterm.qid::BIGINT AS qid, tf.doc_id,
+             sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl))
+             ) AS score
+      FROM qterm
+      JOIN df USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      WHERE tf.doc_id != qterm.qid
+      GROUP BY qterm.qid, tf.doc_id),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+# index path ≡ corpus scan, same oracle
+ORACLES["fts_mlt_index"] = ORACLES["fts_mlt"]
+
+ORACLES["fts_explain"] = f"""
+    {_bm25_ctes()},
+    detail AS (
+      SELECT qtf.qid::BIGINT AS qid, tf.doc_id, tf.term,
+             tf.tf::BIGINT AS tf, dl.doclen::BIGINT AS doclen,
+             qtf.qtf * ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({K1_DEFAULT} + 1.0)
+               / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl))
+               AS contrib
+      FROM qtf
+      JOIN df USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats)
+    SELECT d.qid, d.doc_id, d.term, d.tf, d.doclen, round(d.contrib, 4) AS contrib_r
+    FROM detail d
+    JOIN ranked r ON r.qid = d.qid AND r.doc_id = d.doc_id AND r.rank <= {EXPLAIN_K}
+    ORDER BY d.qid, d.doc_id, d.term
+"""
+
+# index path ≡ corpus scan, same oracle
+ORACLES["fts_explain_index"] = ORACLES["fts_explain"]
+
 ORACLES["fts_doclen_percentiles"] = f"""
     WITH dl AS (SELECT len({_TOK}) AS doclen FROM documents)
     SELECT round(quantile_cont(doclen, 0.25), 6) AS p25,
@@ -1691,6 +1942,10 @@ QUERIES = {
     "fts_not_index": fts_not_index,
     "fts_facets": fts_facets,
     "fts_facets_index": fts_facets_index,
+    "fts_mlt": fts_mlt,
+    "fts_mlt_index": fts_mlt_index,
+    "fts_explain": fts_explain,
+    "fts_explain_index": fts_explain_index,
     "fts_filtered_bm25": fts_filtered_bm25,
     "fts_filtered_index": fts_filtered_index,
     "fts_msm_bm25": fts_msm_bm25,

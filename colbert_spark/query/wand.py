@@ -778,6 +778,93 @@ class IndexSearcher:
             bucket_frame_stream(kernel, empty), "qid long, doc_id long"
         )
 
+    def explain(self, queries: DataFrame, candidates: DataFrame) -> DataFrame:
+        """Score breakdown (the Lucene Explanation analog): for each
+        (qid, doc_id) in `candidates`, one row per matching query term —
+        (qid, doc_id, term_id, tf, doclen, contrib) with
+        contrib = qtf·idf·unit exactly as the scoring kernel prices it
+        (same float ops, so Σ contrib per doc is bit-identical to its
+        search score). `candidates` is broadcast-small by construction
+        (top-k per query), so it collects to a per-qid set and the pass is
+        the standard pruned-scan → bucket kernel shape."""
+        spark = self.spark
+        resolved = self._resolve_batch(queries)
+        schema = (
+            "qid long, doc_id long, term_id long, tf long, doclen long, "
+            "contrib double"
+        )
+        if resolved is None:
+            return spark.createDataFrame([], schema)
+        batch, idf_map, all_tids, _ = resolved
+        cand: dict[int, np.ndarray] = {}
+        for r in candidates.select("qid", "doc_id").collect():
+            cand.setdefault(int(r["qid"]), []).append(int(r["doc_id"]))
+        cand = {q: np.array(sorted(d), dtype=np.int64) for q, d in cand.items()}
+        if self._warm is not None:
+            shuffled = self._warm.filter(F.col("term_id").isin(all_tids))
+        else:
+            p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            shuffled = self.pruned_scan(all_tids).repartition(
+                p, "bucket"
+            ).sortWithinPartitions("bucket", "term_id", "first_doc")
+        prefixed = self.stats.get("segver", 2) >= 3
+        k1, b, avgdl = self.stats["k1"], self.stats["b"], self.stats["avgdl"]
+        bc = spark.sparkContext.broadcast((batch, idf_map, cand))
+        empty = pd.DataFrame(
+            {
+                "qid": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "term_id": pd.Series([], dtype="int64"),
+                "tf": pd.Series([], dtype="int64"),
+                "doclen": pd.Series([], dtype="int64"),
+                "contrib": pd.Series([], dtype="float64"),
+            }
+        )
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            kbatch, kidf, kcand = bc.value
+            decoded: dict[int, tuple] = {}
+            for tid, sub in pdf.groupby("term_id", sort=False):
+                tid = int(tid)
+                tb = _TermBlocks(
+                    sub.sort_values("first_doc"), kidf[tid], prefixed, 1.0
+                )
+                parts = [tb.decode(i) for i in range(len(tb.firsts))]
+                docs = np.concatenate([p[0] for p in parts])
+                tfs = np.concatenate([p[1] for p in parts])
+                dls = np.concatenate([p[2] for p in parts])
+                units = _bm25(tfs, dls, kidf[tid], k1, b, avgdl)
+                decoded[tid] = (docs, tfs, dls, units)
+            out = []
+            for qid, tids, qtfs in kbatch:
+                cdocs = kcand.get(qid)
+                if cdocs is None:
+                    continue
+                for t, qtf in zip(tids, qtfs):
+                    if int(t) not in decoded:
+                        continue
+                    docs, tfs, dls, units = decoded[int(t)]
+                    sel = np.isin(docs, cdocs)
+                    if not sel.any():
+                        continue
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "qid": np.full(int(sel.sum()), qid, dtype=np.int64),
+                                "doc_id": docs[sel],
+                                "term_id": np.full(
+                                    int(sel.sum()), int(t), dtype=np.int64
+                                ),
+                                "tf": tfs[sel].astype(np.int64),
+                                "doclen": dls[sel].astype(np.int64),
+                                "contrib": float(qtf) * units[sel],
+                            }
+                        )
+                    )
+            return pd.concat(out, ignore_index=True) if out else empty
+
+        return shuffled.mapInPandas(bucket_frame_stream(kernel, empty), schema)
+
     def search_filtered(
         self, queries: DataFrame, allowed: DataFrame, k: int = 10
     ) -> DataFrame:
