@@ -1119,6 +1119,65 @@ def fts_mlt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(mapped)
 
 
+# query-time synonym expansion (Lucene SynonymGraphFilter semantics): each
+# query token matches itself OR any mapped variant, the variant scoring with
+# its OWN df/idf; out-of-vocabulary variants simply never match
+SYNONYMS = {
+    "sort": ("order",),
+    "order": ("sort",),
+    "row": ("line",),
+    "speedy": ("fast",),  # OOV source token rescued by its synonym
+    "big": ("large",),  # OOV variant ⇒ behaves like the plain query
+}
+SYN_QUERIES = [
+    (0, "sort merge"),
+    (1, "row filter"),
+    (2, "speedy scan"),
+    (3, "big data"),
+    (4, "sort order"),  # mutually-synonymous pair: both expand to both
+]
+
+
+def _syn_parsed():
+    from collections import Counter
+
+    from colbert_spark.functions.tokenizer import py_tokenize
+
+    rows = []
+    for qid, q in SYN_QUERIES:
+        expanded: Counter = Counter()
+        for tok, n in Counter(py_tokenize(q)).items():
+            for v in (tok, *SYNONYMS.get(tok, ())):
+                expanded[v] += n
+        rows += [(qid, pat, n) for pat, n in sorted(expanded.items())]
+    return rows
+
+
+SYN_PARSED = _syn_parsed()
+
+
+def _syn_cond(ts, qp):
+    return ts.term == qp.pat
+
+
+def fts_synonym_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for synonym-expanded queries by corpus scan: the
+    SYNONYMS map closes each query token over its variants before the
+    vocabulary join (see `_expanded_bm25_scan`). Exact-semantics oracle for
+    `fts_synonym_index`."""
+    qp = spark.createDataFrame(SYN_PARSED, "qid long, pat string, qtf long")
+    return _expanded_bm25_scan(spark, sf_dir, qp, _syn_cond)
+
+
+def fts_synonym_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_synonym_bm25` answered from the segment index: the expansion
+    resolves against the term dictionary (OOV variants drop), then the
+    standard batch kernel scores the rewritten disjunction. Shares the
+    corpus-scan oracle."""
+    qp = spark.createDataFrame(SYN_PARSED, "qid long, pat string, qtf long")
+    return _expanded_bm25_index(spark, sf_dir, qp, _syn_cond)
+
+
 EXPLAIN_K = 3  # docs per query whose scores get a per-term breakdown
 
 
@@ -1911,6 +1970,41 @@ ORACLES["fts_explain"] = f"""
 # index path ≡ corpus scan, same oracle
 ORACLES["fts_explain_index"] = ORACLES["fts_explain"]
 
+_SYN_VALUES = ", ".join(f"({qid}, '{pat}', {qtf})" for qid, pat, qtf in SYN_PARSED)
+
+ORACLES["fts_synonym_bm25"] = f"""
+    WITH qs(qid, pat, qtf) AS (VALUES {_SYN_VALUES}),
+    tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    qterm AS (
+      SELECT qs.qid, df.term, sum(qs.qtf) AS qtf, first(df.df) AS df
+      FROM qs JOIN df ON qs.pat = df.term
+      GROUP BY qs.qid, df.term),
+    scored AS (
+      SELECT qterm.qid::BIGINT AS qid, tf.doc_id,
+             sum(qterm.qtf * ln(1 + (stats.n - qterm.df + 0.5) / (qterm.df + 0.5))
+                 * tf.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl))
+             ) AS score
+      FROM qterm
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY qterm.qid, tf.doc_id),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+# index path ≡ corpus scan, same oracle
+ORACLES["fts_synonym_index"] = ORACLES["fts_synonym_bm25"]
+
 ORACLES["fts_doclen_percentiles"] = f"""
     WITH dl AS (SELECT len({_TOK}) AS doclen FROM documents)
     SELECT round(quantile_cont(doclen, 0.25), 6) AS p25,
@@ -1946,6 +2040,8 @@ QUERIES = {
     "fts_mlt_index": fts_mlt_index,
     "fts_explain": fts_explain,
     "fts_explain_index": fts_explain_index,
+    "fts_synonym_bm25": fts_synonym_bm25,
+    "fts_synonym_index": fts_synonym_index,
     "fts_filtered_bm25": fts_filtered_bm25,
     "fts_filtered_index": fts_filtered_index,
     "fts_msm_bm25": fts_msm_bm25,
