@@ -1178,6 +1178,128 @@ def fts_synonym_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _expanded_bm25_index(spark, sf_dir, qp, _syn_cond)
 
 
+FB_DOCS = 3  # pseudo-relevance feedback depth
+FB_TERMS = 3  # expansion terms per query
+
+
+def _rm3_expansion(spark: SparkSession, sf_dir: str, fb: DataFrame) -> DataFrame:
+    """(qid, term) — the top-FB_TERMS expansion terms per query from the
+    feedback docs `fb` (qid, doc_id): weight = (Σ_fb-docs tf)·idf, original
+    query terms excluded, rank on (round(w, 9) DESC, term ASC). This is the
+    RM3 term-selection stage computed from the feedback docs' term vectors
+    plus the global df table."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    posts = (
+        docs.select("doc_id", F.explode("terms").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    tstats = posts.groupBy("term").agg(F.count("*").alias("df"))
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    qt = queries.select(
+        "qid", F.explode(tokens_col("question")).alias("term")
+    ).distinct()
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    exp = (
+        posts.join(fb.select("qid", "doc_id"), "doc_id")
+        .groupBy("qid", "term")
+        .agg(F.sum("tf").alias("stf"))
+        .join(tstats, "term")
+        .withColumn("w", F.col("stf").cast("double") * idf)
+        .join(qt, ["qid", "term"], "left_anti")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(F.col("w"), 9)), F.asc("term")
+    )
+    return (
+        exp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= FB_TERMS)
+        .select("qid", "term")
+    )
+
+
+def fts_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3-style pseudo-relevance feedback by corpus scan: BM25 retrieves
+    FB_DOCS feedback docs per query, their top (Σtf)·idf terms (original
+    terms excluded) join the query at weight 1, and the expanded weighted
+    disjunction is rescored for the final top-10. Deterministic
+    integer-weight variant of RM3 so the cross-engine hash is exact.
+    Exact-semantics oracle for `fts_rm3_index`."""
+    fb = fts_bm25_topk(spark, sf_dir).filter(F.col("rank") <= FB_DOCS)
+    exp = _rm3_expansion(spark, sf_dir, fb).withColumn(
+        "qtf", F.lit(1).cast("long")
+    )
+    docs = _docs(spark, sf_dir).cache()
+    row = docs.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
+    n_docs, avgdl = row["n"], row["avgdl"]
+    posts = (
+        docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
+        .groupBy("term", "doc_id", "doclen")
+        .agg(F.count("*").alias("tf"))
+    )
+    tstats = posts.groupBy("term").agg(F.count("*").alias("df"))
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    qt = (
+        queries.select("qid", F.explode(tokens_col("question")).alias("term"))
+        .groupBy("qid", "term")
+        .agg(F.count("*").alias("qtf"))
+        .unionByName(exp)
+    )
+    joined = posts.join(F.broadcast(qt.join(tstats, "term")), "term")
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    k1, b = K1_DEFAULT, B_DEFAULT
+    tf = F.col("tf").cast("double")
+    contrib = (
+        F.col("qtf") * idf * tf * (k1 + 1.0)
+        / (tf + k1 * (1.0 - b + b * F.col("doclen") / F.lit(float(avgdl))))
+    )
+    agg = (
+        joined.withColumn("contrib", contrib)
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return _rank_topk(agg)
+
+
+def fts_rm3_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_rm3` answered from the segment index: the feedback docs come
+    from the standard kernel search, the expansion terms append once each
+    to the question string (weight 1 ⇒ one extra token), and the rewritten
+    batch rescored through the unmodified kernel. Shares the corpus-scan
+    oracle."""
+    from colbert_spark.query.wand import IndexSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    searcher = IndexSearcher(spark, idx)
+    hits = searcher.search(queries, k=FB_DOCS + 5)
+    mapped = _map_index_docs(
+        spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
+    )
+    fb = _rank_topk(mapped, FB_DOCS)
+    exp_rows = _rm3_expansion(spark, sf_dir, fb).collect()
+    by_qid: dict[int, list[str]] = {}
+    for r in exp_rows:
+        by_qid.setdefault(r["qid"], []).append(r["term"])
+    expanded = spark.createDataFrame(
+        [
+            (qid, q + "".join(f" {t}" for t in sorted(by_qid.get(qid, []))))
+            for qid, q in DOC_QUERIES
+        ],
+        "qid long, question string",
+    )
+    final = searcher.search(expanded, k=TOPK + 5)
+    out = _map_index_docs(
+        spark, idx, final.select("qid", "doc_id", "score"), "qid", "score"
+    )
+    return _rank_topk(out)
+
+
 EXPLAIN_K = 3  # docs per query whose scores get a per-term breakdown
 
 
@@ -2005,6 +2127,53 @@ ORACLES["fts_synonym_bm25"] = f"""
 # index path ≡ corpus scan, same oracle
 ORACLES["fts_synonym_index"] = ORACLES["fts_synonym_bm25"]
 
+ORACLES["fts_rm3"] = f"""
+    {_bm25_ctes()},
+    fb AS (SELECT qid, doc_id FROM ranked WHERE rank <= {FB_DOCS}),
+    exp0 AS (
+      SELECT fb.qid, tf.term, sum(tf.tf) AS stf,
+             first(df.df) AS dfv, first(stats.n) AS n
+      FROM fb
+      JOIN tf USING (doc_id)
+      JOIN df USING (term)
+      CROSS JOIN stats
+      GROUP BY fb.qid, tf.term),
+    exp1 AS (
+      SELECT qid, term,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round(stf * ln(1 + (n - dfv + 0.5) / (dfv + 0.5)), 9) DESC,
+                        term ASC) AS rn
+      FROM exp0
+      WHERE NOT EXISTS (
+        SELECT 1 FROM qtf q2 WHERE q2.qid = exp0.qid AND q2.term = exp0.term)),
+    qterm2 AS (
+      SELECT qid, term, qtf FROM qtf
+      UNION ALL
+      SELECT qid, term, 1 AS qtf FROM exp1 WHERE rn <= {FB_TERMS}),
+    scored2 AS (
+      SELECT qterm2.qid::BIGINT AS qid, tf.doc_id,
+             sum(qterm2.qtf * ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl))
+             ) AS score
+      FROM qterm2
+      JOIN df USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY qterm2.qid, tf.doc_id),
+    ranked2 AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM scored2)
+    SELECT qid, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM ranked2 WHERE rank <= {TOPK}
+"""
+
+# index path ≡ corpus scan, same oracle
+ORACLES["fts_rm3_index"] = ORACLES["fts_rm3"]
+
 ORACLES["fts_doclen_percentiles"] = f"""
     WITH dl AS (SELECT len({_TOK}) AS doclen FROM documents)
     SELECT round(quantile_cont(doclen, 0.25), 6) AS p25,
@@ -2042,6 +2211,8 @@ QUERIES = {
     "fts_explain_index": fts_explain_index,
     "fts_synonym_bm25": fts_synonym_bm25,
     "fts_synonym_index": fts_synonym_index,
+    "fts_rm3": fts_rm3,
+    "fts_rm3_index": fts_rm3_index,
     "fts_filtered_bm25": fts_filtered_bm25,
     "fts_filtered_index": fts_filtered_index,
     "fts_msm_bm25": fts_msm_bm25,
