@@ -265,3 +265,36 @@ def test_exclusion_matches_bruteforce(spark, index_dir, tiny_corpus, tiny_querie
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, withx.collect()))
     assert a == b
+
+
+def test_matching_docs_warm_equals_cold_and_bruteforce(
+    spark, index_dir, tiny_corpus, tiny_queries
+):
+    """`matching_docs` (the facet/aggregation primitive) returns the exact
+    boolean-OR match set — equal to a brute-force re-tokenization — and the
+    warm path returns byte-identical rows with zero index-data exchange."""
+    from colbert_spark.functions.tokenizer import py_tokenize
+
+    ordered = tiny_corpus.sort_values("url").reset_index(drop=True)
+    doc_terms = {i: set(py_tokenize(t)) for i, t in enumerate(ordered["text"])}
+    qs = tiny_queries.iloc[:6]
+    want = set()
+    for qid, q in zip(qs["qid"], qs["question"]):
+        toks = set(py_tokenize(q))
+        want |= {(qid, d) for d, ts in doc_terms.items() if ts & toks}
+
+    searcher = IndexSearcher(spark, index_dir)
+    try:
+        cold = {(r["qid"], r["doc_id"]) for r in
+                searcher.matching_docs(spark.createDataFrame(qs)).collect()}
+        searcher.warm()
+        warm_df = searcher.matching_docs(spark.createDataFrame(qs))
+        warm = {(r["qid"], r["doc_id"]) for r in warm_df.collect()}
+        assert cold == want
+        assert warm == want
+        # warm plan: no shuffle of index data (only the InMemoryTableScan)
+        plan = warm_df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        assert "Exchange" not in plan.split("InMemoryTableScan")[0]
+    finally:
+        searcher.close()
