@@ -71,7 +71,25 @@ def _cmd_compact(args) -> int:
 
     spark = get_spark("colbert-compact")
     stats = compact_index(
-        spark, args.index, preserve_epochs=not args.merge_epochs
+        spark, args.index, preserve_epochs=not args.merge_epochs,
+        expunge_deletes=args.expunge_deletes,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+def _cmd_delete(args) -> int:
+    from colbert_spark.index.delete import delete_docs
+    from colbert_spark.session import get_spark
+
+    spark = get_spark("colbert-delete")
+    if args.doc_ids == "-":
+        ids = [int(x) for x in sys.stdin.read().split()]
+    else:
+        with open(args.doc_ids) as f:
+            ids = [int(x) for x in f.read().split()]
+    stats = delete_docs(
+        spark, args.index, spark.createDataFrame([(i,) for i in ids], "doc_id long")
     )
     print(json.dumps(stats))
     return 0
@@ -199,10 +217,28 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument(
         "--merge-epochs",
         action="store_true",
-        help="maximal merge across epochs (drops time-travel snapshots older "
-        "than the latest; upgrades payloads to the tagged v3 codec)",
+        help="maximal merge across epochs (collapses time-travel history to "
+        "the merged baseline e0; upgrades payloads to the tagged v3 codec)",
+    )
+    cp.add_argument(
+        "--expunge-deletes",
+        action="store_true",
+        dest="expunge_deletes",
+        help="physically drop tombstoned docs' postings and recompute "
+        "collection statistics (forceMergeDeletes; implies --merge-epochs)",
     )
     cp.set_defaults(fn=_cmd_compact)
+
+    dp = sub.add_parser(
+        "delete", help="tombstone doc_ids (masked from queries; physical "
+        "removal at `compact --expunge-deletes`)"
+    )
+    dp.add_argument("--index", required=True)
+    dp.add_argument(
+        "--doc-ids", required=True, dest="doc_ids",
+        help="whitespace-separated doc_ids file, or - for stdin",
+    )
+    dp.set_defaults(fn=_cmd_delete)
 
     qp = sub.add_parser("query", help="BM25 top-k over a built index")
     qp.add_argument("--index", required=True)

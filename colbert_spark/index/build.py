@@ -857,7 +857,9 @@ def append_index(
     if use_html:
         src = src.withColumn("text", html_text_col("html"))
     committed_urls = (
-        spark.read.parquet(os.path.join(index_dir, "docs"))
+        spark.read.parquet(
+            os.path.join(index_dir, stats.get("docs_dir", "docs"))
+        )
         .filter(F.col("doc_id") < n_committed)  # ignore crashed-append ghosts
         .select("url")
     )
@@ -954,8 +956,9 @@ def append_index(
         .parquet(os.path.join(index_dir, "manifest"))
     )
 
-    # docs delta: deterministic task-local files (idempotent on retry)
-    docs_dir = os.path.join(index_dir, "docs")
+    # docs delta: deterministic task-local files (idempotent on retry);
+    # docs_dir is a stats.json pointer after an expunging compaction
+    docs_dir = os.path.join(index_dir, stats.get("docs_dir", "docs"))
 
     def _docs_writer(batches):
         import pyarrow as pa
@@ -1004,7 +1007,11 @@ def append_index(
     stats["min_enc_avgdl"] = min(
         stats.get("min_enc_avgdl", stats["avgdl"]), stats["avgdl"]
     )
-    stats["avgdl"] = stats["total_cf"] / stats["N"]
+    # live_docs (present only after an expunging compaction) is the Lucene
+    # numDocs — appended docs are live, and avgdl is the mean LIVE doclen
+    if "live_docs" in stats:
+        stats["live_docs"] = stats["live_docs"] + n_new
+    stats["avgdl"] = stats["total_cf"] / stats.get("live_docs", stats["N"])
     stats["append_secs"] = round(time.perf_counter() - t_start, 3)
     # immutable snapshot for time-travel (see build_index's e0 counterpart);
     # written BEFORE the commit pointer: a crash in between leaves stats.json

@@ -24,12 +24,17 @@ Epoch semantics (time-travel, `IndexSearcher(as_of_epoch=k)`):
     epoch snapshot stays servable and rank-exact.
   * `preserve_epochs=False`: all epochs of a (term_id, bucket) merge into
     one run — maximal compaction, but doc-range clipping can no longer
-    excise later epochs, so snapshots older than the latest are DELETED
-    (the live view and the latest snapshot remain exact). Blocks are
-    re-encoded at the index's `min_enc_avgdl`, which keeps the query
-    kernel's max(1, avgdl/min_enc_avgdl) pruning inflation sound, and the
-    payload format is upgraded to v3 (tagged varbyte/PForDelta) — full
-    compaction doubles as the format-migration path for v2 indexes.
+    excise later epochs, so epoch history COLLAPSES: `epochs` resets to 1
+    and `e0.json` becomes the merged baseline (== the live view), the one
+    snapshot that is still exact. Blocks are re-encoded at the index's
+    `min_enc_avgdl`, which keeps the query kernel's
+    max(1, avgdl/min_enc_avgdl) pruning inflation sound, and the payload
+    format is upgraded to v3 (tagged varbyte/PForDelta) — full compaction
+    doubles as the format-migration path for v2 indexes.
+  * `expunge_deletes=True` (implies the full merge): tombstoned docs'
+    postings are physically dropped and the index becomes statistically
+    a fresh build over the survivors — see `compact_index`'s docstring
+    and index/delete.py for the maxDoc/numDocs contract.
 
 Commit protocol: the kernel writes a complete new segment tree under
 `segments_c<gen>/` (task-local atomic renames, deterministic content ⇒
@@ -58,7 +63,9 @@ from colbert_spark.index.build import (
 )
 from colbert_spark.index.codec import decode_block
 
-COMPACT_SUMMARY_SCHEMA = "bucket long, n_blocks long, n_postings long"
+COMPACT_SUMMARY_SCHEMA = (
+    "bucket long, term_id long, n_blocks long, n_postings long, cf long"
+)
 
 
 def _compact_partition(
@@ -72,6 +79,7 @@ def _compact_partition(
     prefixed_out: bool,
     merge_epochs: bool,
     merged_avgdl: float,
+    tomb=None,
 ):
     """mapInPandas kernel over (bucket, tshard)-keyed partitions of block
     rows: decode every block, regroup postings per (term, bucket[, epoch]),
@@ -121,9 +129,19 @@ def _compact_partition(
             # epoch of a block = first boundary N_k its docs fall below;
             # valid per POSTING too (blocks never span boundaries)
             epochs = np.searchsorted(bnd, docs, side="right")
+        # expunge: tombstoned docs' postings simply never re-encode (the
+        # forceMergeDeletes analog); selection happens here so every gather
+        # below — including the occurrence-position one — keeps indexing
+        # the ORIGINAL decoded arrays
+        live = None if tomb is None else ~np.isin(docs, tomb)
         outs = []
         for e in np.unique(epochs):
-            sel = np.flatnonzero(epochs == e)
+            emask = epochs == e
+            if live is not None:
+                emask &= live
+            sel = np.flatnonzero(emask)
+            if not sel.size:
+                continue
             avgdl = merged_avgdl if merge_epochs else enc_avgdls[int(e)]
             td, bd, dd = terms[sel], buckets[sel], docs[sel]
             order = np.lexsort((dd, td, td % tshards, bd))
@@ -155,12 +173,33 @@ def _compact_partition(
             )
             _write_segment_files(out, seg_dir, epoch=int(e))
             outs.append(out)
+        if not outs:
+            return
         allb = pd.concat(outs, ignore_index=True)
-        yield (
-            allb.groupby("bucket")
-            .agg(n_blocks=("term_id", "size"), n_postings=("n", "sum"))
+        nb = (
+            allb.groupby(["bucket", "term_id"])
+            .agg(n_blocks=("n", "size"), n_postings=("n", "sum"))
             .reset_index()
-            .astype({"bucket": "int64", "n_blocks": "int64", "n_postings": "int64"})
+        )
+        # exact per-term live cf partials — the expunge path aggregates
+        # these into the rewritten dictionary's df/cf
+        lsel = np.flatnonzero(live) if live is not None else slice(None)
+        cf = (
+            pd.DataFrame(
+                {"bucket": buckets[lsel], "term_id": terms[lsel], "tf": tfs[lsel]}
+            )
+            .groupby(["bucket", "term_id"])
+            .agg(cf=("tf", "sum"))
+            .reset_index()
+        )
+        yield nb.merge(cf, on=["bucket", "term_id"]).astype(
+            {
+                "bucket": "int64",
+                "term_id": "int64",
+                "n_blocks": "int64",
+                "n_postings": "int64",
+                "cf": "int64",
+            }
         )
 
     return fn
@@ -171,16 +210,52 @@ def compact_index(
     index_dir: str,
     preserve_epochs: bool = True,
     remove_old: bool = True,
+    expunge_deletes: bool = False,
 ) -> dict:
     """Rewrite the index's segment tree with defragmented full blocks and
     atomically swap it live (see module docstring for epoch semantics and
     the commit protocol). Returns the updated stats dict, including
-    `n_blocks_before`/`n_blocks_after`."""
+    `n_blocks_before`/`n_blocks_after`.
+
+    `expunge_deletes=True` (the Lucene forceMergeDeletes analog) physically
+    drops every tombstoned doc's postings during the merge and makes the
+    index statistically equivalent to a FRESH BUILD over the surviving
+    docs: blocks re-encode at the recomputed avgdl, the dictionary rewrites
+    with recomputed df/cf (df=0 terms drop; term_ids stay stable), the docs
+    sink drops deleted rows, `live_docs` (numDocs) takes over scoring while
+    `N` remains the id-space bound (maxDoc — doc_ids are never renumbered,
+    renumbering would re-bucket every posting). Implies full epoch merge:
+    statistics changed, so historical snapshots can no longer be exact and
+    time-travel resets to the post-expunge baseline."""
     stats_path = os.path.join(index_dir, "stats.json")
     with open(stats_path) as f:
         stats = json.load(f)
     if stats.get("segver", 1) < 2:
         raise ValueError("compact_index requires a segver>=2 (idf-free) index")
+    tomb = None
+    live_stats = None
+    if expunge_deletes:
+        from pyspark.sql import functions as F
+
+        from colbert_spark.index.delete import load_tombstones
+
+        preserve_epochs = False
+        tomb = load_tombstones(spark, index_dir, stats)
+        docs_name = stats.get("docs_dir", "docs")
+        docs_df = spark.read.parquet(os.path.join(index_dir, docs_name))
+        if tomb is not None:
+            tomb_df = spark.read.parquet(
+                os.path.join(index_dir, stats["tomb_dir"])
+            )
+            docs_df = docs_df.join(F.broadcast(tomb_df), "doc_id", "left_anti")
+        row = docs_df.agg(
+            F.count("*").alias("n"), F.sum("doclen").alias("cf")
+        ).collect()[0]
+        n_live, total_cf_live = int(row["n"]), int(row["cf"] or 0)
+        # exact int/int division — a fresh build over the survivors computes
+        # the identical double, so scores match bit-for-bit
+        avgdl_live = total_cf_live / n_live if n_live else 1.0
+        live_stats = (n_live, total_cf_live, avgdl_live, docs_df, docs_name)
     n_epochs = stats.get("epochs", 1)
     epoch_stats = []
     for k in range(n_epochs):
@@ -193,6 +268,8 @@ def compact_index(
         epoch_stats[k - 1]["avgdl"] for k in range(1, n_epochs)
     ]
     merged_avgdl = stats.get("min_enc_avgdl", stats["avgdl"])
+    if live_stats is not None:
+        merged_avgdl = live_stats[2]  # re-encode at the post-expunge avgdl
 
     cur_name = stats.get("seg_dir", "segments")
     gen = stats.get("compactions", 0) + 1
@@ -216,11 +293,45 @@ def compact_index(
             stats["k1"], stats["b"], tshards, new_dir,
             boundaries, enc_avgdls, prefixed_in, prefixed_out,
             merge_epochs=not preserve_epochs, merged_avgdl=merged_avgdl,
+            tomb=tomb,
         ),
         schema=COMPACT_SUMMARY_SCHEMA,
-    )
+    ).persist()
     totals = summaries.groupBy().sum("n_blocks", "n_postings").collect()[0]
     n_after = int(totals[0] or 0)
+
+    if live_stats is not None:
+        from pyspark.sql import functions as F
+
+        n_live, total_cf_live, avgdl_live, docs_df, docs_name = live_stats
+        # rewrite the dictionary with the recomputed live df/cf: terms whose
+        # every posting was deleted emit no summary row and drop out; the
+        # term_id space is untouched (n_terms stays — it is the id bound
+        # append_index allocates from, exactly like N for doc_ids)
+        ts = summaries.groupBy("term_id").agg(
+            F.sum("n_postings").alias("df"), F.sum("cf").alias("cf")
+        )
+        old_dict = spark.read.parquet(
+            os.path.join(index_dir, stats.get("dict_dir", "term_dict"))
+        ).drop("df", "cf")
+        new_dict_name = f"term_dict_x{gen}"
+        old_dict.join(ts, "term_id").write.mode("overwrite").parquet(
+            os.path.join(index_dir, new_dict_name)
+        )
+        new_docs_name = f"docs_x{gen}"
+        docs_df.write.mode("overwrite").parquet(
+            os.path.join(index_dir, new_docs_name)
+        )
+        stats["dict_dir"] = new_dict_name
+        stats["docs_dir"] = new_docs_name
+        stats["live_docs"] = n_live
+        stats["total_cf"] = total_cf_live
+        stats["avgdl"] = avgdl_live
+        stats["min_enc_avgdl"] = avgdl_live
+        stats["n_deleted"] = 0
+        expunged_tomb = stats.pop("tomb_dir", None)
+        stats["expunges"] = stats.get("expunges", 0) + 1
+    summaries.unpersist()
 
     # --- commit: repoint epoch snapshots, then the live pointer (atomic)
     stats["seg_dir"] = new_name
@@ -228,28 +339,36 @@ def compact_index(
     stats["n_blocks_before"] = n_before
     stats["n_blocks_after"] = n_after
     if not preserve_epochs:
+        # a full merge collapses epoch history: epochs reset to 1 and
+        # e0.json becomes the merged baseline (== the live view) — the one
+        # snapshot that is still exact. This also keeps future compactions'
+        # boundary reads (range(epochs)) consistent with the files on disk.
         stats["segver"] = 3  # full merge re-encodes everything tagged
-        for k in range(n_epochs - 1):
+        for k in range(n_epochs):
             old = os.path.join(index_dir, "epoch_stats", f"e{k}.json")
             if os.path.exists(old):
-                os.remove(old)  # snapshots older than latest no longer exact
-        keep = [n_epochs - 1]
-    else:
-        keep = list(range(n_epochs))
-    for k in keep:
-        es = epoch_stats[k]
-        es["seg_dir"] = new_name
-        es["compactions"] = gen
-        if not preserve_epochs:
-            es["segver"] = 3
-        tmp = os.path.join(index_dir, "epoch_stats", f".e{k}.json.tmp")
+                os.remove(old)
+        stats["epochs"] = 1
+        es0 = dict(stats)
+        tmp = os.path.join(index_dir, "epoch_stats", ".e0.json.tmp")
         with open(tmp, "w") as f:
-            json.dump(es, f)
-        os.replace(tmp, os.path.join(index_dir, "epoch_stats", f"e{k}.json"))
+            json.dump(es0, f)
+        os.replace(tmp, os.path.join(index_dir, "epoch_stats", "e0.json"))
+    else:
+        for k in range(n_epochs):
+            es = epoch_stats[k]
+            es["seg_dir"] = new_name
+            es["compactions"] = gen
+            tmp = os.path.join(index_dir, "epoch_stats", f".e{k}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(es, f)
+            os.replace(tmp, os.path.join(index_dir, "epoch_stats", f"e{k}.json"))
     tmp_stats = os.path.join(index_dir, ".stats.json.tmp")
     with open(tmp_stats, "w") as f:
         json.dump(stats, f)
     os.replace(tmp_stats, stats_path)
     if remove_old:
         shutil.rmtree(cur_dir, ignore_errors=True)
+    if expunge_deletes and expunged_tomb:
+        shutil.rmtree(os.path.join(index_dir, expunged_tomb), ignore_errors=True)
     return stats

@@ -54,7 +54,9 @@ def index_stats(
         for c in ("doc_bytes", "tf_bytes", "dl_bytes")
     ) + (int(agg["pos_bytes"] or 0) if "pos_bytes" in segments.columns else 0)
     out = {
-        "N": stats["N"],
+        "N": stats["N"],  # maxDoc: the id-space bound
+        "live_docs": stats.get("live_docs", stats["N"]),  # numDocs
+        "n_deleted": stats.get("n_deleted", 0),  # pending tombstones
         "epochs": stats.get("epochs", 1),
         "positions": bool(stats.get("positions", False)),
         "segver": stats.get("segver", 2),

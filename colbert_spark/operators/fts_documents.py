@@ -302,6 +302,16 @@ def _positional_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+def _index_docs_path(idx: str) -> str:
+    """The index's docs sink path — a stats.json pointer after an expunging
+    compaction (`docs_dir`), else the build-time `docs/`."""
+    import json
+    import os
+
+    with open(os.path.join(idx, "stats.json")) as f:
+        return os.path.join(idx, json.load(f).get("docs_dir", "docs"))
+
+
 def _map_index_docs(
     spark: SparkSession, idx: str, hits: DataFrame, key_col: str, val_col: str
 ) -> DataFrame:
@@ -309,7 +319,7 @@ def _map_index_docs(
     the index's own docs sink (never assumed contiguous)."""
     import os
 
-    back = spark.read.parquet(os.path.join(idx, "docs")).select(
+    back = spark.read.parquet(_index_docs_path(idx)).select(
         F.col("doc_id").alias("idx_doc"), F.col("url").cast("long").alias("table_doc")
     )
     val = F.col(val_col) if val_col == "score" else F.col(val_col).cast("long")
@@ -342,7 +352,7 @@ def fts_doclen_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     idx = _positional_index_dir(spark, sf_dir)
-    return spark.read.parquet(os.path.join(idx, "docs")).select(
+    return spark.read.parquet(_index_docs_path(idx)).select(
         F.col("url").cast("long").alias("doc_id"),
         F.col("doclen").cast("long").alias("doclen"),
     )
@@ -488,7 +498,7 @@ def fts_snippet_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     fh = first_hit_segments(
         spark, idx, queries, ranked.select("qid", F.col("idx_doc").alias("doc_id"))
     ).select("qid", F.col("doc_id").alias("idx_doc"), "first_pos")
-    back = spark.read.parquet(os.path.join(idx, "docs")).select(
+    back = spark.read.parquet(_index_docs_path(idx)).select(
         F.col("doc_id").alias("idx_doc"), F.col("url").cast("long").alias("table_doc")
     )
     toks = load_table(spark, sf_dir, "documents").select(
@@ -678,7 +688,7 @@ def fts_filtered_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     allowed_tbl = load_table(spark, sf_dir, "documents").filter(
         F.col("lang") == FILTER_LANG
     ).select(F.col("doc_id").alias("table_doc"))
-    back = spark.read.parquet(os.path.join(idx, "docs")).select(
+    back = spark.read.parquet(_index_docs_path(idx)).select(
         "doc_id", F.col("url").cast("long").alias("table_doc")
     )
     allowed_idx = back.join(allowed_tbl, "table_doc").select("doc_id")
@@ -686,6 +696,86 @@ def fts_filtered_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = IndexSearcher(spark, idx).search_filtered(
         queries, allowed_idx, k=TOPK + 5
     )
+    mapped = _map_index_docs(
+        spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
+    )
+    return _rank_topk(mapped)
+
+
+_DEL_IDX_BUILT: set = set()
+
+
+def _deleted_index_dir(spark: SparkSession, sf_dir: str, expunged: bool) -> str:
+    """Build (once per process per sf_dir) a segment index over documents
+    with every lang != FILTER_LANG doc TOMBSTONED — and, for
+    `expunged=True`, a second copy where the tombstones were physically
+    expunged by `compact_index(expunge_deletes=True)` (the two entries
+    must not share state: contract entries can run in any order)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from colbert_spark.index.build import build_index
+    from colbert_spark.index.compact import compact_index
+    from colbert_spark.index.delete import delete_docs
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"colbert_spark_del_idx_{key}")
+    exp = os.path.join(tempfile.gettempdir(), f"colbert_spark_exp_idx_{key}")
+    if base not in _DEL_IDX_BUILT:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(exp, ignore_errors=True)
+        pages = load_table(spark, sf_dir, "documents").select(
+            F.format_string("%012d", F.col("doc_id")).alias("url"), "text"
+        )
+        build_index(spark, pages, base, bucket_size=1000)
+        back = spark.read.parquet(_index_docs_path(base)).select(
+            "doc_id", F.col("url").cast("long").alias("table_doc")
+        )
+        dead = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("lang") != FILTER_LANG)
+            .select(F.col("doc_id").alias("table_doc"))
+            .join(back, "table_doc")
+            .select("doc_id")
+        )
+        delete_docs(spark, base, dead)
+        shutil.copytree(base, exp)
+        compact_index(spark, exp, expunge_deletes=True)
+        _DEL_IDX_BUILT.add(base)
+    return exp if expunged else base
+
+
+def fts_delete_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over an index whose lang != FILTER_LANG docs were TOMBSTONED
+    (`index/delete.py`): deletes mask results while collection statistics
+    stay encode-time (the Lucene pre-merge contract) — which makes a
+    deleted-index search semantically a filtered search over the
+    complement, so this entry SHARES `fts_filtered_bm25`'s oracle."""
+    from colbert_spark.query.wand import IndexSearcher
+
+    idx = _deleted_index_dir(spark, sf_dir, expunged=False)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    hits = IndexSearcher(spark, idx).search(queries, k=TOPK + 5)
+    mapped = _map_index_docs(
+        spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
+    )
+    return _rank_topk(mapped)
+
+
+def fts_expunge_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the EXPUNGED copy of the deleted index
+    (`compact_index(expunge_deletes=True)`): postings physically dropped,
+    statistics recomputed — so results must equal a corpus scan over ONLY
+    the surviving (lang = FILTER_LANG) docs, stats and all. The oracle
+    restricts the corpus in the CTEs, proving the merge rewrote df / cf /
+    avgdl / live_docs to fresh-build values."""
+    from colbert_spark.query.wand import IndexSearcher
+
+    idx = _deleted_index_dir(spark, sf_dir, expunged=True)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    hits = IndexSearcher(spark, idx).search(queries, k=TOPK + 5)
     mapped = _map_index_docs(
         spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
     )
@@ -1004,7 +1094,7 @@ def fts_facets_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _positional_index_dir(spark, sf_dir)
     queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
     hits = IndexSearcher(spark, idx).matching_docs(queries)
-    back = spark.read.parquet(os.path.join(idx, "docs")).select(
+    back = spark.read.parquet(_index_docs_path(idx)).select(
         F.col("doc_id").alias("idx_doc"), F.col("url").cast("long").alias("doc_id")
     )
     mapped = (
@@ -1370,7 +1460,7 @@ def fts_explain_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
     )
     top = _rank_topk(mapped, EXPLAIN_K).select("qid", "doc_id")
-    back = spark.read.parquet(os.path.join(idx, "docs")).select(
+    back = spark.read.parquet(_index_docs_path(idx)).select(
         F.col("doc_id").alias("idx_doc"), F.col("url").cast("long").alias("doc_id")
     )
     cand_idx = top.join(back, "doc_id").select("qid", F.col("idx_doc").alias("doc_id"))
@@ -1815,6 +1905,42 @@ ORACLES["fts_filtered_bm25"] = f"""
 # index path ≡ corpus scan, same oracle
 ORACLES["fts_filtered_index"] = ORACLES["fts_filtered_bm25"]
 
+# a tombstoned index with encode-time statistics IS a filtered search over
+# the complement (Lucene pre-merge semantics) — same oracle
+ORACLES["fts_delete_index"] = ORACLES["fts_filtered_bm25"]
+
+# the EXPUNGED index must equal a corpus scan over only the survivors —
+# statistics included: the CTEs restrict the corpus itself
+ORACLES["fts_expunge_index"] = f"""
+    WITH q(qid, question) AS (VALUES {_values_clause()}),
+    live AS (SELECT * FROM documents WHERE lang = '{FILTER_LANG}'),
+    tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM live),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    qt AS (SELECT qid, unnest({_QTOK}) AS term FROM q),
+    qtf AS (SELECT qid, term, count(*) AS qtf FROM qt GROUP BY qid, term),
+    scored AS (
+      SELECT qtf.qid::BIGINT AS qid, tf.doc_id,
+             sum(qtf.qtf * ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl))
+             ) AS score
+      FROM qtf
+      JOIN df USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY qtf.qid, tf.doc_id),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
 ORACLES["fts_msm_bm25"] = f"""
     WITH q(qid, question) AS (VALUES {_values_clause()}),
     tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
@@ -2215,6 +2341,8 @@ QUERIES = {
     "fts_rm3_index": fts_rm3_index,
     "fts_filtered_bm25": fts_filtered_bm25,
     "fts_filtered_index": fts_filtered_index,
+    "fts_delete_index": fts_delete_index,
+    "fts_expunge_index": fts_expunge_index,
     "fts_msm_bm25": fts_msm_bm25,
     "fts_msm_index": fts_msm_index,
     "fts_boolean_index": fts_boolean_index,

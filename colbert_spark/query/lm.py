@@ -52,7 +52,8 @@ def make_lm_kernel(query_batch, k: int, mu: float, c_total: float, prefixed: boo
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         payload = query_batch.value if hasattr(query_batch, "value") else query_batch
-        batch, cf_map = payload
+        batch, cf_map, *rest = payload
+        excluded = rest[0] if rest else None
         cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         for tid, sub in pdf.groupby("term_id", sort=False):
             docs_l, tfs_l, dls_l = [], [], []
@@ -74,6 +75,11 @@ def make_lm_kernel(query_batch, k: int, mu: float, c_total: float, prefixed: boo
         dl_span = np.zeros(span, dtype=np.float64)
         for docs, _, dls in cache.values():
             dl_span[docs - lo] = dls  # same dl from every term's stream
+        excl_idx = None
+        if excluded is not None:
+            e = excluded[(excluded >= lo) & (excluded <= hi)]
+            if e.size:
+                excl_idx = e - lo
         out_q, out_d, out_s = [], [], []
         for qid, tids, qtfs, nq in batch:
             present = [
@@ -86,6 +92,8 @@ def make_lm_kernel(query_batch, k: int, mu: float, c_total: float, prefixed: boo
             acc[:] = 0.0
             for (docs, tfs, _), qtf, cf in present:  # ascending term_id
                 acc[docs - lo] += qtf * np.log1p(tfs / (mu * cf / c_total))
+            if excl_idx is not None:  # deletion tombstones (liveDocs mask)
+                acc[excl_idx] = 0.0
             nz = np.flatnonzero(acc)  # tf ≥ 1 ⇒ every match contributes > 0
             if not nz.size:
                 continue
@@ -149,7 +157,7 @@ def lm_topk_segments(
         .repartition(p, "bucket")
         .sortWithinPartitions("bucket", "term_id", "first_doc")
     )
-    bc = spark.sparkContext.broadcast((batch, cf_map))
+    bc = spark.sparkContext.broadcast((batch, cf_map, s._tomb))
     # legacy stats.json may predate total_cf; avgdl·N prices it exactly
     c_total = float(s.stats.get("total_cf") or s.stats["avgdl"] * s.stats["N"])
     kernel = make_lm_kernel(

@@ -35,6 +35,8 @@ surface, cross-checked against the DataFrame/DuckDB phrase oracle.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -183,7 +185,21 @@ class PositionalSearcher:
             spark, index_dir, as_of_epoch=as_of_epoch
         )
         _require_positions(self.stats)
+        # deletion tombstones (live view only, like IndexSearcher): phrase /
+        # NEAR / first-hit return FULL match sets with no top-k cut, so a
+        # doc_id anti-join AFTER the kernel is exact — deleted docs simply
+        # drop out, nothing is re-ranked
+        self._tomb_df: DataFrame | None = None
+        if as_of_epoch is None and self.stats.get("tomb_dir"):
+            self._tomb_df = spark.read.parquet(
+                os.path.join(index_dir, self.stats["tomb_dir"])
+            )
         self._warm: DataFrame | None = None
+
+    def _mask(self, res: DataFrame) -> DataFrame:
+        if self._tomb_df is None:
+            return res
+        return res.join(F.broadcast(self._tomb_df), "doc_id", "left_anti")
 
     def warm(self) -> "PositionalSearcher":
         if self._warm is None:
@@ -240,10 +256,10 @@ class PositionalSearcher:
 
         bc = spark.sparkContext.broadcast(phrase_list)
         kernel = _make_phrase_kernel(bc, int(self.stats["bucket_size"]))
-        return _positional_scan(
+        return self._mask(_positional_scan(
             spark, self.segments, self.stats, all_tids, kernel,
             PHRASE_OUT_SCHEMA, _EMPTY, warm=self._warm,
-        )
+        ))
 
     def near(self, pairs: DataFrame, window: int = 4) -> DataFrame:
         """pairs(pair_id, t1, t2) → (pair_id, doc_id, n_anchor): proximity
@@ -273,10 +289,10 @@ class PositionalSearcher:
 
         bc = spark.sparkContext.broadcast(pair_list)
         kernel = _make_near_kernel(bc, int(self.stats["bucket_size"]), int(window))
-        return _positional_scan(
+        return self._mask(_positional_scan(
             spark, self.segments, self.stats, all_tids, kernel,
             NEAR_OUT_SCHEMA, _NEAR_EMPTY, warm=self._warm,
-        )
+        ))
 
     def first_hit(self, queries: DataFrame, candidates: DataFrame) -> DataFrame:
         """(qid, doc_id, first_pos) for each candidate pair: the 0-BASED
@@ -304,10 +320,10 @@ class PositionalSearcher:
         all_tids = sorted({t for ts in qid_terms.values() for t in ts})
         bc = spark.sparkContext.broadcast((qid_terms, cands))
         kernel = _make_firsthit_kernel(bc, int(self.stats["bucket_size"]))
-        return _positional_scan(
+        return self._mask(_positional_scan(
             spark, self.segments, self.stats, all_tids, kernel,
             FIRSTHIT_OUT_SCHEMA, _FH_EMPTY, warm=self._warm,
-        )
+        ))
 
 
 def phrase_match_segments(

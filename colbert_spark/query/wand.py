@@ -258,6 +258,7 @@ def _score_batch_dense(
     allowed: np.ndarray | None = None,
     min_match: int = 1,
     neg_map: dict | None = None,
+    excluded: np.ndarray | None = None,
 ) -> tuple[list, list, list]:
     """Shared-decode exhaustive scoring of a whole query batch against one
     bucket. Docs inside a bucket span a contiguous id range (bucket =
@@ -281,7 +282,11 @@ def _score_batch_dense(
     containing any of them is zeroed after accumulation. Negated terms'
     blocks arrive in the same bucket frame as the positives (doc-range
     bucketing puts all of one doc's postings in one bucket), so exclusion is
-    bucket-local — no extra exchange, no global excluded-doc set."""
+    bucket-local — no extra exchange, no global excluded-doc set.
+
+    `excluded` (deletion tombstones): sorted global doc_ids masked out of
+    every query's results (Lucene liveDocs); scoring statistics deliberately
+    stay encode-time until an expunging compaction (see index/delete.py)."""
     lo = min(int(tb.firsts.min()) for tb in groups.values())
     hi = max(int(tb.lasts.max()) for tb in groups.values())
     acc = np.zeros(hi - lo + 1, dtype=np.float64)
@@ -291,6 +296,11 @@ def _score_batch_dense(
         a = allowed[(allowed >= lo) & (allowed <= hi)]
         mask[a - lo] = True
     cnt = np.zeros(hi - lo + 1, dtype=np.int32) if min_match != 1 else None
+    excl_idx = None
+    if excluded is not None:
+        e = excluded[(excluded >= lo) & (excluded <= hi)]
+        if e.size:
+            excl_idx = e - lo
     out_q, out_d, out_s = [], [], []
     for qid, tids, qtfs in batch:
         thr = len(tids) if min_match == MATCH_ALL else min_match
@@ -317,6 +327,8 @@ def _score_batch_dense(
                 if ntb is not None:
                     ndocs, _ = ntb.full(k1, b, avgdl)
                     acc[ndocs - lo] = 0.0
+        if excl_idx is not None:
+            acc[excl_idx] = 0.0
         nz = np.flatnonzero(acc)
         if not nz.size:
             continue
@@ -363,17 +375,23 @@ def make_batch_kernel(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         payload = query_batch.value if hasattr(query_batch, "value") else query_batch
         batch, idf_map, *rest = payload
-        neg_map = rest[0] if rest else None
+        neg_map = rest[0] if len(rest) > 0 else None
+        excluded = rest[1] if len(rest) > 1 else None
         groups: dict[int, _TermBlocks] = {}
         for tid, sub in pdf.groupby("term_id", sort=False):
             tid = int(tid)
             groups[tid] = _TermBlocks(
                 sub.sort_values("first_doc"), idf_map[tid], prefixed, max_scale
             )
-        if len(batch) >= dense_min or min_match != 1 or neg_map:
+        if (
+            len(batch) >= dense_min
+            or min_match != 1
+            or neg_map
+            or excluded is not None
+        ):
             out_q, out_d, out_s = _score_batch_dense(
                 groups, batch, k, k1, b, avgdl, min_match=min_match,
-                neg_map=neg_map,
+                neg_map=neg_map, excluded=excluded,
             )
         else:
             out_q, out_d, out_s = [], [], []
@@ -452,7 +470,8 @@ def make_filtered_kernel(
         if not len(seg_pdf) or not len(allowed_pdf):
             return _EMPTY
         payload = query_batch.value if hasattr(query_batch, "value") else query_batch
-        batch, idf_map, *_ = payload
+        batch, idf_map, *rest = payload
+        excluded = rest[1] if len(rest) > 1 else None
         groups: dict[int, _TermBlocks] = {}
         for tid, sub in seg_pdf.groupby("term_id", sort=False):
             tid = int(tid)
@@ -461,7 +480,7 @@ def make_filtered_kernel(
             )
         allowed = allowed_pdf["doc_id"].to_numpy(np.int64)
         out_q, out_d, out_s = _score_batch_dense(
-            groups, batch, k, k1, b, avgdl, allowed=allowed
+            groups, batch, k, k1, b, avgdl, allowed=allowed, excluded=excluded
         )
         if not out_q:
             return _EMPTY
@@ -536,6 +555,14 @@ class IndexSearcher:
             # warm cache nor the per-batch exchange carries the (large)
             # occurrence-position streams of a positional index
             self.segments = self.segments.drop("pos_bytes")
+        # deletion tombstones mask the LIVE view only: a time-travel
+        # snapshot is "the index as of that epoch's commit", and deletes
+        # are not epoch commits (index/delete.py)
+        self._tomb = None
+        if as_of_epoch is None:
+            from colbert_spark.index.delete import load_tombstones
+
+            self._tomb = load_tombstones(spark, index_dir, self.stats)
         self._warm: DataFrame | None = None
 
     def warm(self) -> "IndexSearcher":
@@ -589,7 +616,10 @@ class IndexSearcher:
         )
         if not qrows:
             return None
-        n_docs = self.stats["N"]
+        # live_docs (written only by an expunging compaction) is the Lucene
+        # numDocs; stats["N"] stays the id-space bound (maxDoc). Between a
+        # delete and its expunge, statistics deliberately stay encode-time.
+        n_docs = self.stats.get("live_docs", self.stats["N"])
         # idf resolved HERE from the current dictionary (blocks store only
         # idf-free unit scores) — appends that move N/df need no re-encode
         idf_map = {
@@ -693,7 +723,7 @@ class IndexSearcher:
                 p, "bucket"
             ).sortWithinPartitions("bucket", "term_id", "first_doc")
 
-        bc = spark.sparkContext.broadcast((batch, idf_map, neg_map))
+        bc = spark.sparkContext.broadcast((batch, idf_map, neg_map, self._tomb))
         kernel = make_batch_kernel(
             bc,
             k,
@@ -743,21 +773,25 @@ class IndexSearcher:
             ).sortWithinPartitions("bucket", "term_id", "first_doc")
 
         prefixed = self.stats.get("segver", 2) >= 3
-        bc = spark.sparkContext.broadcast(batch)
+        bc = spark.sparkContext.broadcast((batch, self._tomb))
         empty = pd.DataFrame(
             {"qid": pd.Series([], dtype="int64"),
              "doc_id": pd.Series([], dtype="int64")}
         )
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            kbatch, excluded = bc.value
             groups: dict[int, np.ndarray] = {}
             for tid, sub in pdf.groupby("term_id", sort=False):
                 tb = _TermBlocks(sub.sort_values("first_doc"), 0.0, prefixed, 1.0)
-                groups[int(tid)] = np.unique(
+                docs = np.unique(
                     np.concatenate([tb.decode(i)[0] for i in range(len(tb.firsts))])
                 )
+                if excluded is not None:
+                    docs = docs[~np.isin(docs, excluded)]
+                groups[int(tid)] = docs
             out_q, out_d = [], []
-            for qid, tids, _qtfs in bc.value:
+            for qid, tids, _qtfs in kbatch:
                 present = [groups[t] for t in tids if t in groups]
                 if not present:
                     continue
@@ -800,6 +834,10 @@ class IndexSearcher:
         for r in candidates.select("qid", "doc_id").collect():
             cand.setdefault(int(r["qid"]), []).append(int(r["doc_id"]))
         cand = {q: np.array(sorted(d), dtype=np.int64) for q, d in cand.items()}
+        if self._tomb is not None:
+            cand = {
+                q: d[~np.isin(d, self._tomb)] for q, d in cand.items()
+            }
         if self._warm is not None:
             shuffled = self._warm.filter(F.col("term_id").isin(all_tids))
         else:
@@ -890,7 +928,7 @@ class IndexSearcher:
             F.floor(F.col("doc_id") / bucket_size).cast("long").alias("bucket"),
             F.col("doc_id").cast("long").alias("doc_id"),
         )
-        bc = spark.sparkContext.broadcast((batch, idf_map))
+        bc = spark.sparkContext.broadcast((batch, idf_map, None, self._tomb))
         kernel = make_filtered_kernel(
             bc,
             k,

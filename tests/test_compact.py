@@ -68,16 +68,12 @@ def test_compact_full_merge_upgrades_and_drops_old_snapshots(
 
     assert stats["segver"] == 3
     assert _topk_rows(spark, fragmented_dir, queries) == before_live
-    # latest snapshot survives (== live view), older ones are gone
-    latest = stats["epochs"] - 1
-    assert os.path.exists(
-        os.path.join(fragmented_dir, "epoch_stats", f"e{latest}.json")
-    )
-    assert not os.path.exists(os.path.join(fragmented_dir, "epoch_stats", "e0.json"))
-    assert (
-        _topk_rows(spark, fragmented_dir, queries, as_of_epoch=latest)
-        == before_live
-    )
+    # epoch history collapses to the merged baseline: epochs resets to 1,
+    # e0 becomes (and equals) the live view, e1+ are gone
+    assert stats["epochs"] == 1
+    assert os.path.exists(os.path.join(fragmented_dir, "epoch_stats", "e0.json"))
+    assert not os.path.exists(os.path.join(fragmented_dir, "epoch_stats", "e1.json"))
+    assert _topk_rows(spark, fragmented_dir, queries, as_of_epoch=0) == before_live
 
 
 def test_compact_merges_runs_into_full_blocks(spark, fragmented_dir):
