@@ -78,6 +78,17 @@ def _cmd_compact(args) -> int:
     return 0
 
 
+def _cmd_upsert(args) -> int:
+    from colbert_spark.index.delete import upsert_index
+    from colbert_spark.session import get_spark
+
+    spark = get_spark("colbert-upsert")
+    pages = spark.read.parquet(args.input)
+    stats = upsert_index(spark, pages, args.index, use_html=args.use_html)
+    print(json.dumps(stats))
+    return 0
+
+
 def _cmd_delete(args) -> int:
     from colbert_spark.index.delete import delete_docs
     from colbert_spark.session import get_spark
@@ -228,6 +239,15 @@ def main(argv: list[str] | None = None) -> int:
         "collection statistics (forceMergeDeletes; implies --merge-epochs)",
     )
     cp.set_defaults(fn=_cmd_compact)
+
+    up = sub.add_parser(
+        "upsert", help="update-or-insert docs by url: tombstone the live "
+        "version, append the new one"
+    )
+    up.add_argument("--input", required=True, help="parquet web_pages path")
+    up.add_argument("--index", required=True)
+    up.add_argument("--use-html", action="store_true")
+    up.set_defaults(fn=_cmd_upsert)
 
     dp = sub.add_parser(
         "delete", help="tombstone doc_ids (masked from queries; physical "

@@ -856,13 +856,19 @@ def append_index(
     src = new_pages
     if use_html:
         src = src.withColumn("text", html_text_col("html"))
-    committed_urls = (
-        spark.read.parquet(
-            os.path.join(index_dir, stats.get("docs_dir", "docs"))
+    committed_docs = spark.read.parquet(
+        os.path.join(index_dir, stats.get("docs_dir", "docs"))
+    ).filter(F.col("doc_id") < n_committed)  # ignore crashed-append ghosts
+    if stats.get("tomb_dir"):
+        # a TOMBSTONED url is no longer committed: re-appending it inserts a
+        # fresh doc under a new id (the upsert path — index/delete.py); the
+        # old id stays masked until expunge. Deterministic on retry: the
+        # tombstone set was committed before this append started.
+        tomb = spark.read.parquet(os.path.join(index_dir, stats["tomb_dir"]))
+        committed_docs = committed_docs.join(
+            F.broadcast(tomb), "doc_id", "left_anti"
         )
-        .filter(F.col("doc_id") < n_committed)  # ignore crashed-append ghosts
-        .select("url")
-    )
+    committed_urls = committed_docs.select("url")
     fresh = src.select("url", "text").join(committed_urls, "url", "left_anti")
     with_ids = assign_dense_rank(fresh, "url", "doc_id", unique=True)
     n_new = int(getattr(with_ids, "_dense_rank_total", 0) or 0)

@@ -82,6 +82,45 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: DataFrame) -> dict
     return stats
 
 
+def upsert_index(
+    spark: SparkSession,
+    new_pages: DataFrame,
+    index_dir: str,
+    use_html: bool = False,
+) -> dict:
+    """Update-or-insert by url: tombstone the LIVE doc of every url present
+    in `new_pages`, then append every row as a fresh doc (ids allocated
+    past N, the standard append path — `append_index` treats tombstoned
+    urls as no longer committed). The old version stays masked until
+    `compact_index(expunge_deletes=True)` physically drops it; between the
+    two, queries see exactly the new versions. Crash-safe by composition:
+    the delete commits first and both halves are idempotent, so a retry
+    re-runs to the same state."""
+    import json
+
+    from colbert_spark.index.build import append_index
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    docs = spark.read.parquet(
+        os.path.join(index_dir, stats.get("docs_dir", "docs"))
+    ).filter(F.col("doc_id") < stats["N"])
+    hit = docs.join(
+        F.broadcast(new_pages.select("url").distinct()), "url"
+    ).select("doc_id")
+    if stats.get("tomb_dir"):
+        hit = hit.join(
+            F.broadcast(
+                spark.read.parquet(os.path.join(index_dir, stats["tomb_dir"]))
+            ),
+            "doc_id",
+            "left_anti",
+        )
+    if hit.limit(1).count():
+        delete_docs(spark, index_dir, hit)
+    return append_index(spark, new_pages, index_dir, use_html=use_html)
+
+
 def load_tombstones(spark: SparkSession, index_dir: str, stats: dict):
     """The live tombstone set as a sorted int64 ndarray, or None. See the
     module docstring for the driver-memory contract."""

@@ -139,3 +139,73 @@ def test_expunge_equals_fresh_build(
     assert st2["live_docs"] == st["live_docs"] + len(extra)
     assert math.isclose(st2["avgdl"], st2["total_cf"] / st2["live_docs"])
     assert IndexSearcher(spark, del_index).search(qs, k=K).count() > 0
+
+
+def test_upsert_then_expunge_is_oracle_identical(
+    spark, tiny_corpus, tiny_queries, tmp_path_factory
+):
+    """Update-by-url: modified docs replace their old versions (old masked
+    immediately, dropped at expunge; ids stable), new urls insert — and
+    after expunge the index is rank- AND score-identical to the pure-Python
+    oracle over the FINAL corpus."""
+    import pandas as pd
+
+    from colbert_spark.index.delete import upsert_index
+    from colbert_spark.oracle import OracleIndex
+    from colbert_spark.sources.synth import synth_web_pages
+
+    d = str(tmp_path_factory.mktemp("idx_upsert"))
+    build_index(spark, spark.createDataFrame(tiny_corpus), d, bucket_size=127)
+    n0 = len(tiny_corpus)
+    mod = tiny_corpus.iloc[:40].copy()
+    mod["text"] = mod["text"] + " upsertedmarker upsertedmarker"
+    new = synth_web_pages(n0 + 15).iloc[n0:]
+    st = upsert_index(
+        spark, spark.createDataFrame(pd.concat([mod, new], ignore_index=True)), d
+    )
+    assert st["N"] == n0 + 40 + 15 and st["n_deleted"] == 40
+
+    # only the 40 modified docs contain the marker
+    marker = spark.createDataFrame(
+        [(0, "upsertedmarker")], "qid long, question string"
+    )
+    assert IndexSearcher(spark, d).search(marker, k=n0).count() == 40
+
+    st2 = compact_index(spark, d, expunge_deletes=True)
+    assert st2["live_docs"] == n0 + 15
+    final = pd.concat([tiny_corpus.iloc[40:], mod, new], ignore_index=True)
+    ordered = final.sort_values("url").reset_index(drop=True)
+    oracle = OracleIndex.build(list(zip(range(len(ordered)), ordered["text"])))
+    url_rank = {u: i for i, u in enumerate(ordered["url"])}
+    sink = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(os.path.join(d, st2["docs_dir"])).collect()
+    }
+    qs = tiny_queries[:15]
+    res = IndexSearcher(spark, d).search(spark.createDataFrame(qs), k=K).collect()
+    byq = {}
+    for r in res:
+        byq.setdefault(r["qid"], []).append(r)
+    for qid, q in zip(qs["qid"], qs["question"]):
+        got = sorted(byq.get(qid, []), key=lambda r: r["rank"])
+        want = oracle.topk(q, K)
+        assert len(got) == len(want)
+        if not want:
+            continue
+        # scores are identical rank-for-rank; doc identity is only
+        # well-defined off ties — an upserted doc's STABLE index id no
+        # longer follows url order, so the (−score, doc_id) tie-break
+        # legitimately permutes equal-scored docs vs the renumbered oracle
+        for r, (_, sc) in zip(got, want):
+            assert math.isclose(r["score"], sc, rel_tol=1e-9)
+        tied = {
+            s
+            for i, (_, s1) in enumerate(want)
+            for j, (_, s2) in enumerate(want)
+            if i != j and round(s1, 9) == round(s2, 9)
+            for s in (round(s1, 9),)
+        }
+        tied.add(round(want[-1][1], 9))  # the cut boundary may tie past k
+        for r, (oid, sc) in zip(got, want):
+            if round(sc, 9) not in tied:
+                assert url_rank[sink[r["doc_id"]]] == oid
