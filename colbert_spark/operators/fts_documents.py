@@ -1268,6 +1268,81 @@ def fts_synonym_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _expanded_bm25_index(spark, sf_dir, qp, _syn_cond)
 
 
+GROUP_K = 3  # field-collapse: best docs kept per (query, group value)
+
+
+def _rank_topk_grouped(scored, group_col: str, k: int = GROUP_K):
+    """Per-(qid, group) variant of the `_rank_topk` tie-break contract."""
+    w = Window.partitionBy("qid", group_col).orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid", group_col, "rank", "doc_id",
+            F.round("score", 4).alias("score_r"),
+        )
+        .orderBy("qid", group_col, "rank")
+    )
+
+
+def fts_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapse / grouped top-k by corpus scan (the Lucene grouping
+    analog): the best GROUP_K BM25 docs per (query, lang). Exact-semantics
+    oracle for `fts_collapse_index`."""
+    docs = _docs(spark, sf_dir).cache()
+    row = docs.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
+    n_docs, avgdl = row["n"], row["avgdl"]
+    posts = (
+        docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
+        .groupBy("term", "doc_id", "doclen")
+        .agg(F.count("*").alias("tf"))
+    )
+    tstats = posts.groupBy("term").agg(F.count("*").alias("df"))
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    qt = (
+        queries.select("qid", F.explode(tokens_col("question")).alias("term"))
+        .groupBy("qid", "term")
+        .agg(F.count("*").alias("qtf"))
+    )
+    joined = posts.join(F.broadcast(qt.join(tstats, "term")), "term")
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    k1, b = K1_DEFAULT, B_DEFAULT
+    tf = F.col("tf").cast("double")
+    contrib = (
+        F.col("qtf") * idf * tf * (k1 + 1.0)
+        / (tf + k1 * (1.0 - b + b * F.col("doclen") / F.lit(float(avgdl))))
+    )
+    agg = (
+        joined.withColumn("contrib", contrib)
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+        .join(load_table(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id")
+    )
+    return _rank_topk_grouped(agg, "lang")
+
+
+def fts_collapse_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_collapse` answered from the segment index in ONE pass:
+    `IndexSearcher.score_matches` emits the full scored match set (the cut
+    is per (query, lang), which the kernel cannot see), the metadata join
+    attaches the group key, and one window takes the per-group top-k.
+    Shares the corpus-scan oracle."""
+    from colbert_spark.query.wand import IndexSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    hits = IndexSearcher(spark, idx).score_matches(queries)
+    mapped = _map_index_docs(spark, idx, hits, "qid", "score")
+    joined = mapped.join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
+    )
+    return _rank_topk_grouped(joined, "lang")
+
+
 FB_DOCS = 3  # pseudo-relevance feedback depth
 FB_TERMS = 3  # expansion terms per query
 
@@ -2300,6 +2375,22 @@ ORACLES["fts_rm3"] = f"""
 # index path ≡ corpus scan, same oracle
 ORACLES["fts_rm3_index"] = ORACLES["fts_rm3"]
 
+ORACLES["fts_collapse"] = f"""
+    {_bm25_ctes()},
+    grouped AS (
+      SELECT s.qid, d.lang, s.doc_id, s.score,
+             row_number() OVER (
+               PARTITION BY s.qid, d.lang
+               ORDER BY round(s.score, 9) DESC, s.doc_id) AS rank
+      FROM scored s JOIN documents d USING (doc_id))
+    SELECT qid, lang, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM grouped WHERE rank <= {GROUP_K}
+    ORDER BY qid, lang, rank
+"""
+
+# index path ≡ corpus scan, same oracle
+ORACLES["fts_collapse_index"] = ORACLES["fts_collapse"]
+
 ORACLES["fts_doclen_percentiles"] = f"""
     WITH dl AS (SELECT len({_TOK}) AS doclen FROM documents)
     SELECT round(quantile_cont(doclen, 0.25), 6) AS p25,
@@ -2339,6 +2430,8 @@ QUERIES = {
     "fts_synonym_index": fts_synonym_index,
     "fts_rm3": fts_rm3,
     "fts_rm3_index": fts_rm3_index,
+    "fts_collapse": fts_collapse,
+    "fts_collapse_index": fts_collapse_index,
     "fts_filtered_bm25": fts_filtered_bm25,
     "fts_filtered_index": fts_filtered_index,
     "fts_delete_index": fts_delete_index,

@@ -333,6 +333,11 @@ def _score_batch_dense(
         if not nz.size:
             continue
         sub = acc[nz]
+        if k is None:  # full scored match set, no cut, order irrelevant
+            out_q.append(np.full(nz.size, qid, dtype=np.int64))
+            out_d.append(nz + lo)
+            out_s.append(sub.copy())
+            continue
         top = min(k, nz.size)
         if nz.size > top:
             # keep every doc tied with the k-th score, then tie-break exactly
@@ -748,6 +753,40 @@ class IndexSearcher:
             partial.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "rank", "doc_id", "score")
+        )
+
+    def score_matches(self, queries: DataFrame) -> DataFrame:
+        """Every scored match, uncut: queries(qid, question) → (qid, doc_id,
+        score) for each doc containing ≥1 query term — the exact substrate
+        for FIELD-COLLAPSE / grouped top-k and score-distribution analytics,
+        where the cut happens per (query, group) AFTER a metadata join the
+        kernel cannot see. Same single-pass plan shape as `search`; always
+        the dense pass (a pruning cut is meaningless without k); output is
+        O(match set) — the caller's window prunes from there."""
+        spark = self.spark
+        resolved = self._resolve_batch(queries)
+        if resolved is None:
+            return spark.createDataFrame([], KERNEL_OUT_SCHEMA)
+        batch, idf_map, all_tids, neg_map = resolved
+        if neg_map:
+            all_tids = sorted(
+                set(all_tids) | {int(t) for ts in neg_map.values() for t in ts}
+            )
+        if self._warm is not None:
+            shuffled = self._warm.filter(F.col("term_id").isin(all_tids))
+        else:
+            p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            shuffled = self.pruned_scan(all_tids).repartition(
+                p, "bucket"
+            ).sortWithinPartitions("bucket", "term_id", "first_doc")
+        bc = spark.sparkContext.broadcast((batch, idf_map, neg_map, self._tomb))
+        kernel = make_batch_kernel(
+            bc, None, self.stats["k1"], self.stats["b"], self.stats["avgdl"],
+            dense_min=0,
+            prefixed=self.stats.get("segver", 2) >= 3,
+        )
+        return shuffled.mapInPandas(
+            bucket_frame_stream(kernel, _EMPTY), KERNEL_OUT_SCHEMA
         )
 
     def matching_docs(self, queries: DataFrame) -> DataFrame:
