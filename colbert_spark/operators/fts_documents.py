@@ -274,6 +274,22 @@ def fts_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # positional-index dirs already built THIS process (one build serves every
 # index-backed positional entry of a driver/test run over the same sf_dir)
+def _corpus_key(sf_dir: str) -> str:
+    """Cache key for process-shared /tmp indexes: the sf_dir PLUS the
+    documents parquet's (mtime, size), so reusing a completed index across
+    gate processes can never serve a stale corpus."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(p)
+        tag = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        tag = sf_dir
+    return hashlib.md5(tag.encode()).hexdigest()[:10]
+
+
 _PIDX_BUILT: set[str] = set()
 
 
@@ -289,15 +305,26 @@ def _positional_index_dir(spark: SparkSession, sf_dir: str) -> str:
 
     idx = os.path.join(
         tempfile.gettempdir(),
-        "colbert_spark_phrase_idx_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+        "colbert_spark_phrase_idx_" + _corpus_key(sf_dir),
     )
     if idx not in _PIDX_BUILT:
-        shutil.rmtree(idx, ignore_errors=True)
-        pages = load_table(spark, sf_dir, "documents").select(
-            F.format_string("%012d", F.col("doc_id")).alias("url"), "text"
-        )
-        build_index(spark, pages, idx, bucket_size=1000, positions=True)
+        # stats.json is the build's LAST atomic write, so its presence marks
+        # a complete index — reuse it (builds are deterministic) instead of
+        # rebuilding, which would race a concurrently-running gate process
+        done = os.path.join(idx, "stats.json")
+        ok = False
+        if os.path.exists(done):
+            import json
+
+            with open(done) as f:
+                s = json.load(f)
+            ok = bool(s.get("positions")) and s.get("bucket_size") == 1000
+        if not ok:
+            shutil.rmtree(idx, ignore_errors=True)
+            pages = load_table(spark, sf_dir, "documents").select(
+                F.format_string("%012d", F.col("doc_id")).alias("url"), "text"
+            )
+            build_index(spark, pages, idx, bucket_size=1000, positions=True)
         _PIDX_BUILT.add(idx)
     return idx
 
@@ -720,10 +747,23 @@ def _deleted_index_dir(spark: SparkSession, sf_dir: str, expunged: bool) -> str:
     from colbert_spark.index.compact import compact_index
     from colbert_spark.index.delete import delete_docs
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    import json
+
+    key = _corpus_key(sf_dir)
     base = os.path.join(tempfile.gettempdir(), f"colbert_spark_del_idx_{key}")
     exp = os.path.join(tempfile.gettempdir(), f"colbert_spark_exp_idx_{key}")
+
+    def _done(d, want_key):  # deterministic artifacts: reuse completed ones
+        p = os.path.join(d, "stats.json")
+        if not os.path.exists(p):
+            return False
+        with open(p) as f:
+            return want_key in json.load(f)
+
     if base not in _DEL_IDX_BUILT:
+        if _done(base, "tomb_dir") and _done(exp, "expunges"):
+            _DEL_IDX_BUILT.add(base)
+            return exp if expunged else base
         shutil.rmtree(base, ignore_errors=True)
         shutil.rmtree(exp, ignore_errors=True)
         pages = load_table(spark, sf_dir, "documents").select(
