@@ -298,3 +298,29 @@ def test_matching_docs_warm_equals_cold_and_bruteforce(
         assert "Exchange" not in plan.split("InMemoryTableScan")[0]
     finally:
         searcher.close()
+
+
+def test_score_matches_consistent_with_search_and_match_set(
+    spark, index_dir, tiny_queries
+):
+    """`score_matches` (the field-collapse substrate) must agree with both
+    siblings: its (qid, doc) set equals `matching_docs` exactly, and
+    re-cutting it per qid by (−score, doc_id) reproduces `search`'s top-k
+    rank-for-rank and score-for-score."""
+    qs = spark.createDataFrame(tiny_queries[:8])
+    searcher = IndexSearcher(spark, index_dir)
+    full = searcher.score_matches(qs).collect()
+    mset = {(r["qid"], r["doc_id"]) for r in
+            searcher.matching_docs(qs).collect()}
+    assert {(r["qid"], r["doc_id"]) for r in full} == mset
+
+    byq = {}
+    for r in full:
+        byq.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    want = {}
+    for r in searcher.search(qs, k=K).collect():
+        want.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, rows in want.items():
+        cut = sorted(byq[qid], key=lambda t: (-t[1], t[0]))[:K]
+        for (rank, doc, score), (cdoc, cscore) in zip(sorted(rows), cut):
+            assert doc == cdoc and abs(score - cscore) < 1e-12, qid
