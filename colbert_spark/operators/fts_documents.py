@@ -72,23 +72,33 @@ def fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fts_bm25_topk(spark, sf_dir, TOPK)
 
 
-def _rank_topk(scored, k: int = TOPK):
+def _rank_topk(scored, k: int = TOPK, offset: int = 0):
     """The engine's tie-break contract, shared by every ranked entry AND its
     oracle: rank per qid on (round(score, 9) DESC, doc_id ASC), keep k, emit
     round(score, 4) AS score_r. One definition so the protocol cannot drift
-    between operators."""
+    between operators. `offset` pages: ranks offset+1 … offset+k,
+    renumbered 1 … k."""
     w = Window.partitionBy("qid").orderBy(
         F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("qid", "rank", "doc_id", F.round("score", 4).alias("score_r"))
+        .filter((F.col("rank") > offset) & (F.col("rank") <= offset + k))
+        .select(
+            "qid",
+            (F.col("rank") - offset).alias("rank"),
+            "doc_id",
+            F.round("score", 4).alias("score_r"),
+        )
     )
 
 
 def _fts_bm25_topk(
-    spark: SparkSession, sf_dir: str, k: int, allowed: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    allowed: DataFrame | None = None,
+    page_offset: int = 0,
 ) -> DataFrame:
     """`allowed` (filtered retrieval): a (doc_id) DataFrame restricting the
     RANKED docs; collection statistics (N, avgdl, df) deliberately stay
@@ -128,7 +138,7 @@ def _fts_bm25_topk(
         .groupBy("qid", "doc_id")
         .agg(F.sum("contrib").alias("score"))
     )
-    return _rank_topk(agg, k)
+    return _rank_topk(agg, k, offset=page_offset)
 
 
 def fts_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1308,6 +1318,33 @@ def fts_synonym_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _expanded_bm25_index(spark, sf_dir, qp, _syn_cond)
 
 
+PAGE_OFFSET = 10  # deep paging: the second result page (ranks 11..20)
+
+
+def fts_page_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep paging by corpus scan: the SECOND page of the flagship BM25
+    ranking (global ranks 11..20, renumbered 1..10 — Lucene searchAfter
+    semantics). Exact-semantics oracle for `fts_page_index`."""
+    return _fts_bm25_topk(spark, sf_dir, TOPK, page_offset=PAGE_OFFSET)
+
+
+def fts_page_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_page_bm25` answered from the segment index:
+    `IndexSearcher.search(offset=...)` keeps offset+k per bucket so the
+    page is a strict slice of the full ranking (over-fetched here and
+    re-cut by the shared tie-break so rounded-score ties at the page
+    boundary agree with the oracle). Shares the corpus-scan oracle."""
+    from colbert_spark.query.wand import IndexSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    hits = IndexSearcher(spark, idx).search(queries, k=PAGE_OFFSET + TOPK + 5)
+    mapped = _map_index_docs(
+        spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
+    )
+    return _rank_topk(mapped, TOPK, offset=PAGE_OFFSET)
+
+
 GROUP_K = 3  # field-collapse: best docs kept per (query, group value)
 
 
@@ -2431,6 +2468,17 @@ ORACLES["fts_collapse"] = f"""
 # index path ≡ corpus scan, same oracle
 ORACLES["fts_collapse_index"] = ORACLES["fts_collapse"]
 
+ORACLES["fts_page_bm25"] = f"""
+    {_bm25_ctes()}
+    SELECT qid, (rank - {PAGE_OFFSET})::BIGINT AS rank, doc_id,
+           round(score, 4) AS score_r
+    FROM ranked
+    WHERE rank > {PAGE_OFFSET} AND rank <= {PAGE_OFFSET + TOPK}
+"""
+
+# index path ≡ corpus scan, same oracle
+ORACLES["fts_page_index"] = ORACLES["fts_page_bm25"]
+
 ORACLES["fts_doclen_percentiles"] = f"""
     WITH dl AS (SELECT len({_TOK}) AS doclen FROM documents)
     SELECT round(quantile_cont(doclen, 0.25), 6) AS p25,
@@ -2472,6 +2520,8 @@ QUERIES = {
     "fts_rm3_index": fts_rm3_index,
     "fts_collapse": fts_collapse,
     "fts_collapse_index": fts_collapse_index,
+    "fts_page_bm25": fts_page_bm25,
+    "fts_page_index": fts_page_index,
     "fts_filtered_bm25": fts_filtered_bm25,
     "fts_filtered_index": fts_filtered_index,
     "fts_delete_index": fts_delete_index,

@@ -674,6 +674,7 @@ class IndexSearcher:
         k: int = 10,
         dense_min: int = DENSE_BATCH_MIN,
         min_match: int = 1,
+        offset: int = 0,
     ) -> DataFrame:
         """queries(qid, question) → (qid, rank, doc_id, score), rank 1..k by
         (−score, doc_id). Queries whose terms are all absent yield no rows.
@@ -688,7 +689,13 @@ class IndexSearcher:
         removes every doc containing ANY of its terms from that query's
         results (Lucene `-term`); positives still score plain BM25. A query
         with only excluded terms (no in-vocabulary positives) yields no
-        rows."""
+        rows.
+
+        `offset` (deep paging / searchAfter): skip the first `offset` ranks
+        and return ranks offset+1 … offset+k (renumbered 1…k). Exact: the
+        kernel keeps offset+k per bucket, so the global page is a strict
+        slice of the full ranking — page boundaries never disagree with a
+        one-shot search at depth offset+k."""
         spark = self.spark
         resolved = self._resolve_batch(queries)
         if resolved is None:
@@ -731,7 +738,7 @@ class IndexSearcher:
         bc = spark.sparkContext.broadcast((batch, idf_map, neg_map, self._tomb))
         kernel = make_batch_kernel(
             bc,
-            k,
+            k + offset,
             self.stats["k1"],
             self.stats["b"],
             self.stats["avgdl"],
@@ -751,8 +758,10 @@ class IndexSearcher:
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             partial.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("qid", "rank", "doc_id", "score")
+            .filter((F.col("rank") > offset) & (F.col("rank") <= offset + k))
+            .select(
+                "qid", (F.col("rank") - offset).alias("rank"), "doc_id", "score"
+            )
         )
 
     def score_matches(self, queries: DataFrame) -> DataFrame:

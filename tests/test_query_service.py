@@ -324,3 +324,28 @@ def test_score_matches_consistent_with_search_and_match_set(
         cut = sorted(byq[qid], key=lambda t: (-t[1], t[0]))[:K]
         for (rank, doc, score), (cdoc, cscore) in zip(sorted(rows), cut):
             assert doc == cdoc and abs(score - cscore) < 1e-12, qid
+
+
+def test_search_offset_is_exact_page_slice(spark, index_dir, tiny_queries):
+    """`search(offset=o)` returns exactly ranks o+1..o+k of the one-shot
+    depth-(o+k) ranking, renumbered — scores identical, on the cold and
+    warm paths."""
+    qs = spark.createDataFrame(tiny_queries[:10])
+    searcher = IndexSearcher(spark, index_dir)
+    try:
+        deep = searcher.search(qs, k=20).collect()
+        want = sorted(
+            (r["qid"], r["rank"] - 10, r["doc_id"], r["score"])
+            for r in deep
+            if r["rank"] > 10
+        )
+        for warm in (False, True):
+            if warm:
+                searcher.warm()
+            page = sorted(
+                (r["qid"], r["rank"], r["doc_id"], r["score"])
+                for r in searcher.search(qs, k=10, offset=10).collect()
+            )
+            assert page == want
+    finally:
+        searcher.close()
