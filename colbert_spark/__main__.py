@@ -143,7 +143,7 @@ def _cmd_query(args) -> int:
         )
     else:
         res = IndexSearcher(spark, args.index, as_of_epoch=args.as_of_epoch).search(
-            queries, k=args.k, min_match=args.min_match
+            queries, k=args.k, min_match=args.min_match, offset=args.offset
         )
     for r in res.collect():
         print(json.dumps({"qid": r["qid"], "rank": r["rank"], "doc_id": r["doc_id"], "score": r["score"]}))
@@ -264,6 +264,10 @@ def main(argv: list[str] | None = None) -> int:
     qp.add_argument("--index", required=True)
     qp.add_argument("--questions", required=True, help="text file of questions, or - for stdin")
     qp.add_argument("--k", type=int, default=10)
+    qp.add_argument(
+        "--offset", type=int, default=0,
+        help="deep paging: skip this many ranks (bm25 scorer)",
+    )
     qp.add_argument(
         "--as-of-epoch",
         type=int,
