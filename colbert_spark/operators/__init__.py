@@ -13,6 +13,7 @@ from colbert_spark.operators import (
     dedup,
     events,
     fts_documents,
+    hybrid,
     multimodal,
     relational,
     scrub,
@@ -25,6 +26,7 @@ from colbert_spark.sources import delimited as _delimited
 
 _MODULES = [
     fts_documents,
+    hybrid,
     relational,
     dedup,
     textops,

@@ -568,6 +568,12 @@ def fts_lmd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     second scoring model over the same query set (see `query/lm.py` for the
     formula and its rank-invariant simplification). Exact-semantics oracle
     for the index path (`fts_lmd_index`)."""
+    return _rank_topk(_fts_lmd_scored(spark, sf_dir))
+
+
+def _fts_lmd_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, doc_id, score) under QL-Dirichlet for the fixed query set —
+    the pre-cut frame shared by `fts_lmd_topk` and the RRF fusion."""
     docs = _docs(spark, sf_dir).cache()
     c_total = float(docs.agg(F.sum("doclen")).collect()[0][0])
     posts = (
@@ -594,12 +600,11 @@ def fts_lmd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("ml").alias("mlsum"), F.first("doclen").alias("doclen"))
     )
     qn = qv.groupBy("qid").agg(F.sum("qtf").alias("nq"))
-    scored = agg.join(F.broadcast(qn), "qid").withColumn(
+    return agg.join(F.broadcast(qn), "qid").withColumn(
         "score",
         F.col("mlsum")
         + F.col("nq") * F.log(F.lit(mu) / (F.col("doclen") + F.lit(mu))),
     )
-    return _rank_topk(scored)
 
 
 def fts_lmd_index(spark: SparkSession, sf_dir: str) -> DataFrame:
