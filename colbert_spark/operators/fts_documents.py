@@ -1638,6 +1638,61 @@ def fts_explain_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUGGEST_K = 3  # suggestions per misspelled token
+
+
+def fts_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spelling suggestion ("did you mean") by corpus scan: for each fuzzy
+    query token, the top-SUGGEST_K vocabulary terms within edit distance
+    FUZZY_MAX_EDITS, ranked by (df DESC, term ASC) — the Lucene
+    DirectSpellChecker policy (more-frequent terms are better
+    corrections). Exact-match tokens still suggest themselves first (df
+    order); OOV-beyond-distance tokens yield no rows. Exact-semantics
+    oracle for `fts_suggest_index`."""
+    docs = _docs(spark, sf_dir)
+    posts = (
+        docs.select("doc_id", F.explode("terms").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    tstats = posts.groupBy("term").agg(F.count("*").alias("df"))
+    qf = spark.createDataFrame(FUZZY_PARSED, "qid long, pat string, qtf long")
+    cand = tstats.join(
+        F.broadcast(qf.select("qid", "pat").distinct()),
+        F.levenshtein(tstats.term, qf.pat) <= FUZZY_MAX_EDITS,
+    )
+    w = Window.partitionBy("qid", "pat").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= SUGGEST_K)
+        .select("qid", "pat", "rank", "term", F.col("df").cast("long").alias("df"))
+        .orderBy("qid", "pat", "rank")
+    )
+
+
+def fts_suggest_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_suggest` answered from the index's term DICTIONARY (term + df
+    live there — no corpus scan, no postings decode: suggestion is a
+    dictionary-only operation). Shares the corpus-scan oracle, proving the
+    dictionary's df supports the spell-checker exactly."""
+    import os
+
+    idx = _positional_index_dir(spark, sf_dir)
+    td = spark.read.parquet(os.path.join(idx, "term_dict"))
+    qf = spark.createDataFrame(FUZZY_PARSED, "qid long, pat string, qtf long")
+    cand = td.join(
+        F.broadcast(qf.select("qid", "pat").distinct()),
+        F.levenshtein(td.term, qf.pat) <= FUZZY_MAX_EDITS,
+    )
+    w = Window.partitionBy("qid", "pat").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= SUGGEST_K)
+        .select("qid", "pat", "rank", "term", F.col("df").cast("long").alias("df"))
+        .orderBy("qid", "pat", "rank")
+    )
+
+
 EVAL_DEPTH = 100  # retrieval depth for the metric protocol
 RECALL_CUTS = (10, 50, 100)  # reference: MRR@10 + recall@{50,100}
 # (``proj_utils/dureader_utils.py:51-73``: eval_dureader(topk=10,
@@ -2484,6 +2539,24 @@ ORACLES["fts_page_bm25"] = f"""
 # index path ≡ corpus scan, same oracle
 ORACLES["fts_page_index"] = ORACLES["fts_page_bm25"]
 
+ORACLES["fts_suggest"] = f"""
+    WITH qf(qid, pat) AS (SELECT DISTINCT qid, pat FROM (VALUES {_FUZZY_VALUES}) v(qid, pat, qtf)),
+    tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    tf AS (SELECT term, doc_id FROM tok GROUP BY term, doc_id),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    cand AS (
+      SELECT qf.qid, qf.pat, df.term, df.df,
+             row_number() OVER (
+               PARTITION BY qf.qid, qf.pat ORDER BY df.df DESC, df.term ASC) AS rank
+      FROM qf JOIN df ON levenshtein(qf.pat, df.term) <= {FUZZY_MAX_EDITS})
+    SELECT qid, pat, rank::BIGINT AS rank, term, df::BIGINT AS df
+    FROM cand WHERE rank <= {SUGGEST_K}
+    ORDER BY qid, pat, rank
+"""
+
+# index path ≡ corpus scan, same oracle
+ORACLES["fts_suggest_index"] = ORACLES["fts_suggest"]
+
 ORACLES["fts_doclen_percentiles"] = f"""
     WITH dl AS (SELECT len({_TOK}) AS doclen FROM documents)
     SELECT round(quantile_cont(doclen, 0.25), 6) AS p25,
@@ -2527,6 +2600,8 @@ QUERIES = {
     "fts_collapse_index": fts_collapse_index,
     "fts_page_bm25": fts_page_bm25,
     "fts_page_index": fts_page_index,
+    "fts_suggest": fts_suggest,
+    "fts_suggest_index": fts_suggest_index,
     "fts_filtered_bm25": fts_filtered_bm25,
     "fts_filtered_index": fts_filtered_index,
     "fts_delete_index": fts_delete_index,
