@@ -434,6 +434,28 @@ def _write_segment_files(out: pd.DataFrame, seg_dir: str, epoch: int = 0) -> Non
         os.replace(tmp, final)
 
 
+def _scrub_epoch_files(root: str, epoch: int) -> int:
+    """Delete every data/tmp file of epoch `epoch` under `root` (recursive).
+
+    Called by `append_index` on its UNCOMMITTED epoch before encoding: a
+    crashed attempt may have left `p*.e{epoch}.parquet` files behind, and a
+    retry with a different `spark.sql.shuffle.partitions` (hence different
+    partition ids / n_sub) would write new names next to them instead of
+    overwriting — duplicating (term, bucket, doc) postings. Scrubbing is
+    safe precisely because the epoch is uncommitted: no reader can reference
+    its files until the stats.json commit flips `epochs`."""
+    if not os.path.isdir(root):
+        return 0
+    suffix = f".e{epoch}.parquet"
+    n = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if fn.endswith(suffix) or (fn.startswith(".") and f".e{epoch}." in fn):
+                os.remove(os.path.join(dirpath, fn))
+                n += 1
+    return n
+
+
 def _encode_partition(
     k1: float,
     b: float,
@@ -936,6 +958,15 @@ def append_index(
         F.expr(f"((doc_id % {bucket_size}) * {n_sub}) DIV {bucket_size}"),
     )
     seg_path = os.path.join(index_dir, stats.get("seg_dir", "segments"))
+    docs_dir = os.path.join(index_dir, stats.get("docs_dir", "docs"))
+    # Epoch e{epoch} is UNCOMMITTED by definition (stats["epochs"] == epoch
+    # until the stats.json replace below), so any *.e{epoch}.parquet already
+    # on disk is an orphan of a crashed attempt. A retry under a different
+    # spark.sql.shuffle.partitions would otherwise write differently-named
+    # files NEXT TO those orphans and duplicate postings for the same
+    # (term, bucket, doc) — scrub them before encoding.
+    _scrub_epoch_files(seg_path, epoch)
+    _scrub_epoch_files(docs_dir, epoch)
     summaries = shuffled.mapInPandas(
         _encode_partition(
             stats["k1"], stats["b"], stats["avgdl"], tshards, seg_path,
@@ -949,7 +980,11 @@ def append_index(
         schema=SUMMARY_SCHEMA,
     )
     (
-        summaries.groupBy("bucket")
+        # kind==1 rows are term-grain dictionary partials (null bucket):
+        # only kind==0 bucket summaries belong in the manifest, exactly as
+        # in the base build's sink above
+        summaries.filter(F.col("kind") == 0)
+        .groupBy("bucket")
         .agg(
             F.min("term_lo").alias("term_lo"),
             F.max("term_hi").alias("term_hi"),
@@ -963,8 +998,8 @@ def append_index(
     )
 
     # docs delta: deterministic task-local files (idempotent on retry);
-    # docs_dir is a stats.json pointer after an expunging compaction
-    docs_dir = os.path.join(index_dir, stats.get("docs_dir", "docs"))
+    # docs_dir (bound above) is a stats.json pointer after an expunging
+    # compaction
 
     def _docs_writer(batches):
         import pyarrow as pa

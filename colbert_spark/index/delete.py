@@ -27,12 +27,15 @@ generation live. Deletes apply to the LIVE view only; `as_of_epoch=k`
 time-travel snapshots deliberately show the pre-delete corpus (a snapshot
 is "the index as of that commit", and deletes are not epoch commits).
 
-Scale note: the tombstone set between compactions is the working-set bound
-— searchers hold it as one sorted int64 array (Lucene holds the same
-information as per-segment bitsets). 10^8 pending deletes ≈ 800 MB: past
-that, run the expunging compaction; the set is stored as parquet so the
-searcher-side representation can move to per-bucket cogrouped masking (the
-`search_filtered` exchange shape) without a format change.
+Scale note: searchers hold a SMALL pending-delete set as one sorted int64
+array in kernel broadcasts (Lucene holds the same information as
+per-segment bitsets). Past `IndexSearcher(tomb_broadcast_max)` (default
+10^7 ids ≈ 80 MB) the searcher switches representation automatically: the
+parquet-backed set stays distributed and masks through a per-bucket
+cogroup (`wand.make_masked_kernel`, the `search_filtered` exchange shape)
+or exact post-kernel anti-joins on uncut match sets — no driver collect,
+no broadcast, no format change. An expunging compaction resets either
+representation to empty.
 """
 
 from __future__ import annotations
@@ -105,14 +108,13 @@ def upsert_index(
     docs = spark.read.parquet(
         os.path.join(index_dir, stats.get("docs_dir", "docs"))
     ).filter(F.col("doc_id") < stats["N"])
-    hit = docs.join(
-        F.broadcast(new_pages.select("url").distinct()), "url"
-    ).select("doc_id")
+    # plain joins, NO broadcast hints: the url set is CALLER-sized (a bulk
+    # re-crawl can carry 10^9 urls) and the tombstone set grows between
+    # compactions — AQE picks broadcast when either side is actually small
+    hit = docs.join(new_pages.select("url").distinct(), "url").select("doc_id")
     if stats.get("tomb_dir"):
         hit = hit.join(
-            F.broadcast(
-                spark.read.parquet(os.path.join(index_dir, stats["tomb_dir"]))
-            ),
+            spark.read.parquet(os.path.join(index_dir, stats["tomb_dir"])),
             "doc_id",
             "left_anti",
         )

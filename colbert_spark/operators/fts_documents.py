@@ -382,6 +382,84 @@ def fts_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fts_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANKED phrase retrieval by corpus scan — Lucene PhraseQuery semantics
+    under BM25: the phrase scores as ONE synthetic term with tf = exact
+    occurrence count and idf = Σ idf(tokenᵢ), through the same saturation and
+    tie-break protocol (`_rank_topk`) as every other ranked entry. Shares
+    `DOC_PHRASES` with the boolean phrase-match entries. A phrase with any
+    out-of-vocabulary token is dropped (it cannot match)."""
+    from colbert_spark.operators.dedup import shingles_col
+
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("bigrams", shingles_col(F.col("terms"), n=2))
+        .cache()
+    )
+    row = docs.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
+    n_docs, avgdl = row["n"], row["avgdl"]
+    df_t = (
+        docs.select("doc_id", F.explode(F.array_distinct("terms")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    phrases = spark.createDataFrame(DOC_PHRASES, "qid long, phrase string")
+    pterms = phrases.select(
+        "qid", "phrase", F.explode(F.split("phrase", " ")).alias("term")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    # idf_sum only for phrases whose EVERY token is in the vocabulary; the
+    # inner df join drops OOV tokens, so require the full token count back
+    n_terms = pterms.groupBy("qid").agg(F.count("*").alias("n_terms"))
+    pidf = (
+        pterms.join(df_t, "term")
+        .groupBy("qid", "phrase")
+        .agg(F.sum(idf).alias("idf_sum"), F.count("*").alias("n_found"))
+        .join(n_terms, "qid")
+        .filter(F.col("n_found") == F.col("n_terms"))
+        .select("qid", "phrase", "idf_sum")
+    )
+    joined = docs.crossJoin(F.broadcast(pidf))
+    n_occ = F.size(F.filter("bigrams", lambda x: x == F.col("phrase")))
+    k1, b = K1_DEFAULT, B_DEFAULT
+    tf = F.col("n_occ").cast("double")
+    score = (
+        F.col("idf_sum")
+        * tf
+        * (k1 + 1.0)
+        / (tf + k1 * (1.0 - b + b * F.col("doclen") / F.lit(float(avgdl))))
+    )
+    scored = (
+        joined.select(
+            "qid", "doc_id", "doclen", "idf_sum", n_occ.cast("long").alias("n_occ")
+        )
+        .filter(F.col("n_occ") > 0)
+        .withColumn("score", score)
+    )
+    return _rank_topk(scored)
+
+
+def fts_phrase_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_phrase_bm25` answered from the POSITIONAL SEGMENT INDEX
+    (`query/phrase.py:PositionalSearcher.phrase_bm25`): occurrence counts
+    from posting-position intersection, idf from the committed dictionary,
+    doclen from the docs sink. The kernel ranks by exact float score; the
+    oracle on round(score, 9) — over-fetch k+5 and re-rank the oracle's way
+    so mathematically-tied neighbors at the cut agree."""
+    from colbert_spark.query.phrase import phrase_bm25_segments
+
+    idx = _positional_index_dir(spark, sf_dir)
+    phrases = spark.createDataFrame(DOC_PHRASES, "phrase_id long, phrase string")
+    hits = phrase_bm25_segments(spark, idx, phrases, k=TOPK + 5)
+    mapped = _map_index_docs(
+        spark, idx, hits.select(F.col("phrase_id").alias("qid"), "doc_id", "score"),
+        "qid", "score",
+    )
+    return _rank_topk(mapped)
+
+
 def fts_doclen_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`fts_doclen` answered from the index's docs SINK (doc_id, url,
     doclen) instead of re-tokenizing the corpus — the oracle compare proves
@@ -2052,6 +2130,54 @@ ORACLES["fts_phrase_match"] = f"""
 # one oracle, two engines-under-test
 ORACLES["fts_phrase_index"] = ORACLES["fts_phrase_match"]
 
+ORACLES["fts_phrase_bm25"] = f"""
+    WITH p(qid, phrase) AS (VALUES {_PHRASE_VALUES}),
+    tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    pterms AS (SELECT qid, unnest(string_split(phrase, ' ')) AS term FROM p),
+    pn AS (SELECT qid, count(*) AS n_terms FROM pterms GROUP BY qid),
+    pidf AS (
+      SELECT pt.qid,
+             sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))) AS idf_sum,
+             count(*) AS n_found
+      FROM pterms pt JOIN df USING (term) CROSS JOIN stats
+      GROUP BY pt.qid),
+    pok AS (
+      SELECT pidf.qid, pidf.idf_sum
+      FROM pidf JOIN pn ON pidf.qid = pn.qid AND pidf.n_found = pn.n_terms),
+    toks AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    big AS (
+      SELECT doc_id,
+             CASE WHEN len(tok) >= 2 THEN
+               list_transform(generate_series(1, len(tok) - 1), i -> tok[i] || ' ' || tok[i+1])
+             ELSE [] END AS bigrams
+      FROM toks),
+    occ AS (
+      SELECT p.qid, b.doc_id,
+             len(list_filter(b.bigrams, x -> x = p.phrase)) AS n_occ
+      FROM big b CROSS JOIN p
+      WHERE len(list_filter(b.bigrams, x -> x = p.phrase)) > 0),
+    scored AS (
+      SELECT occ.qid::BIGINT AS qid, occ.doc_id,
+             pok.idf_sum * occ.n_occ * ({K1_DEFAULT} + 1.0)
+               / (occ.n_occ + {K1_DEFAULT}
+                  * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl)) AS score
+      FROM occ JOIN pok USING (qid)
+      JOIN dl ON occ.doc_id = dl.doc_id
+      CROSS JOIN stats),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+# the positional-index path must reproduce the scan ranking exactly
+ORACLES["fts_phrase_bm25_index"] = ORACLES["fts_phrase_bm25"]
+
 _NEAR_VALUES = ", ".join(f"({pid}, '{a}', '{b}')" for pid, a, b in NEAR_PAIRS)
 
 ORACLES["fts_near_match"] = f"""
@@ -2574,6 +2700,8 @@ QUERIES = {
     "fts_boolean_and": fts_boolean_and,
     "fts_phrase_match": fts_phrase_match,
     "fts_phrase_index": fts_phrase_index,
+    "fts_phrase_bm25": fts_phrase_bm25,
+    "fts_phrase_bm25_index": fts_phrase_bm25_index,
     "fts_near_match": fts_near_match,
     "fts_near_index": fts_near_index,
     "fts_bm25_index": fts_bm25_index,

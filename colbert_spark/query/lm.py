@@ -50,10 +50,16 @@ def make_lm_kernel(query_batch, k: int, mu: float, c_total: float, prefixed: boo
     scorer — block max_unit is a BM25 bound), which matches the dense BM25
     batch path's cost model."""
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf: pd.DataFrame, tomb_pdf: pd.DataFrame | None = None) -> pd.DataFrame:
+        # `tomb_pdf` arrives only on the cogrouped large-tombstone path
+        # (the set is never broadcast — see wand.make_masked_kernel); the
+        # small-set path ships `excluded` inside the payload instead
         payload = query_batch.value if hasattr(query_batch, "value") else query_batch
         batch, cf_map, *rest = payload
         excluded = rest[0] if rest else None
+        if tomb_pdf is not None and len(tomb_pdf):
+            e2 = tomb_pdf["doc_id"].to_numpy(np.int64)
+            excluded = e2 if excluded is None else np.union1d(excluded, e2)
         cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         for tid, sub in pdf.groupby("term_id", sort=False):
             docs_l, tfs_l, dls_l = [], [], []
@@ -127,10 +133,14 @@ def lm_topk_segments(
     k: int = 10,
     mu: float = MU_DEFAULT,
     as_of_epoch: int | None = None,
+    tomb_broadcast_max: int = 10_000_000,
 ) -> DataFrame:
     """queries(qid, question) → (qid, rank, doc_id, score) under
     QL-Dirichlet, from the segment index."""
-    s = IndexSearcher(spark, index_dir, as_of_epoch=as_of_epoch)
+    s = IndexSearcher(
+        spark, index_dir, as_of_epoch=as_of_epoch,
+        tomb_broadcast_max=tomb_broadcast_max,
+    )
     qt = query_terms_df(queries)
     qrows = (
         s.term_dict.join(F.broadcast(qt), "term")
@@ -165,9 +175,30 @@ def lm_topk_segments(
         prefixed=s.stats.get("segver", 2) >= 3,
     )
 
-    partial = shuffled.mapInPandas(
-        bucket_frame_stream(kernel, _EMPTY), KERNEL_OUT_SCHEMA
-    )
+    if s._tomb_df is not None:
+        # large pending-delete set: cogroup the bucket-keyed tombstone slice
+        # with the pruned scan (wand.make_masked_kernel shape) — the per-
+        # bucket top-k cut must see the mask, and the set is never broadcast
+        bucket_size = int(s.stats["bucket_size"])
+        # key type must MATCH the left side's bucket dtype: cogroup sides
+        # hash-partition on their own key type and int32(v)/int64(v) hash
+        # differently (see wand.IndexSearcher.search)
+        bucket_type = dict(shuffled.dtypes)["bucket"]
+        tomb_b = s._tomb_df.select(
+            F.floor(F.col("doc_id") / bucket_size)
+            .cast(bucket_type)
+            .alias("bucket"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+        )
+        partial = (
+            shuffled.groupby("bucket")
+            .cogroup(tomb_b.groupby("bucket"))
+            .applyInPandas(kernel, KERNEL_OUT_SCHEMA)
+        )
+    else:
+        partial = shuffled.mapInPandas(
+            bucket_frame_stream(kernel, _EMPTY), KERNEL_OUT_SCHEMA
+        )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         partial.withColumn("rank", F.row_number().over(w))

@@ -39,7 +39,7 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from colbert_spark.functions.tokenizer import tokens_col
@@ -47,6 +47,7 @@ from colbert_spark.index.codec import decode_block
 from colbert_spark.query.wand import bucket_frame_stream, load_index
 
 PHRASE_OUT_SCHEMA = "phrase_id long, doc_id long, n_occ long"
+PHRASE_TOPK_SCHEMA = "phrase_id long, rank int, doc_id long, score double"
 
 _SHIFT = np.int64(1) << np.int64(32)
 
@@ -185,6 +186,11 @@ class PositionalSearcher:
             spark, index_dir, as_of_epoch=as_of_epoch
         )
         _require_positions(self.stats)
+        # docs sink (doc_id, url, doclen): a stats.json pointer after an
+        # expunging compaction, the build-time docs/ otherwise
+        self._docs_path = os.path.join(
+            index_dir, self.stats.get("docs_dir", "docs")
+        )
         # deletion tombstones (live view only, like IndexSearcher): phrase /
         # NEAR / first-hit return FULL match sets with no top-k cut, so a
         # doc_id anti-join AFTER the kernel is exact — deleted docs simply
@@ -199,7 +205,15 @@ class PositionalSearcher:
     def _mask(self, res: DataFrame) -> DataFrame:
         if self._tomb_df is None:
             return res
-        return res.join(F.broadcast(self._tomb_df), "doc_id", "left_anti")
+        # positional outputs are FULL match sets (no top-k cut before
+        # phrase_bm25's window, which ranks the already-masked hits), so the
+        # anti-join is exact; only hint broadcast while the pending-delete
+        # set is small — past that, a plain (AQE-planned) join keeps the set
+        # distributed (the wand.make_masked_kernel bound)
+        t = self._tomb_df
+        if int(self.stats.get("n_deleted", 0)) <= 10_000_000:
+            t = F.broadcast(t)
+        return res.join(t, "doc_id", "left_anti")
 
     def warm(self) -> "PositionalSearcher":
         if self._warm is None:
@@ -221,12 +235,12 @@ class PositionalSearcher:
             self._warm.unpersist()
             self._warm = None
 
-    def phrase(self, phrases: DataFrame) -> DataFrame:
-        """phrases(phrase_id, phrase) → (phrase_id, doc_id, n_occ) of every
-        doc containing the exact token sequence. A phrase with any
-        out-of-vocabulary token matches nothing; so does an empty
-        (all-punctuation) phrase."""
-        spark = self.spark
+    def _resolve_phrases(self, phrases: DataFrame):
+        """phrases(phrase_id, phrase) → (phrase_list, df_map) or None.
+        phrase_list is [(pid, [term_id, …] in token order)] for phrases whose
+        EVERY token is in the vocabulary (one OOV token ⇒ the phrase cannot
+        match and is dropped); df_map carries each resolved term's df for
+        query-time idf (blocks are idf-free, same contract as wand.py)."""
         ptoks = phrases.select(
             "phrase_id", F.posexplode(tokens_col("phrase")).alias("j", "term")
         )
@@ -238,12 +252,14 @@ class PositionalSearcher:
         # scan prunes via the join and is never collected
         resolved = (
             self.term_dict.join(F.broadcast(ptoks), "term")
-            .select("phrase_id", "j", "term_id")
+            .select("phrase_id", "j", "term_id", "df")
             .collect()
         )
         by_pid: dict[int, list[tuple[int, int]]] = {}
+        df_map: dict[int, int] = {}
         for r in resolved:
             by_pid.setdefault(r["phrase_id"], []).append((r["j"], r["term_id"]))
+            df_map[int(r["term_id"])] = int(r["df"])
         phrase_list = []
         for pid, pairs in by_pid.items():
             if len(pairs) != n_toks.get(pid, -1):
@@ -251,15 +267,95 @@ class PositionalSearcher:
             pairs.sort()
             phrase_list.append((pid, [tid for _, tid in pairs]))
         if not phrase_list:
-            return spark.createDataFrame([], PHRASE_OUT_SCHEMA)
-        all_tids = sorted({t for _, tids in phrase_list for t in tids})
+            return None
+        return phrase_list, df_map
 
-        bc = spark.sparkContext.broadcast(phrase_list)
+    def _phrase_hits(self, phrase_list) -> DataFrame:
+        """(phrase_id, doc_id, n_occ) for a resolved phrase batch — the
+        shared positional-intersection kernel over ONE bucket-keyed scan."""
+        all_tids = sorted({t for _, tids in phrase_list for t in tids})
+        bc = self.spark.sparkContext.broadcast(phrase_list)
         kernel = _make_phrase_kernel(bc, int(self.stats["bucket_size"]))
         return self._mask(_positional_scan(
-            spark, self.segments, self.stats, all_tids, kernel,
+            self.spark, self.segments, self.stats, all_tids, kernel,
             PHRASE_OUT_SCHEMA, _EMPTY, warm=self._warm,
         ))
+
+    def phrase(self, phrases: DataFrame) -> DataFrame:
+        """phrases(phrase_id, phrase) → (phrase_id, doc_id, n_occ) of every
+        doc containing the exact token sequence. A phrase with any
+        out-of-vocabulary token matches nothing; so does an empty
+        (all-punctuation) phrase."""
+        resolved = self._resolve_phrases(phrases)
+        if resolved is None:
+            return self.spark.createDataFrame([], PHRASE_OUT_SCHEMA)
+        return self._phrase_hits(resolved[0])
+
+    def phrase_bm25(self, phrases: DataFrame, k: int = 10) -> DataFrame:
+        """RANKED phrase retrieval — the Lucene PhraseQuery analog (Lucene
+        scores a phrase as one synthetic term: tf = exact-occurrence count,
+        idf = Σ idf(tokenᵢ), through the same BM25 saturation as unigrams).
+        phrases(phrase_id, phrase) → (phrase_id, rank, doc_id, score), top-k
+        per phrase, ties broken (score DESC, doc_id ASC) like
+        `IndexSearcher.search`.
+
+        Scale shape: the positional-intersection kernel emits the match set
+        (phrase matches are rare — orders of magnitude below unigram posting
+        volume), the doclen join against the docs sink is AQE-decided (the
+        hits side is small), and idf_sum is a |phrases|-row broadcast. No
+        new exchange beyond `phrase()`'s single bucket-keyed scan."""
+        resolved = self._resolve_phrases(phrases)
+        if resolved is None:
+            return self.spark.createDataFrame([], PHRASE_TOPK_SCHEMA)
+        phrase_list, df_map = resolved
+        hits = self._phrase_hits(phrase_list)
+        st = self.stats
+        # live_docs appears only after an expunging compaction; between a
+        # delete and its expunge, statistics deliberately stay encode-time
+        n_docs = st.get("live_docs", st["N"])
+        idf_rows = [
+            (
+                int(pid),
+                float(
+                    sum(
+                        np.log(
+                            1.0
+                            + (n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5)
+                        )
+                        for t in tids
+                    )
+                ),
+            )
+            for pid, tids in phrase_list
+        ]
+        idf_df = self.spark.createDataFrame(
+            idf_rows, "phrase_id long, idf_sum double"
+        )
+        doclens = self.spark.read.parquet(self._docs_path).select(
+            "doc_id", "doclen"
+        )
+        k1, b = float(st["k1"]), float(st["b"])
+        avgdl = float(st["avgdl"])
+        tf = F.col("n_occ").cast("double")
+        score = (
+            F.col("idf_sum")
+            * tf
+            * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("doclen") / F.lit(avgdl)))
+        )
+        scored = (
+            hits.join(F.broadcast(idf_df), "phrase_id")
+            .join(doclens, "doc_id")
+            .select("phrase_id", "doc_id", score.alias("score"))
+        )
+        w = Window.partitionBy("phrase_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("phrase_id", "rank", "doc_id", "score")
+        )
 
     def near(self, pairs: DataFrame, window: int = 4) -> DataFrame:
         """pairs(pair_id, t1, t2) → (pair_id, doc_id, n_anchor): proximity
@@ -334,6 +430,19 @@ def phrase_match_segments(
 ) -> DataFrame:
     """One-shot convenience wrapper over `PositionalSearcher.phrase`."""
     return PositionalSearcher(spark, index_dir, as_of_epoch).phrase(phrases)
+
+
+def phrase_bm25_segments(
+    spark: SparkSession,
+    index_dir: str,
+    phrases: DataFrame,
+    k: int = 10,
+    as_of_epoch: int | None = None,
+) -> DataFrame:
+    """One-shot convenience wrapper over `PositionalSearcher.phrase_bm25`."""
+    return PositionalSearcher(spark, index_dir, as_of_epoch).phrase_bm25(
+        phrases, k=k
+    )
 
 
 FIRSTHIT_OUT_SCHEMA = "qid long, doc_id long, first_pos long"

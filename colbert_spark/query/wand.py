@@ -68,17 +68,32 @@ from __future__ import annotations
 
 import json
 import os
+from collections import OrderedDict
+from typing import NamedTuple
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from colbert_spark.functions.tokenizer import py_tokenize
 from colbert_spark.index.codec import decode_block
-from colbert_spark.query.bm25 import query_terms_df
+from colbert_spark.query.bm25 import query_terms_df  # noqa: F401 (re-export)
 
 KERNEL_OUT_SCHEMA = "qid long, doc_id long, score double"
 TOPK_SCHEMA = "qid long, rank int, doc_id long, score double"
+
+
+class Resolved(NamedTuple):
+    """One resolved query batch (see `IndexSearcher._resolve_batch`).
+
+    Tuple-compatible: legacy consumers unpack the first four fields."""
+
+    batch: list  # [(qid, term_ids asc int64[], qtfs float64[]), ...]
+    idf_map: dict  # term_id → current idf (positives ∪ negatives)
+    all_tids: list  # sorted(idf_map) — the pruned-scan term set
+    neg_map: dict  # qid → ascending negated term_ids (must_not)
+    n_tokens: dict  # qid → DISTINCT in-grammar token count, OOV included
 
 _EMPTY = pd.DataFrame(
     {
@@ -476,6 +491,7 @@ def make_filtered_kernel(
             return _EMPTY
         payload = query_batch.value if hasattr(query_batch, "value") else query_batch
         batch, idf_map, *rest = payload
+        neg_map = rest[0] if len(rest) > 0 else None
         excluded = rest[1] if len(rest) > 1 else None
         groups: dict[int, _TermBlocks] = {}
         for tid, sub in seg_pdf.groupby("term_id", sort=False):
@@ -485,7 +501,62 @@ def make_filtered_kernel(
             )
         allowed = allowed_pdf["doc_id"].to_numpy(np.int64)
         out_q, out_d, out_s = _score_batch_dense(
-            groups, batch, k, k1, b, avgdl, allowed=allowed, excluded=excluded
+            groups, batch, k, k1, b, avgdl, allowed=allowed,
+            neg_map=neg_map, excluded=excluded,
+        )
+        if not out_q:
+            return _EMPTY
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    return kernel
+
+
+def make_masked_kernel(
+    query_batch,
+    k: int | None,
+    k1: float,
+    b: float,
+    avgdl: float,
+    min_match: int = 1,
+    prefixed: bool = True,
+    max_scale: float = 1.0,
+):
+    """Cogroup kernel for LARGE-tombstone retrieval: one bucket's segment
+    blocks on the left, the bucket's slice of the TOMBSTONE set on the right
+    — the `search_filtered` exchange shape with the mask inverted. Both
+    sides co-partition on the cogroup's bucket exchange, so the pending
+    delete set is never collected to the driver or broadcast (the
+    `index/delete.py` migration path past the broadcast working-set bound).
+    Always the dense exhaustive pass: MaxScore's θ seeded from
+    soon-to-be-excluded docs could exceed the k-th LIVE score and over-prune
+    (the same soundness argument as filters). A bucket with no tombstones
+    scores with `excluded=None` — identical float ops to the unmasked
+    kernel."""
+
+    def kernel(seg_pdf: pd.DataFrame, tomb_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(seg_pdf):
+            return _EMPTY
+        payload = query_batch.value if hasattr(query_batch, "value") else query_batch
+        batch, idf_map, *rest = payload
+        neg_map = rest[0] if len(rest) > 0 else None
+        groups: dict[int, _TermBlocks] = {}
+        for tid, sub in seg_pdf.groupby("term_id", sort=False):
+            tid = int(tid)
+            groups[tid] = _TermBlocks(
+                sub.sort_values("first_doc"), idf_map[tid], prefixed, max_scale
+            )
+        excluded = (
+            tomb_pdf["doc_id"].to_numpy(np.int64) if len(tomb_pdf) else None
+        )
+        out_q, out_d, out_s = _score_batch_dense(
+            groups, batch, k, k1, b, avgdl, min_match=min_match,
+            neg_map=neg_map, excluded=excluded,
         )
         if not out_q:
             return _EMPTY
@@ -516,6 +587,15 @@ def load_index(spark: SparkSession, index_dir: str, as_of_epoch: int | None = No
         stats_path = os.path.join(index_dir, "epoch_stats", f"e{as_of_epoch}.json")
     with open(stats_path) as f:
         stats = json.load(f)
+    # consistent format gate (same default-to-1 rule as append/compact): a
+    # pre-segver index stores idf-baked max_score blocks the v2+ reader
+    # cannot interpret — fail HERE with a clear message instead of an opaque
+    # KeyError('max_unit') inside a kernel
+    if stats.get("segver", 1) < 2:
+        raise ValueError(
+            "index segment format v1: rebuild required "
+            "(segver>=2 idf-free blocks; build_index writes segver 3)"
+        )
     # seg_dir is a stats.json pointer (like dict_dir): compact_index swaps
     # the whole segment tree atomically by updating it
     segments = spark.read.parquet(
@@ -546,10 +626,17 @@ class IndexSearcher:
         spark: SparkSession,
         index_dir: str,
         as_of_epoch: int | None = None,
+        tomb_broadcast_max: int = 10_000_000,
     ):
         """`as_of_epoch=k` opens a read-only time-travel view of the index as
         of epoch k's commit (see `load_index`): searches return exactly what
-        a searcher on the pre-append index returned, including idf/avgdl."""
+        a searcher on the pre-append index returned, including idf/avgdl.
+
+        `tomb_broadcast_max`: pending-delete count above which the searcher
+        stops collecting/broadcasting the tombstone set (the driver-memory
+        cliff — 10^8 int64 ids ≈ 800 MB in every kernel broadcast) and masks
+        through the distributed cogroup path instead (`make_masked_kernel`);
+        the default 10^7 keeps the broadcast under ~80 MB."""
         self.spark = spark
         self.index_dir = index_dir
         self.segments, self.term_dict, self.stats = load_index(
@@ -563,12 +650,26 @@ class IndexSearcher:
         # deletion tombstones mask the LIVE view only: a time-travel
         # snapshot is "the index as of that epoch's commit", and deletes
         # are not epoch commits (index/delete.py)
-        self._tomb = None
-        if as_of_epoch is None:
-            from colbert_spark.index.delete import load_tombstones
+        self._tomb = None  # small set: sorted ndarray in kernel broadcasts
+        self._tomb_df: DataFrame | None = None  # large set: cogrouped
+        if as_of_epoch is None and self.stats.get("tomb_dir"):
+            if int(self.stats.get("n_deleted", 0)) > tomb_broadcast_max:
+                self._tomb_df = spark.read.parquet(
+                    os.path.join(index_dir, self.stats["tomb_dir"])
+                )
+            else:
+                from colbert_spark.index.delete import load_tombstones
 
-            self._tomb = load_tombstones(spark, index_dir, self.stats)
+                self._tomb = load_tombstones(spark, index_dir, self.stats)
         self._warm: DataFrame | None = None
+        # searcher-lifetime LRU of resolved terms (term → (term_id, df),
+        # None = out-of-vocabulary) — sound because this searcher is one
+        # immutable snapshot (see `_lookup_terms`). `_dict_lookup_jobs`
+        # counts dictionary-scan jobs so tests/benchmarks can assert a
+        # cache-hot batch schedules none.
+        self._term_cache: OrderedDict[str, tuple[int, int] | None] = OrderedDict()
+        self.term_cache_max: int = 1 << 20
+        self._dict_lookup_jobs: int = 0
 
     def warm(self) -> "IndexSearcher":
         if self._warm is None:
@@ -579,12 +680,18 @@ class IndexSearcher:
                 .persist()
             )
             self._warm.count()
+            # the dictionary is resident too: term-cache misses become an
+            # InMemoryTableScan filter, never a per-batch parquet FileScan
+            self.term_dict = self.term_dict.persist()
+            self.term_dict.count()
         return self
 
     def close(self) -> None:
         if self._warm is not None:
             self._warm.unpersist()
             self._warm = None
+            self.term_dict.unpersist()
+        self._term_cache.clear()
 
     def pruned_scan(self, term_ids: list[int]) -> DataFrame:
         """Cold-path segment scan for a term-id set, pruned at three levels:
@@ -601,72 +708,131 @@ class IndexSearcher:
             & F.col("term_id").between(min(term_ids), max(term_ids))
         )
 
-    def _resolve_batch(self, queries: DataFrame):
-        """(batch, idf_map, all_tids, neg_map) for a query DataFrame, or None
-        if no query term is in the vocabulary. ONE job resolves the whole
-        batch: qt ⋈ term_dict as a broadcast join (the vocab-side scan prunes
-        via the join, never collected); only the tiny per-batch
-        (qid, term_id, qtf) table is collected.
+    def _lookup_terms(
+        self, terms: list[str]
+    ) -> dict[str, tuple[int, int] | None]:
+        """term → (term_id, df), or None for out-of-vocabulary — through the
+        searcher-lifetime LRU first, the dictionary only for misses.
 
-        An optional `exclude` string column carries boolean must_not terms:
-        they resolve through the same dictionary join (a second tiny
-        broadcast-join job), join `all_tids` so their blocks ride the same
-        pruned scan, and come back as neg_map (qid → ascending term_ids).
-        Out-of-vocabulary negated terms exclude nothing (no postings)."""
-        qt = query_terms_df(queries)
-        qrows = (
-            self.term_dict.join(F.broadcast(qt), "term")
-            .select("qid", "term_id", "qtf", "df")
-            .collect()
-        )
+        The cache is sound for the searcher's lifetime because a searcher is
+        one immutable index snapshot: `term_dict` is an epoch-versioned
+        directory the stats.json commit pointer named at construction, so
+        neither hits NOR negative (OOV) entries can go stale — an
+        `append_index` produces a NEW dictionary directory that only a new
+        searcher sees. Misses go through ONE pushed `isin` filter on
+        `term_dict` (an InMemoryTableScan after `warm()`, a
+        predicate-pruned parquet scan cold) — never a full-dictionary join,
+        and never a job at all once the working set is cached. Bounded
+        memory: LRU-capped at `term_cache_max` entries regardless of
+        vocabulary size (at web scale the vocabulary dwarfs any driver —
+        the cache holds the query working set, the dictionary stays
+        distributed)."""
+        out: dict[str, tuple[int, int] | None] = {}
+        missing: list[str] = []
+        cache = self._term_cache
+        for t in terms:
+            if t in cache:
+                cache.move_to_end(t)
+                out[t] = cache[t]
+            else:
+                missing.append(t)
+        if missing:
+            self._dict_lookup_jobs += 1
+            rows = (
+                self.term_dict.filter(F.col("term").isin(missing))
+                .select("term", "term_id", "df")
+                .collect()
+            )
+            found = {
+                r["term"]: (int(r["term_id"]), int(r["df"])) for r in rows
+            }
+            for t in missing:
+                v = found.get(t)
+                out[t] = v
+                cache[t] = v
+                if len(cache) > self.term_cache_max:
+                    cache.popitem(last=False)
+        return out
+
+    def _resolve_batch(self, queries: DataFrame):
+        """Resolved(batch, idf_map, all_tids, neg_map, n_tokens) for a query
+        DataFrame, or None if no query term is in the vocabulary.
+
+        Serving-latency path (the reference's resident server answers single
+        queries with no per-query scheduling, ``dense_server_client.py:
+        21-66``): the tiny (qid, question[, exclude]) batch is collected
+        once, tokenized DRIVER-SIDE with `py_tokenize` — byte-identical to
+        the JVM tokenizer by construction (one regex grammar, three engines,
+        ``functions/tokenizer.py``) — and terms resolve through the LRU in
+        `_lookup_terms`. A fully-cached batch therefore schedules ZERO
+        dictionary jobs; a miss costs one pushed-filter scan. Positive and
+        must_not (`exclude` column) terms resolve in the SAME lookup.
+
+        `n_tokens` maps qid → distinct in-grammar token count (OOV included)
+        so MATCH_ALL can enforce strict-AND without another job."""
+        has_exclude = "exclude" in queries.columns
+        cols = ["qid", "question"] + (["exclude"] if has_exclude else [])
+        qrows = queries.select(*cols).collect()
         if not qrows:
             return None
+        from collections import Counter
+
+        pos_tf: dict[int, Counter] = {}
+        neg_terms: dict[int, set] = {}
+        for r in qrows:
+            qid = r["qid"]
+            pos_tf.setdefault(qid, Counter()).update(
+                py_tokenize(r["question"] or "")
+            )
+            if has_exclude and r["exclude"]:
+                neg_terms.setdefault(qid, set()).update(
+                    py_tokenize(r["exclude"])
+                )
+        all_terms = sorted(
+            {t for c in pos_tf.values() for t in c}
+            | {t for s in neg_terms.values() for t in s}
+        )
+        resolved = self._lookup_terms(all_terms)
         # live_docs (written only by an expunging compaction) is the Lucene
         # numDocs; stats["N"] stays the id-space bound (maxDoc). Between a
         # delete and its expunge, statistics deliberately stay encode-time.
         n_docs = self.stats.get("live_docs", self.stats["N"])
         # idf resolved HERE from the current dictionary (blocks store only
         # idf-free unit scores) — appends that move N/df need no re-encode
-        idf_map = {
-            int(r["term_id"]): float(
-                np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
-            )
-            for r in qrows
-        }
-        by_qid: dict[int, list[tuple[int, int]]] = {}
-        for r in qrows:
-            by_qid.setdefault(r["qid"], []).append((r["term_id"], r["qtf"]))
+        idf_map: dict[int, float] = {}
+        for t in all_terms:
+            hit = resolved.get(t)
+            if hit is not None:
+                tid, df = hit
+                idf_map[tid] = float(
+                    np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                )
+        if not idf_map:
+            return None
         batch = []
-        for qid, pairs in by_qid.items():
-            pairs.sort()  # ascending term_id == oracle accumulation order
+        n_tokens: dict[int, int] = {}
+        for qid, counts in pos_tf.items():
+            n_tokens[qid] = len(counts)
+            pairs = sorted(
+                (resolved[t][0], qtf)
+                for t, qtf in counts.items()
+                if resolved.get(t) is not None
+            )  # ascending term_id == oracle accumulation order
+            if not pairs:
+                continue
             tids = np.array([p[0] for p in pairs], dtype=np.int64)
             qtfs = np.array([p[1] for p in pairs], dtype=np.float64)
             batch.append((qid, tids, qtfs))
+        if not batch:
+            return None
         neg_map: dict[int, np.ndarray] = {}
-        if "exclude" in queries.columns:
-            nt = query_terms_df(
-                queries.filter(F.col("exclude").isNotNull()).select(
-                    "qid", F.col("exclude").alias("question")
-                )
+        for qid, ts in neg_terms.items():
+            tids = sorted(
+                resolved[t][0] for t in ts if resolved.get(t) is not None
             )
-            nrows = (
-                self.term_dict.join(F.broadcast(nt), "term")
-                .select("qid", "term_id", "df")
-                .collect()
-            )
-            by_neg: dict[int, list[int]] = {}
-            for r in nrows:
-                tid = int(r["term_id"])
-                idf_map.setdefault(
-                    tid,
-                    float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))),
-                )
-                by_neg.setdefault(r["qid"], []).append(tid)
-            neg_map = {
-                qid: np.array(sorted(ts), dtype=np.int64)
-                for qid, ts in by_neg.items()
-            }
-        return batch, idf_map, sorted(idf_map), neg_map
+            if tids:  # OOV negated terms exclude nothing (no postings)
+                neg_map[qid] = np.array(tids, dtype=np.int64)
+        return Resolved(batch, idf_map, sorted(idf_map), neg_map, n_tokens)
 
     def search(
         self,
@@ -700,17 +866,12 @@ class IndexSearcher:
         resolved = self._resolve_batch(queries)
         if resolved is None:
             return spark.createDataFrame([], TOPK_SCHEMA)
-        batch, idf_map, all_tids, neg_map = resolved
+        batch, idf_map, all_tids, neg_map = resolved[:4]
         if min_match == MATCH_ALL:
             # strict AND counts OOV tokens too: drop any qid whose resolved
-            # term count falls short of its distinct-token count
-            want = {
-                r["qid"]: r["n"]
-                for r in query_terms_df(queries)
-                .groupBy("qid")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
+            # term count falls short of its distinct-token count (already
+            # known driver-side from resolution — no extra job)
+            want = resolved.n_tokens
             batch = [b for b in batch if len(b[1]) == want.get(b[0], -1)]
             if not batch:
                 return spark.createDataFrame([], TOPK_SCHEMA)
@@ -735,26 +896,65 @@ class IndexSearcher:
                 p, "bucket"
             ).sortWithinPartitions("bucket", "term_id", "first_doc")
 
-        bc = spark.sparkContext.broadcast((batch, idf_map, neg_map, self._tomb))
-        kernel = make_batch_kernel(
-            bc,
-            k + offset,
-            self.stats["k1"],
-            self.stats["b"],
-            self.stats["avgdl"],
-            dense_min=dense_min,
-            min_match=min_match,
-            prefixed=self.stats.get("segver", 2) >= 3,
-            # soundness across appends: stored block maxima are exact at
-            # their encode-time avgdl; inflate to bound CURRENT unit scores
-            max_scale=max(1.0, self.stats["avgdl"] / enc_avgdl)
+        max_scale = (
+            max(1.0, self.stats["avgdl"] / enc_avgdl)
             if (enc_avgdl := self.stats.get("min_enc_avgdl") or self.stats["avgdl"])
-            else 1.0,
+            else 1.0
         )
-
-        partial = shuffled.mapInPandas(
-            bucket_frame_stream(kernel, _EMPTY), KERNEL_OUT_SCHEMA
-        )
+        if self._tomb_df is not None:
+            # LARGE pending-delete set: never collected/broadcast — it keys
+            # by the index's bucket function and cogroups with the pruned
+            # scan (one exchange on `bucket` for each side), the
+            # `search_filtered` shape with the mask inverted.
+            # The key CAST matters: cogroup sides hash-partition on their own
+            # key type, and Spark's Murmur3 hashes int32(v) ≠ int64(v) — a
+            # reused left-side partitioning (warm cache / repartition) with a
+            # long right key would silently misalign every group
+            bucket_size = int(self.stats["bucket_size"])
+            bucket_type = dict(shuffled.dtypes)["bucket"]
+            tomb_b = self._tomb_df.select(
+                F.floor(F.col("doc_id") / bucket_size)
+                .cast(bucket_type)
+                .alias("bucket"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+            )
+            bc = spark.sparkContext.broadcast((batch, idf_map, neg_map))
+            mkernel = make_masked_kernel(
+                bc,
+                k + offset,
+                self.stats["k1"],
+                self.stats["b"],
+                self.stats["avgdl"],
+                min_match=min_match,
+                prefixed=self.stats.get("segver", 2) >= 3,
+                max_scale=max_scale,
+            )
+            partial = (
+                shuffled.groupby("bucket")
+                .cogroup(tomb_b.groupby("bucket"))
+                .applyInPandas(mkernel, KERNEL_OUT_SCHEMA)
+            )
+        else:
+            bc = spark.sparkContext.broadcast(
+                (batch, idf_map, neg_map, self._tomb)
+            )
+            kernel = make_batch_kernel(
+                bc,
+                k + offset,
+                self.stats["k1"],
+                self.stats["b"],
+                self.stats["avgdl"],
+                dense_min=dense_min,
+                min_match=min_match,
+                prefixed=self.stats.get("segver", 2) >= 3,
+                # soundness across appends: stored block maxima are exact at
+                # their encode-time avgdl; inflate to bound CURRENT unit
+                # scores
+                max_scale=max_scale,
+            )
+            partial = shuffled.mapInPandas(
+                bucket_frame_stream(kernel, _EMPTY), KERNEL_OUT_SCHEMA
+            )
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             partial.withColumn("rank", F.row_number().over(w))
@@ -776,7 +976,7 @@ class IndexSearcher:
         resolved = self._resolve_batch(queries)
         if resolved is None:
             return spark.createDataFrame([], KERNEL_OUT_SCHEMA)
-        batch, idf_map, all_tids, neg_map = resolved
+        batch, idf_map, all_tids, neg_map = resolved[:4]
         if neg_map:
             all_tids = sorted(
                 set(all_tids) | {int(t) for ts in neg_map.values() for t in ts}
@@ -794,9 +994,15 @@ class IndexSearcher:
             dense_min=0,
             prefixed=self.stats.get("segver", 2) >= 3,
         )
-        return shuffled.mapInPandas(
+        out = shuffled.mapInPandas(
             bucket_frame_stream(kernel, _EMPTY), KERNEL_OUT_SCHEMA
         )
+        # large tombstone set (never broadcast): the output is the FULL
+        # match set with no top-k cut, so a distributed anti-join AFTER the
+        # kernel is exact — deleted docs drop out, nothing re-ranks
+        if self._tomb_df is not None:
+            out = out.join(self._tomb_df, "doc_id", "left_anti")
+        return out
 
     def matching_docs(self, queries: DataFrame) -> DataFrame:
         """Unscored boolean-OR matching: queries(qid, question) → every
@@ -810,7 +1016,7 @@ class IndexSearcher:
         resolved = self._resolve_batch(queries)
         if resolved is None:
             return spark.createDataFrame([], "qid long, doc_id long")
-        batch, _, all_tids, _ = resolved
+        batch, _, all_tids, _ = resolved[:4]
 
         if self._warm is not None:
             shuffled = self._warm.filter(F.col("term_id").isin(all_tids))
@@ -856,9 +1062,14 @@ class IndexSearcher:
                 {"qid": np.concatenate(out_q), "doc_id": np.concatenate(out_d)}
             )
 
-        return shuffled.mapInPandas(
+        out = shuffled.mapInPandas(
             bucket_frame_stream(kernel, empty), "qid long, doc_id long"
         )
+        # large tombstone set: unscored full match set → exact post-kernel
+        # anti-join (same argument as score_matches)
+        if self._tomb_df is not None:
+            out = out.join(self._tomb_df, "doc_id", "left_anti")
+        return out
 
     def explain(self, queries: DataFrame, candidates: DataFrame) -> DataFrame:
         """Score breakdown (the Lucene Explanation analog): for each
@@ -877,7 +1088,12 @@ class IndexSearcher:
         )
         if resolved is None:
             return spark.createDataFrame([], schema)
-        batch, idf_map, all_tids, _ = resolved
+        batch, idf_map, all_tids, _ = resolved[:4]
+        if self._tomb_df is not None:
+            # large tombstone set: drop deleted candidates BEFORE the collect
+            # (candidates are top-k-small; the tombstone side stays
+            # distributed through the join)
+            candidates = candidates.join(self._tomb_df, "doc_id", "left_anti")
         cand: dict[int, np.ndarray] = {}
         for r in candidates.select("qid", "doc_id").collect():
             cand.setdefault(int(r["qid"]), []).append(int(r["doc_id"]))
@@ -970,13 +1186,28 @@ class IndexSearcher:
         resolved = self._resolve_batch(queries)
         if resolved is None:
             return spark.createDataFrame([], TOPK_SCHEMA)
-        batch, idf_map, all_tids, _ = resolved
+        batch, idf_map, all_tids, neg_map = resolved[:4]
         bucket_size = int(self.stats["bucket_size"])
+        if self._tomb_df is not None:
+            # large tombstone set: the allowed side is already a distributed
+            # DataFrame — shrink it to (allowed ∖ deleted) with a plain
+            # anti-join before the cogroup; the kernel then needs no
+            # tombstone payload at all
+            allowed = allowed.join(self._tomb_df, "doc_id", "left_anti")
+        # key type must MATCH the segment side's bucket dtype — cogroup
+        # sides hash-partition on their own key type, and int32(v)/int64(v)
+        # hash differently (see the masked-kernel branch in `search`)
+        bucket_type = dict(self.segments.dtypes)["bucket"]
         allowed_b = allowed.select(
-            F.floor(F.col("doc_id") / bucket_size).cast("long").alias("bucket"),
+            F.floor(F.col("doc_id") / bucket_size)
+            .cast(bucket_type)
+            .alias("bucket"),
             F.col("doc_id").cast("long").alias("doc_id"),
         )
-        bc = spark.sparkContext.broadcast((batch, idf_map, None, self._tomb))
+        # must_not terms (the `exclude` query column) apply under filters
+        # too: their blocks already ride the pruned scan via all_tids, and
+        # the dense pass zeroes matching docs post-accumulation
+        bc = spark.sparkContext.broadcast((batch, idf_map, neg_map, self._tomb))
         kernel = make_filtered_kernel(
             bc,
             k,
