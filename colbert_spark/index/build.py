@@ -96,6 +96,88 @@ SUMMARY_SCHEMA = (
 )
 
 
+def shuffle_key_exprs(bucket_size: int, tshards: int, n_sub: int) -> list:
+    """The build exchange's three salt keys, shared by `build_index`,
+    `append_index` and the `shuffle_balance` diagnostic so a balance
+    measurement can never drift from the shuffle it claims to measure.
+
+      bucket = doc_id DIV bucket_size   (uniform doc-range slice — the salt
+                                         that splits a Zipf head term's
+                                         posting list across every bucket)
+      tshard = term_id % tshards        (on-disk dir = shuffle slice)
+      sub    = intra-bucket doc sub-range (≥16 keys/reducer so few-key
+                                         hash-collision variance cannot
+                                         itself become the skew source)
+
+    DIV (exact int64 division) matches the encode kernel's `//`
+    re-derivation bit-for-bit at any doc_id."""
+    return [
+        F.expr(f"doc_id DIV {bucket_size}"),
+        F.expr(f"term_id % {tshards}"),
+        F.expr(f"((doc_id % {bucket_size}) * {n_sub}) DIV {bucket_size}"),
+    ]
+
+
+def choose_n_sub(
+    p_shuffle: int,
+    n_buckets: int,
+    tshards: int,
+    total_cf: int = 0,
+    max_bucket_cf: int = 0,
+    cap: int = 256,
+) -> int:
+    """Sub-split factor for the build exchange, from two constraints:
+
+    1. **Key-count floor** — ≥16 keys per reducer slot: hash-collision
+       variance over FEW keys is itself a skew source (observed 10× task
+       spread with buckets alone).
+    2. **Token-mass ceiling** — buckets are doc-COUNT-uniform slices, not
+       token-MASS-uniform: a crawl range of huge pages (or one page
+       repeating a term 10^5×) concentrates its bucket's keys regardless of
+       how many keys exist. So the HEAVIEST bucket must split until its
+       expected per-key mass ≤ total/(16·p): n_sub ≥
+       16·p·max_bucket_cf/(total_cf·tshards). For a uniform corpus
+       (max_bucket_cf ≈ total/n_buckets) this reduces exactly to (1).
+       max_bucket_cf costs one bucket-grain aggregate over the persisted
+       docs (n_buckets rows, never collected beyond sum+max) — the same
+       cache-filling job that computes avgdl.
+
+    The cap bounds file-count fan-out (each sub-split restarts block_id and
+    adds task-files under its (bucket, tshard) dir). Adversarial proof +
+    measured ratios: tests/test_skew.py, SCALE.md §skew. The irreducible
+    atomic unit stays one (term, doc) occurrence run — run-length tf
+    recovery requires it whole on one reducer; `max_doclen` truncation at
+    ingest (the reference's doc_maxlen analog) bounds it."""
+    n = max(1, -(-16 * p_shuffle // (n_buckets * tshards)))
+    if total_cf > 0 and max_bucket_cf > 0:
+        n = max(n, -(-16 * p_shuffle * max_bucket_cf // (total_cf * tshards)))
+    return min(n, cap)
+
+
+def shuffle_balance(
+    posts: DataFrame,
+    bucket_size: int,
+    tshards: int,
+    n_sub: int,
+    p_shuffle: int,
+) -> DataFrame:
+    """Per-reducer posting counts of the build exchange — GROUND TRUTH, not a
+    model: the postings are pushed through the identical
+    `repartition(p, *shuffle_key_exprs(...))` and counted by
+    `spark_partition_id()` evaluated map-side in the post-exchange stage, so
+    each row of the result is exactly one reducer task's input row count.
+    Used by the adversarial-skew test (SCALE.md §skew) to assert the
+    max/median task-input bound the 100-TB design claims."""
+    shuffled = posts.repartition(
+        p_shuffle, *shuffle_key_exprs(bucket_size, tshards, n_sub)
+    )
+    return (
+        shuffled.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n_postings"))
+    )
+
+
 def assign_dense_rank(
     df: DataFrame,
     key: str,
@@ -163,17 +245,34 @@ def assign_doc_ids(df: DataFrame, key: str = "url", partitions: int | None = Non
     return assign_dense_rank(df, key, "doc_id", partitions, unique=True)
 
 
-def derive_docs(web_pages: DataFrame, use_html: bool = False) -> DataFrame:
+def derive_docs(
+    web_pages: DataFrame,
+    use_html: bool = False,
+    max_doclen: int | None = None,
+) -> DataFrame:
     """web_pages → docs(doc_id, url, terms, doclen). Tokenization is pure JVM
-    expression (whole-stage codegen; zero Python in the hot path)."""
+    expression (whole-stage codegen; zero Python in the hot path).
+
+    `max_doclen` truncates each document to its first N tokens at ingest —
+    the reference's doc_maxlen truncation
+    (``colbert/modeling/tokenizers.py:12,91``: every doc clipped to
+    ``max_seq_length=doc_maxlen`` before encoding). Besides parity, it
+    bounds the build exchange's irreducible atomic unit (a single
+    ``(term, doc)`` occurrence run must land whole on one reducer for
+    run-length tf recovery — see ``choose_n_sub``); doclen and every
+    downstream statistic (avgdl, df, cf) see the TRUNCATED document, as in
+    the reference."""
     src = web_pages
     if use_html:
         src = src.withColumn("text", html_text_col("html"))
     with_ids = assign_doc_ids(src.select("url", "text"))
+    terms = tokens_col("text")
+    if max_doclen is not None:
+        terms = F.slice(terms, 1, int(max_doclen))
     out = with_ids.select(
         "doc_id",
         "url",
-        tokens_col("text").alias("terms"),
+        terms.alias("terms"),
     ).withColumn("doclen", F.size("terms"))
     out._dense_rank_cache = getattr(with_ids, "_dense_rank_cache", None)
     out._dense_rank_total = getattr(with_ids, "_dense_rank_total", None)
@@ -570,6 +669,7 @@ def build_index(
     built_at: str = "1970-01-01T00:00:00Z",
     tshards: int = DEFAULT_TSHARDS,
     positions: bool = False,
+    max_doclen: int | None = None,
 ) -> dict:
     """Full (resumable) index build. Layout under `index_dir`:
 
@@ -607,7 +707,7 @@ def build_index(
         phases[name] = round(now - t0, 3)
         t0 = now
 
-    docs = derive_docs(web_pages, use_html=use_html)
+    docs = derive_docs(web_pages, use_html=use_html, max_doclen=max_doclen)
     _mark("doc_rank")  # assign_dense_rank's eager offsets collect
     # N is EXACT and already paid for: it is the dense-rank offsets total
     # (urls are unique), so the build never runs a separate count job
@@ -617,10 +717,19 @@ def build_index(
 
     # exact collection stats in ONE cheap cache-filling job: Σdoclen over
     # docs == Σcf over the vocabulary, so avgdl (which the encode kernel's
-    # unit scores need) never requires a postings-scale aggregation
-    total_cf = int(
-        docs.agg(F.sum("doclen").alias("s")).collect()[0]["s"] or 0
+    # unit scores need) never requires a postings-scale aggregation. The
+    # same job aggregates at bucket grain first (n_buckets rows, reduced to
+    # sum+max before collect) — max_bucket_cf feeds the mass-aware sub-split
+    # (choose_n_sub): token mass per bucket is NOT uniform even though doc
+    # count is, and the heaviest bucket sets the exchange's skew.
+    _brow = (
+        docs.groupBy(F.expr(f"doc_id DIV {bucket_size}").alias("bucket"))
+        .agg(F.sum("doclen").alias("cf"))
+        .agg(F.sum("cf").alias("s"), F.max("cf").alias("m"))
+        .collect()[0]
     )
+    total_cf = int(_brow["s"] or 0)
+    max_bucket_cf = int(_brow["m"] or 0)
     _mark("stats_agg")  # tokenize runs here once, into the docs cache
     if rank_cache is not None:
         # url-rank stage done (docs cache is hot). The checkpoint blocks are
@@ -665,6 +774,9 @@ def build_index(
         "tshards": tshards,
         "segver": 3,  # idf-free blocks + self-describing varbyte/PFor payloads
         "positions": positions,  # blocks carry occurrence-position streams
+        # ingest truncation (None = unbounded); append_index re-applies it so
+        # every epoch's doclen statistics share one truncation contract
+        "max_doclen": max_doclen,
         # smallest avgdl any committed block was ENCODED with. Block max_unit
         # is exact at its encode-time avgdl, and unit scores grow with avgdl
         # (unit_new/unit_old ≤ avgdl_new/avgdl_old), so the query kernel keeps
@@ -725,7 +837,9 @@ def build_index(
     # on-disk partition dir AND a shuffle slice, so every (bucket, tshard)
     # file is written whole by the task(s) that own it — no cross-task
     # partitionBy fan-out (tasks × dirs tiny-file explosion)
-    n_sub = max(1, -(-16 * p_shuffle // (n_buckets * tshards)))  # ≥16 keys/slot
+    n_sub = choose_n_sub(
+        p_shuffle, n_buckets, tshards, total_cf, max_bucket_cf
+    )
     # no JVM sort: the encode kernel lexsorts its partition's fixed-width
     # int64 keys in numpy (see _encode_partition) — cheaper and spill-free.
     # Partition count pinned: AQE would otherwise coalesce the encode stage
@@ -733,10 +847,7 @@ def build_index(
     # DIV (integer division), not float-divide-and-cast: exact at any scale,
     # and identical to the kernel's int64 `//` re-derivation.
     shuffled = posts.repartition(
-        p_shuffle,
-        F.expr(f"doc_id DIV {bucket_size}"),
-        F.expr(f"term_id % {tshards}"),
-        F.expr(f"((doc_id % {bucket_size}) * {n_sub}) DIV {bucket_size}"),
+        p_shuffle, *shuffle_key_exprs(bucket_size, tshards, n_sub)
     )
     seg_path = os.path.join(index_dir, "segments")
     os.makedirs(seg_path, exist_ok=True)
@@ -896,11 +1007,15 @@ def append_index(
     n_new = int(getattr(with_ids, "_dense_rank_total", 0) or 0)
     if n_new == 0:
         return stats
+    _terms = tokens_col("text")
+    if stats.get("max_doclen"):
+        # the base build's ingest-truncation contract applies to every epoch
+        _terms = F.slice(_terms, 1, int(stats["max_doclen"]))
     docs = (
         with_ids.select(
             (F.col("doc_id") + F.lit(n_committed)).cast("long").alias("doc_id"),
             "url",
-            tokens_col("text").alias("terms"),
+            _terms.alias("terms"),
         )
         .withColumn("doclen", F.size("terms"))
         .persist()
@@ -950,12 +1065,20 @@ def append_index(
     posts = tokens.join(active.select("term", "term_id"), "term").drop("term")
     p_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_buckets = max(1, -(-(n_committed + n_new) // bucket_size))
-    n_sub = max(1, -(-16 * p_shuffle // (n_buckets * tshards)))
+    # mass-aware sub-split over the DELTA's buckets only (the shuffle carries
+    # only new postings): a small append concentrated in the tail bucket gets
+    # n_sub ≈ 16·p/tshards — full encode parallelism instead of one key
+    _brow = (
+        docs.groupBy(F.expr(f"doc_id DIV {bucket_size}").alias("bucket"))
+        .agg(F.sum("doclen").alias("cf"))
+        .agg(F.sum("cf").alias("s"), F.max("cf").alias("m"))
+        .collect()[0]
+    )
+    n_sub = choose_n_sub(
+        p_shuffle, n_buckets, tshards, int(_brow["s"] or 0), int(_brow["m"] or 0)
+    )
     shuffled = posts.repartition(
-        p_shuffle,
-        F.expr(f"doc_id DIV {bucket_size}"),
-        F.expr(f"term_id % {tshards}"),
-        F.expr(f"((doc_id % {bucket_size}) * {n_sub}) DIV {bucket_size}"),
+        p_shuffle, *shuffle_key_exprs(bucket_size, tshards, n_sub)
     )
     seg_path = os.path.join(index_dir, stats.get("seg_dir", "segments"))
     docs_dir = os.path.join(index_dir, stats.get("docs_dir", "docs"))
