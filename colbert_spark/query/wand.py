@@ -109,6 +109,62 @@ def _bm25(tfs: np.ndarray, dls: np.ndarray, idf: float, k1: float, b: float, avg
     return idf * t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dls / avgdl))
 
 
+# Per-task cap on RESIDENT DECODED postings across one kernel invocation
+# (one bucket frame). The compressed block rows themselves are the kernel's
+# irreducible input (the Arrow frame Spark hands it); this cap bounds the
+# *expansion* — the _TermBlocks decode caches — which is otherwise
+# O(Σ_t postings(t, bucket) × 16 B) over the batch's full term set and can
+# exceed executor memory for a 1000-query batch against a dense bucket.
+# SCALE.md §query derives the full contract.
+DECODE_CACHE_BYTES = 1 << 30
+
+
+class _DecodeBudget:
+    """LRU cap on resident decoded posting bytes across the `_TermBlocks` of
+    ONE kernel invocation. `full()` admits its (docs, units) arrays; when the
+    total exceeds `cap`, least-recently-used terms' caches are dropped (they
+    recompute from the compressed rows the frame still holds — correctness
+    is untouched, the over-cap regime degrades to recompute-per-use). The
+    just-admitted term is never evicted, so a single term larger than the
+    whole cap still scores: the floor of the contract is ONE term's decoded
+    postings, which `bucket_size` bounds by construction (a term has ≤
+    bucket_size postings in a bucket)."""
+
+    __slots__ = ("cap", "used", "peak", "evictions", "_lru")
+
+    def __init__(self, cap: int):
+        self.cap = int(cap)
+        self.used = 0
+        self.peak = 0
+        self.evictions = 0
+        self._lru: OrderedDict[int, tuple] = OrderedDict()
+
+    def admit(self, tb: "_TermBlocks") -> None:
+        key = id(tb)
+        prev = self._lru.pop(key, None)
+        if prev is not None:
+            self.used -= prev[1]
+        docs, units = tb._full
+        nb = int(docs.nbytes + units.nbytes)
+        self._lru[key] = (tb, nb)
+        self.used += nb
+        if self.used > self.peak:
+            self.peak = self.used
+        while self.used > self.cap and len(self._lru) > 1:
+            old_key = next(iter(self._lru))
+            if old_key == key:
+                break
+            old_tb, old_nb = self._lru.pop(old_key)
+            old_tb._full = None
+            self.used -= old_nb
+            self.evictions += 1
+
+    def touch(self, tb: "_TermBlocks") -> None:
+        key = id(tb)
+        if key in self._lru:
+            self._lru.move_to_end(key)
+
+
 class _TermBlocks:
     """Per-(bucket, term) block metadata + shared lazy decode cache.
 
@@ -132,7 +188,7 @@ class _TermBlocks:
 
     __slots__ = (
         "idf", "unit_max", "firsts", "lasts", "maxs", "rows", "_dec", "_full",
-        "prefixed",
+        "prefixed", "budget",
     )
 
     def __init__(
@@ -141,7 +197,9 @@ class _TermBlocks:
         idf: float,
         prefixed: bool = True,
         max_scale: float = 1.0,
+        budget: "_DecodeBudget | None" = None,
     ):
+        self.budget = budget
         self.idf = float(idf)
         self.prefixed = prefixed
         self.maxs = sub["max_unit"].to_numpy(np.float64) * (self.idf * max_scale)
@@ -181,6 +239,14 @@ class _TermBlocks:
             tfs = np.concatenate([p[1] for p in parts])
             dls = np.concatenate([p[2] for p in parts])
             self._full = (docs, _bm25(tfs, dls, self.idf, k1, b, avgdl))
+            # the dense path never reads block-grain decodes after the
+            # whole-term arrays exist — dropping them halves the resident
+            # expansion (a later decode() recomputes, it does not break)
+            self._dec.clear()
+            if self.budget is not None:
+                self.budget.admit(self)
+        elif self.budget is not None:
+            self.budget.touch(self)
         return self._full
 
 
@@ -376,6 +442,7 @@ def make_batch_kernel(
     prefixed: bool = True,
     max_scale: float = 1.0,
     min_match: int = 1,
+    decode_cache_bytes: int = DECODE_CACHE_BYTES,
 ):
     """Kernel for one complete bucket frame: group blocks by term once, share
     decodes across ALL queries in the batch, emit per-bucket top-k per qid.
@@ -397,11 +464,13 @@ def make_batch_kernel(
         batch, idf_map, *rest = payload
         neg_map = rest[0] if len(rest) > 0 else None
         excluded = rest[1] if len(rest) > 1 else None
+        budget = _DecodeBudget(decode_cache_bytes)
         groups: dict[int, _TermBlocks] = {}
         for tid, sub in pdf.groupby("term_id", sort=False):
             tid = int(tid)
             groups[tid] = _TermBlocks(
-                sub.sort_values("first_doc"), idf_map[tid], prefixed, max_scale
+                sub.sort_values("first_doc"), idf_map[tid], prefixed, max_scale,
+                budget=budget,
             )
         if (
             len(batch) >= dense_min
@@ -476,6 +545,7 @@ def make_filtered_kernel(
     avgdl: float,
     prefixed: bool = True,
     max_scale: float = 1.0,
+    decode_cache_bytes: int = DECODE_CACHE_BYTES,
 ):
     """Cogroup kernel for FILTERED retrieval: one bucket's segment blocks on
     the left, the bucket's slice of the allowed-doc set on the right (both
@@ -493,11 +563,13 @@ def make_filtered_kernel(
         batch, idf_map, *rest = payload
         neg_map = rest[0] if len(rest) > 0 else None
         excluded = rest[1] if len(rest) > 1 else None
+        budget = _DecodeBudget(decode_cache_bytes)
         groups: dict[int, _TermBlocks] = {}
         for tid, sub in seg_pdf.groupby("term_id", sort=False):
             tid = int(tid)
             groups[tid] = _TermBlocks(
-                sub.sort_values("first_doc"), idf_map[tid], prefixed, max_scale
+                sub.sort_values("first_doc"), idf_map[tid], prefixed, max_scale,
+                budget=budget,
             )
         allowed = allowed_pdf["doc_id"].to_numpy(np.int64)
         out_q, out_d, out_s = _score_batch_dense(
@@ -526,6 +598,7 @@ def make_masked_kernel(
     min_match: int = 1,
     prefixed: bool = True,
     max_scale: float = 1.0,
+    decode_cache_bytes: int = DECODE_CACHE_BYTES,
 ):
     """Cogroup kernel for LARGE-tombstone retrieval: one bucket's segment
     blocks on the left, the bucket's slice of the TOMBSTONE set on the right
@@ -545,11 +618,13 @@ def make_masked_kernel(
         payload = query_batch.value if hasattr(query_batch, "value") else query_batch
         batch, idf_map, *rest = payload
         neg_map = rest[0] if len(rest) > 0 else None
+        budget = _DecodeBudget(decode_cache_bytes)
         groups: dict[int, _TermBlocks] = {}
         for tid, sub in seg_pdf.groupby("term_id", sort=False):
             tid = int(tid)
             groups[tid] = _TermBlocks(
-                sub.sort_values("first_doc"), idf_map[tid], prefixed, max_scale
+                sub.sort_values("first_doc"), idf_map[tid], prefixed, max_scale,
+                budget=budget,
             )
         excluded = (
             tomb_pdf["doc_id"].to_numpy(np.int64) if len(tomb_pdf) else None
@@ -670,6 +745,9 @@ class IndexSearcher:
         self._term_cache: OrderedDict[str, tuple[int, int] | None] = OrderedDict()
         self.term_cache_max: int = 1 << 20
         self._dict_lookup_jobs: int = 0
+        # per-task cap on resident DECODED postings inside the scoring
+        # kernels (SCALE.md §query memory contract); settable per searcher
+        self.decode_cache_bytes: int = DECODE_CACHE_BYTES
 
     def warm(self) -> "IndexSearcher":
         if self._warm is None:
@@ -928,6 +1006,7 @@ class IndexSearcher:
                 min_match=min_match,
                 prefixed=self.stats.get("segver", 2) >= 3,
                 max_scale=max_scale,
+                decode_cache_bytes=self.decode_cache_bytes,
             )
             partial = (
                 shuffled.groupby("bucket")
@@ -951,6 +1030,7 @@ class IndexSearcher:
                 # their encode-time avgdl; inflate to bound CURRENT unit
                 # scores
                 max_scale=max_scale,
+                decode_cache_bytes=self.decode_cache_bytes,
             )
             partial = shuffled.mapInPandas(
                 bucket_frame_stream(kernel, _EMPTY), KERNEL_OUT_SCHEMA
@@ -993,6 +1073,7 @@ class IndexSearcher:
             bc, None, self.stats["k1"], self.stats["b"], self.stats["avgdl"],
             dense_min=0,
             prefixed=self.stats.get("segver", 2) >= 3,
+            decode_cache_bytes=self.decode_cache_bytes,
         )
         out = shuffled.mapInPandas(
             bucket_frame_stream(kernel, _EMPTY), KERNEL_OUT_SCHEMA
@@ -1214,6 +1295,7 @@ class IndexSearcher:
             self.stats["k1"],
             self.stats["b"],
             self.stats["avgdl"],
+            decode_cache_bytes=self.decode_cache_bytes,
             prefixed=self.stats.get("segver", 2) >= 3,
             max_scale=max(1.0, self.stats["avgdl"] / enc_avgdl)
             if (enc_avgdl := self.stats.get("min_enc_avgdl") or self.stats["avgdl"])
