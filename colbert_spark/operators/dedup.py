@@ -261,24 +261,25 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = e.select(
         "vec_id", "v", "nrm", F.explode(F.array(*band_structs)).alias("s")
     ).select("vec_id", "v", "nrm", F.col("s.band").alias("band"), F.col("s.bsig").alias("bsig"))
+    from colbert_spark.operators.similarity import cosine_rerank
+
     a, b = keyed.alias("a"), keyed.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bsig") == F.col("b.bsig"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("a_id"),
+        F.col("b.vec_id").alias("b_id"),
+        F.col("a.v").alias("av"),
+        F.col("b.v").alias("bv"),
     )
+    # vectorized exact refine (cosine_rerank recomputes the norms with the
+    # identical fold order, so cos_r is bit-for-bit the old dot/(nrm·nrm))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cos_r"),
-        )
+        cosine_rerank(pairs, "av", "bv", out="cos")
+        .select("a_id", "b_id", F.round("cos", 6).alias("cos_r"))
         .filter(F.col("cos_r") >= NEARDUP_COS)
         .distinct()
         .orderBy("a_id", "b_id")

@@ -38,7 +38,7 @@ from colbert_spark.operators.fts_documents import (
     _positional_index_dir,
     _rank_topk,
 )
-from colbert_spark.operators.similarity import _dot, _norm
+from colbert_spark.operators.similarity import cosine_rerank
 from colbert_spark.sources.tables import load_table
 
 RRF_K = 60  # the standard fusion constant
@@ -109,15 +109,12 @@ def _dense_rerank(spark: SparkSession, sf_dir: str, shortlist: DataFrame) -> Dat
     )
     qv = emb.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
     dv = emb.select(F.col("vec_id").alias("doc_id"), F.col("v").alias("dv"))
-    sim = F.when(
-        (_norm(F.col("qv")) > 0) & (_norm(F.col("dv")) > 0),
-        _dot(F.col("qv"), F.col("dv")) / (_norm(F.col("qv")) * _norm(F.col("dv"))),
-    ).otherwise(0.0)
-    joined = (
+    joined = cosine_rerank(
         shortlist.select("qid", "doc_id")
         .join(dv, "doc_id")
         .join(F.broadcast(qv), "qid")
-        .select("qid", "doc_id", sim.alias("score"))
+        .select("qid", "doc_id", "qv", "dv"),
+        "qv", "dv", out="score",
     )
     return _rank_topk(joined, TOPK).select(
         "qid", "rank", "doc_id", F.col("score_r").alias("sim_r")

@@ -31,6 +31,51 @@ def _norm(a: Column) -> Column:
     )
 
 
+def cosine_rerank(
+    df: DataFrame, left: str, right: str, out: str = "sim"
+) -> DataFrame:
+    """Exact float64 cosine of two array columns, one numpy pass per Arrow
+    batch — the vectorized replacement for the interpreted `_dot`/`_norm`
+    higher-order-function expressions on every re-rank hot path (~an order
+    of magnitude per row; the same kernel family as the IVF list-assignment
+    matmul).
+
+    BIT-IDENTICAL to the HOF expressions it replaces, by construction:
+    `F.aggregate(..., 0.0, acc+x)` is a left fold, and `np.cumsum(axis=1)`
+    accumulates in exactly that association order (((x0+x1)+x2)+…; the
+    fold's leading 0.0+x0 == x0), elementwise products and the final
+    divide are single IEEE-754 ops in both engines — so every DuckDB
+    oracle that hash-matched the HOF plan still matches this one. Rows
+    where either norm is 0 score 0.0 (same guard). `left`/`right` columns
+    are consumed; all other columns pass through."""
+    import numpy as np
+
+    keep = [f for f in df.schema.fields if f.name not in (left, right)]
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in keep]
+        + [f"{out} double"]
+    )
+    names = [f.name for f in keep]
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lm = np.array(pdf[left].tolist(), dtype=np.float64)
+            rm = np.array(pdf[right].tolist(), dtype=np.float64)
+            dot = np.cumsum(lm * rm, axis=1)[:, -1]
+            ln = np.sqrt(np.cumsum(lm * lm, axis=1)[:, -1])
+            rn = np.sqrt(np.cumsum(rm * rm, axis=1)[:, -1])
+            denom = ln * rn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where((ln > 0) & (rn > 0), dot / denom, 0.0)
+            res = pdf[names].copy()
+            res[out] = sim
+            yield res
+
+    return df.mapInPandas(kernel, schema)
+
+
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10: query vecs (vec_id < 8) against the
     rest. Broadcast the tiny query side; score with built-in higher-order
@@ -44,12 +89,9 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.filter(F.col("vec_id") >= N_QUERY_VECS).select(
         F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
     )
-    sim = F.when(
-        (_norm(F.col("qv")) > 0) & (_norm(F.col("cv")) > 0),
-        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-    ).otherwise(0.0)
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "qid", "cand_id", sim.alias("sim")
+    scored = cosine_rerank(
+        c.crossJoin(F.broadcast(q)).select("qid", "cand_id", "qv", "cv"),
+        "qv", "cv",
     )
     w = Window.partitionBy("qid").orderBy(F.desc(F.round(F.col("sim"), 9)), F.asc("cand_id"))
     return (
@@ -140,11 +182,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = sig.filter(F.col("vec_id") >= N_QUERY_VECS).select(
         F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "sig"
     )
-    sim = F.when(
-        (_norm(F.col("qv")) > 0) & (_norm(F.col("cv")) > 0),
-        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-    ).otherwise(0.0)
-    scored = c.join(F.broadcast(q), "sig").select("qid", "cand_id", sim.alias("sim"))
+    scored = cosine_rerank(
+        c.join(F.broadcast(q), "sig").select("qid", "cand_id", "qv", "cv"),
+        "qv", "cv",
+    )
     w = Window.partitionBy("qid").orderBy(F.desc(F.round(F.col("sim"), 9)), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -179,13 +220,12 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = sig.filter(F.col("vec_id") >= N_QUERY_VECS).select(
         F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "sig"
     )
-    sim = F.when(
-        (_norm(F.col("qv")) > 0) & (_norm(F.col("cv")) > 0),
-        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-    ).otherwise(0.0)
     # probes within one query are distinct signatures, so a candidate matches
     # at most one probe — no pair dedup needed
-    scored = c.join(F.broadcast(probes), "sig").select("qid", "cand_id", sim.alias("sim"))
+    scored = cosine_rerank(
+        c.join(F.broadcast(probes), "sig").select("qid", "cand_id", "qv", "cv"),
+        "qv", "cv",
+    )
     w = Window.partitionBy("qid").orderBy(F.desc(F.round(F.col("sim"), 9)), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -280,14 +320,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_df = spark.createDataFrame(
         probes, "qid long, cid long, qv array<double>"
     )
-    sim = F.when(
-        (_norm(F.col("qv")) > 0) & (_norm(F.col("cv")) > 0),
-        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-    ).otherwise(0.0)
     # a candidate lives in exactly one list, so probe matches are unique —
     # no pair dedup needed
-    scored = cand.join(F.broadcast(probe_df), "cid").select(
-        "qid", "cand_id", sim.alias("sim")
+    scored = cosine_rerank(
+        cand.join(F.broadcast(probe_df), "cid").select(
+            "qid", "cand_id", "qv", "cv"
+        ),
+        "qv", "cv",
     )
     w = Window.partitionBy("qid").orderBy(F.desc(F.round(F.col("sim"), 9)), F.asc("cand_id"))
     return (

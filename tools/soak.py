@@ -1,0 +1,144 @@
+"""Large-corpus soak: build → deep-fsck → warm query/phrase, one JSON line.
+
+Round-3 protocol (VERDICT.md §next #3): one decade beyond the 200k soak —
+1M docs, positional build at a tuned bucket_size, `index_fsck --deep`
+decoding every payload, warm 1000-query BM25 batch + 50-phrase batch, and
+the block-count floor analysis (Σ_t min(df_t, n_buckets) — the Zipf tail's
+lower bound on blocks, which per-doc write cost amortizes against as the
+corpus grows into a fixed bucket count).
+
+Usage: python tools/soak.py [n_docs] [bucket_size]   (defaults 1_000_000, 62_500)
+Corpus and index live under /tmp and are reused across runs if present
+(delete /tmp/soak_<n>_corpus to regenerate).
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from colbert_spark.session import get_spark  # noqa: E402
+from colbert_spark.sources.synth import synth_queries, write_web_pages  # noqa: E402
+from colbert_spark.index.build import build_index  # noqa: E402
+from colbert_spark.index.inspect import index_fsck, index_stats  # noqa: E402
+from colbert_spark.query.wand import IndexSearcher  # noqa: E402
+from colbert_spark.query.phrase import PositionalSearcher  # noqa: E402
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    bucket_size = int(sys.argv[2]) if len(sys.argv) > 2 else 62_500
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    corpus_dir = f"/tmp/soak_{n_docs}_corpus"
+    index_dir = f"/tmp/soak_{n_docs}_idx"
+    out: dict = {
+        "n_docs": n_docs,
+        "bucket_size": bucket_size,
+        "cpus": cpus,
+        "positions": True,
+    }
+
+    spark = get_spark("soak", cpus=cpus, shuffle_partitions=2 * cpus)
+
+    t0 = time.perf_counter()
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        # _SUCCESS gate: a killed prior run leaves a partial dir that must
+        # regenerate, not be trusted
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        write_web_pages(spark, corpus_dir, n_docs, partitions=2 * cpus)
+        out["gen_sec"] = round(time.perf_counter() - t0, 1)
+    pages = spark.read.parquet(corpus_dir)
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    stats = build_index(
+        spark, pages, index_dir, bucket_size=bucket_size, positions=True
+    )
+    out["build_sec"] = round(time.perf_counter() - t0, 1)
+    out["docs_per_sec"] = round(n_docs / out["build_sec"], 1)
+    out["n_terms"] = stats["n_terms"]
+    out["total_cf"] = stats["total_cf"]
+    out["build_phases"] = stats.get("phases")
+
+    t0 = time.perf_counter()
+    fsck = index_fsck(spark, index_dir, deep=True)
+    out["fsck_sec"] = round(time.perf_counter() - t0, 1)
+    out["fsck_ok"] = fsck["ok"]
+    out["fsck_errors"] = fsck.get("errors", [])[:5]
+    out["blocks_decoded"] = fsck.get("blocks_decoded")
+
+    istats = index_stats(spark, index_dir)
+    out["n_blocks"] = istats["blocks"]
+    out["n_postings"] = istats["postings"]
+    out["fill_ratio"] = istats["fill_ratio"]
+    out["payload_bytes_per_posting"] = istats["bytes_per_posting"]
+    out["col_bytes"] = istats["col_bytes"]
+
+    # block-count floor: Σ_t min(df_t, n_buckets) — no per-(term,bucket)
+    # layout can use fewer blocks, so fill efficiency = floor/actual
+    n_buckets = -(-n_docs // bucket_size)
+    tdict = spark.read.parquet(
+        os.path.join(index_dir, stats.get("dict_dir", "term_dict"))
+    )
+    floor = int(
+        tdict.agg(
+            F.sum(F.least(F.col("df"), F.lit(n_buckets))).alias("f")
+        ).collect()[0]["f"]
+    )
+    out["block_floor"] = floor
+    if out["n_blocks"]:
+        out["block_floor_ratio"] = round(out["n_blocks"] / floor, 3)
+
+    seg_bytes = 0
+    for root, _, files in os.walk(os.path.join(index_dir, "segments")):
+        seg_bytes += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    out["segment_bytes"] = seg_bytes
+    if out["n_postings"]:
+        out["bytes_per_posting"] = round(seg_bytes / out["n_postings"], 2)
+
+    # warm BM25: 1000-query batch throughput + single-query latency
+    searcher = IndexSearcher(spark, index_dir)
+    qs1000 = synth_queries(1000)
+    qdf = spark.createDataFrame(qs1000)
+    searcher.warm()
+    searcher.search(spark.createDataFrame(qs1000.iloc[:4]), k=100).count()  # JIT/plan warmup
+    t0 = time.perf_counter()
+    searcher.search(qdf, k=100).count()
+    out["warm_1000q_sec"] = round(time.perf_counter() - t0, 2)
+    out["warm_qps_1000q"] = round(1000 / out["warm_1000q_sec"], 1)
+    lat = []
+    single = synth_queries(20)
+    for i in range(len(single)):
+        one = spark.createDataFrame(single.iloc[i : i + 1])
+        t0 = time.perf_counter()
+        searcher.search(one, k=100).count()
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    out["warm_latency_p50"] = round(lat[len(lat) // 2], 3)
+    out["warm_latency_p95"] = round(lat[int(len(lat) * 0.95)], 3)
+    searcher.close()
+
+    # warm phrase batch (positional path)
+    qp = synth_queries(50)
+    two_term = [q for q in qp["question"] if len(q.split()) >= 2][:50]
+    phrases = spark.createDataFrame(
+        [(i, " ".join(q.split()[:2])) for i, q in enumerate(two_term)],
+        "phrase_id long, phrase string",
+    )
+    psearch = PositionalSearcher(spark, index_dir).warm()
+    t0 = time.perf_counter()
+    n_hits = psearch.phrase(phrases).count()
+    out["phrase_batch_sec"] = round(time.perf_counter() - t0, 2)
+    out["phrase_hits"] = n_hits
+    psearch.close()
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
