@@ -108,6 +108,26 @@ def main() -> None:
         lat.sort()
         extra["bm25_warm_latency_p50"] = round(lat[len(lat) // 2], 3)
         extra["bm25_warm_latency_p95"] = round(lat[int(len(lat) * 0.95)], 3)
+
+        # point-serving path (search_point: driver-resident block LRU, no
+        # per-query job once cache-hot — the resident point server analog).
+        # Cold = first pass (block fetches run); hot = second pass.
+        plat_cold, plat_hot = [], []
+        for pass_lat in (plat_cold, plat_hot):
+            for q in single["question"]:
+                t0 = time.perf_counter()
+                searcher.search_point(q, k=100)
+                pass_lat.append(time.perf_counter() - t0)
+            pass_lat.sort()
+        extra["bm25_point_latency_p50_cold"] = round(
+            plat_cold[len(plat_cold) // 2], 4
+        )
+        extra["bm25_point_latency_p50_hot"] = round(
+            plat_hot[len(plat_hot) // 2], 4
+        )
+        extra["bm25_point_latency_p95_hot"] = round(
+            plat_hot[int(len(plat_hot) * 0.95)], 4
+        )
         searcher.close()
 
         # positional index (positions ride the same single build shuffle) +

@@ -748,6 +748,24 @@ class IndexSearcher:
         # per-task cap on resident DECODED postings inside the scoring
         # kernels (SCALE.md §query memory contract); settable per searcher
         self.decode_cache_bytes: int = DECODE_CACHE_BYTES
+        # point-serving block LRU (search_point): term_id → (block rows,
+        # bytes). Compressed payloads at on-disk density (~5-7 B/posting);
+        # capped at `point_cache_bytes`, sound for the searcher lifetime by
+        # the same immutable-snapshot argument as `_term_cache`.
+        self._block_cache: OrderedDict[int, tuple[pd.DataFrame, int]] = (
+            OrderedDict()
+        )
+        self._block_cache_bytes: int = 0
+        self.point_cache_bytes: int = 512 << 20
+        self._block_fetch_jobs: int = 0
+        # decoded-term cache for the point path: tid → {bucket: _TermBlocks}.
+        # The _TermBlocks keep their whole-term decoded arrays across
+        # queries under the SAME _DecodeBudget contract as the distributed
+        # kernels (cap decode_cache_bytes, LRU eviction, recompute from the
+        # resident compressed rows on miss) — a repeated head term costs a
+        # scatter-add, not a re-decode.
+        self._point_tbs: dict[int, dict[int, _TermBlocks]] = {}
+        self._point_budget: _DecodeBudget | None = None
 
     def warm(self) -> "IndexSearcher":
         if self._warm is None:
@@ -770,6 +788,10 @@ class IndexSearcher:
             self._warm = None
             self.term_dict.unpersist()
         self._term_cache.clear()
+        self._block_cache.clear()
+        self._block_cache_bytes = 0
+        self._point_tbs.clear()
+        self._point_budget = None
 
     def pruned_scan(self, term_ids: list[int]) -> DataFrame:
         """Cold-path segment scan for a term-id set, pruned at three levels:
@@ -1042,6 +1064,176 @@ class IndexSearcher:
             .select(
                 "qid", (F.col("rank") - offset).alias("rank"), "doc_id", "score"
             )
+        )
+
+    def _fetch_blocks(self, term_ids: list[int]) -> None:
+        """Pull the block rows of `term_ids` into the driver-side point LRU.
+        One `toPandas` collect for the MISSING terms — the only Spark job a
+        point query can schedule; a cache-hot query schedules none. The
+        collected bytes are the terms' compressed payloads (on-disk density,
+        ~5-7 B/posting), NOT decoded postings, so even a df=10^6 head term
+        costs single-digit MB."""
+        missing = [t for t in term_ids if t not in self._block_cache]
+        if missing:
+            self._block_fetch_jobs += 1
+            cols = [
+                "bucket", "term_id", "first_doc", "last_doc", "max_unit",
+                "doc_bytes", "tf_bytes", "dl_bytes",
+            ]
+            src = (
+                self._warm
+                if self._warm is not None
+                else self.pruned_scan(missing)
+            )
+            pdf = (
+                src.filter(F.col("term_id").isin(missing))
+                .select(*cols)
+                .toPandas()
+            )
+            for t in missing:
+                sub = pdf[pdf["term_id"] == t].reset_index(drop=True)
+                nb = int(sub.memory_usage(deep=True).sum())
+                self._block_cache[t] = (sub, nb)
+                self._block_cache_bytes += nb
+        current = set(term_ids)
+        for t in term_ids:
+            if t in self._block_cache:
+                self._block_cache.move_to_end(t)
+        # evict LRU terms not needed by the current query
+        while self._block_cache_bytes > self.point_cache_bytes:
+            victim = next(
+                (t for t in self._block_cache if t not in current), None
+            )
+            if victim is None:
+                break
+            _, nb = self._block_cache.pop(victim)
+            self._block_cache_bytes -= nb
+            self._point_tbs.pop(victim, None)
+
+    def search_point(self, question: str, k: int = 10,
+                     exclude: str | None = None) -> pd.DataFrame:
+        """Sub-second SINGLE-query serving — the reference's resident point
+        server (``dense_server_client.py:21-66``: query in, top-k out, no
+        per-query job scheduling), realized driver-side: tokenize with the
+        shared grammar, resolve terms through the searcher-lifetime LRU,
+        pull any uncached terms' block rows once (`_fetch_blocks` — the only
+        possible job), then run the IDENTICAL numpy kernels the distributed
+        path runs (`_score_query_in_bucket` block-max MaxScore, or the dense
+        pass under negation/tombstones) over the cached frames and take the
+        exact global top-k with (score DESC, doc_id ASC) ties. A cache-hot
+        query is pure driver numpy — no Spark job at all, sub-10 ms.
+
+        Returns a pandas DataFrame (rank, doc_id, score) — rank-identical
+        to `search()` on the same snapshot (asserted in tests). An index
+        with a LARGE pending-delete set (cogroup masking) falls back to the
+        distributed path: the mask is deliberately never driver-resident."""
+        empty = pd.DataFrame(
+            {
+                "rank": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+        if self._tomb_df is not None:
+            qdf = self.spark.createDataFrame(
+                [(0, question)] , "qid long, question string"
+            )
+            rows = self.search(qdf, k=k).collect()
+            if not rows:
+                return empty
+            return pd.DataFrame(
+                {
+                    "rank": [r["rank"] for r in rows],
+                    "doc_id": [r["doc_id"] for r in rows],
+                    "score": [r["score"] for r in rows],
+                }
+            )
+        from collections import Counter
+
+        counts = Counter(py_tokenize(question or ""))
+        neg = set(py_tokenize(exclude)) if exclude else set()
+        if not counts:
+            return empty
+        resolved = self._lookup_terms(sorted(set(counts) | neg))
+        n_docs = self.stats.get("live_docs", self.stats["N"])
+        pairs = sorted(
+            (resolved[t][0], float(qtf))
+            for t, qtf in counts.items()
+            if resolved.get(t) is not None
+        )
+        if not pairs:
+            return empty
+        tids = np.array([p[0] for p in pairs], dtype=np.int64)
+        qtfs = np.array([p[1] for p in pairs], dtype=np.float64)
+        neg_tids = sorted(
+            resolved[t][0] for t in neg if resolved.get(t) is not None
+        )
+        idf_map = {}
+        for t, hit in resolved.items():
+            if hit is not None:
+                tid, df = hit
+                idf_map[tid] = float(
+                    np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                )
+        all_ids = sorted(set(tids.tolist()) | set(neg_tids))
+        self._fetch_blocks(all_ids)
+        k1, b, avgdl = (
+            self.stats["k1"], self.stats["b"], self.stats["avgdl"],
+        )
+        enc_avgdl = self.stats.get("min_enc_avgdl") or avgdl
+        max_scale = max(1.0, avgdl / enc_avgdl) if enc_avgdl else 1.0
+        prefixed = self.stats.get("segver", 2) >= 3
+        if self._point_budget is None:
+            self._point_budget = _DecodeBudget(self.decode_cache_bytes)
+        # per-(term, bucket) _TermBlocks persist across queries: their
+        # whole-term decoded arrays live under the shared _DecodeBudget, so
+        # a repeated term costs one scatter-add per bucket, zero decodes
+        buckets: set[int] = set()
+        for t in all_ids:
+            tbs = self._point_tbs.get(t)
+            if tbs is None:
+                frame = self._block_cache[t][0]
+                tbs = {
+                    int(bk): _TermBlocks(
+                        s2.sort_values("first_doc"), idf_map[t],
+                        prefixed, max_scale, budget=self._point_budget,
+                    )
+                    for bk, s2 in frame.groupby("bucket", sort=False)
+                }
+                self._point_tbs[t] = tbs
+            buckets.update(tbs.keys())
+        batch = [(0, tids, qtfs)]
+        neg_map = (
+            {0: np.array(neg_tids, dtype=np.int64)} if neg_tids else None
+        )
+        out_d, out_s = [], []
+        # always the dense pass: exact for any mask, and its whole-term
+        # full() decodes are what the budgeted cache retains across queries
+        for bk in sorted(buckets):
+            groups = {
+                t: self._point_tbs[t][bk]
+                for t in all_ids
+                if bk in self._point_tbs.get(t, ())
+            }
+            if not groups:
+                continue
+            _, d, s = _score_batch_dense(
+                groups, batch, k, k1, b, avgdl,
+                neg_map=neg_map, excluded=self._tomb,
+            )
+            out_d.extend(d)
+            out_s.extend(s)
+        if not out_d:
+            return empty
+        docs = np.concatenate(out_d)
+        scores = np.concatenate(out_s)
+        sel = np.lexsort((docs, -scores))[: min(k, len(docs))]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
+                "doc_id": docs[sel],
+                "score": scores[sel],
+            }
         )
 
     def score_matches(self, queries: DataFrame) -> DataFrame:

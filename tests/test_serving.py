@@ -191,3 +191,87 @@ def test_v1_index_fails_load_with_clear_error(spark, tmp_path):
         json.dump({"N": 10, "avgdl": 5.0, "k1": 0.9, "b": 0.4}, f)  # no segver
     with pytest.raises(ValueError, match="segver|rebuild"):
         IndexSearcher(spark, d)
+
+
+def test_point_query_rank_identity_and_cache_hot_zero_jobs(
+    spark, sidx, tiny_queries
+):
+    """search_point (driver-resident point serving) must be rank-identical
+    to the distributed search() on the same snapshot, and a cache-hot
+    repeat must schedule ZERO Spark jobs (neither dictionary lookups nor
+    block fetches) — the reference's resident-server contract."""
+    import time
+
+    d, oracle, _ = sidx
+    searcher = IndexSearcher(spark, d).warm()
+    try:
+        qdf = spark.createDataFrame(tiny_queries[:20])
+        dist = {}
+        for r in searcher.search(qdf, k=K).collect():
+            dist.setdefault(r["qid"], []).append(r)
+        for qid, q in zip(tiny_queries["qid"][:20], tiny_queries["question"][:20]):
+            pt = searcher.search_point(q, k=K)
+            exp = sorted(dist.get(qid, []), key=lambda r: r["rank"])
+            assert len(pt) == len(exp), f"qid={qid}"
+            for row, er in zip(pt.itertuples(), exp):
+                assert row.doc_id == er["doc_id"], f"qid={qid}"
+                assert math.isclose(row.score, er["score"], rel_tol=1e-12)
+
+        # cache-hot: repeat every query; counters must not move and the
+        # whole 20-query sweep must be driver-speed (no job scheduling)
+        dict_jobs = searcher._dict_lookup_jobs
+        fetch_jobs = searcher._block_fetch_jobs
+        t0 = time.perf_counter()
+        for q in tiny_queries["question"][:20]:
+            searcher.search_point(q, k=K)
+        dt = time.perf_counter() - t0
+        assert searcher._dict_lookup_jobs == dict_jobs
+        assert searcher._block_fetch_jobs == fetch_jobs
+        assert dt < 2.0, f"20 cache-hot point queries took {dt:.2f}s"
+    finally:
+        searcher.close()
+
+
+def test_point_query_absent_and_exclude(spark, sidx):
+    d, oracle, _ = sidx
+    searcher = IndexSearcher(spark, d)
+    try:
+        assert len(searcher.search_point("zzqqxplugh", k=K)) == 0
+        assert len(searcher.search_point("...,,,", k=K)) == 0
+        # must_not parity with the distributed exclude column
+        base = searcher.search_point("term00001 term00002", k=K)
+        negged = searcher.search_point(
+            "term00001 term00002", k=K, exclude="term00003"
+        )
+        qdf = spark.createDataFrame(
+            [(0, "term00001 term00002", "term00003")],
+            "qid long, question string, exclude string",
+        )
+        dist = sorted(
+            searcher.search(qdf, k=K).collect(), key=lambda r: r["rank"]
+        )
+        assert [int(x) for x in negged["doc_id"]] == [r["doc_id"] for r in dist]
+        assert len(base) >= len(negged)
+    finally:
+        searcher.close()
+
+
+def test_point_query_respects_small_tombstones(spark, tiny_corpus, tmp_path):
+    from colbert_spark.index.delete import delete_docs
+
+    d = str(tmp_path / "idx_pt_del")
+    build_index(spark, spark.createDataFrame(tiny_corpus), d, bucket_size=127)
+    s0 = IndexSearcher(spark, d)
+    top = s0.search_point("term00001", k=3)
+    assert len(top) > 0
+    victim_doc = int(top["doc_id"].iloc[0])
+    delete_docs(
+        spark, d, spark.createDataFrame([(victim_doc,)], "doc_id long")
+    )
+    s1 = IndexSearcher(spark, d)
+    after = s1.search_point("term00001", k=K)
+    assert victim_doc not in set(int(x) for x in after["doc_id"])
+    # parity with the distributed path post-delete
+    qdf = spark.createDataFrame([(0, "term00001")], "qid long, question string")
+    dist = sorted(s1.search(qdf, k=K).collect(), key=lambda r: r["rank"])
+    assert [int(x) for x in after["doc_id"]] == [r["doc_id"] for r in dist]
