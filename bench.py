@@ -68,7 +68,7 @@ def main() -> None:
             t0 = time.perf_counter()
             build_index(
                 spark, corpus, os.path.join(work, f"index{i}"),
-                bucket_size=max(n_corpus // (4 * cpus), 500),
+                bucket_size=max(2 * n_corpus // cpus, 500),
             )
             build_reps.append(time.perf_counter() - t0)
         timings["index_build"] = min(build_reps)
@@ -86,15 +86,20 @@ def main() -> None:
         # resident-server analog); 1000q throughput must meet/beat 100q —
         # the batch kernel's cost is per-block-decode, not per-query
         searcher = IndexSearcher(spark, os.path.join(work, "index")).warm()
-        t0 = time.perf_counter()
-        assert searcher.search(queries, k=100).count() > 0
-        timings["bm25_warm_100q"] = time.perf_counter() - t0
-        extra["bm25_warm_qps_100q"] = round(100 / timings["bm25_warm_100q"], 2)
         q1k = spark.createDataFrame(synth_queries(1000))
-        t0 = time.perf_counter()
-        assert searcher.search(q1k, k=100).count() > 0
-        timings["bm25_warm_1000q"] = time.perf_counter() - t0
-        extra["bm25_warm_qps_1000q"] = round(1000 / timings["bm25_warm_1000q"], 2)
+        for name, qdf, nq in (
+            ("bm25_warm_100q", queries, 100),
+            ("bm25_warm_1000q", q1k, 1000),
+        ):
+            reps = []  # best of 2 — same host-noise defense as the build
+            for _ in range(2):
+                t0 = time.perf_counter()
+                assert searcher.search(qdf, k=100).count() > 0
+                reps.append(time.perf_counter() - t0)
+            timings[name] = min(reps)
+            extra[f"{name.replace('bm25_warm', 'bm25_warm_qps')}"] = round(
+                nq / timings[name], 2
+            )
 
         # single-query latency distribution on the warm service (BASELINE.md
         # protocol: median & p95 sec/query, BM25 top-100)
@@ -140,7 +145,7 @@ def main() -> None:
             t0 = time.perf_counter()
             build_index(
                 spark, corpus, os.path.join(work, f"pindex{i}"),
-                bucket_size=max(n_corpus // (4 * cpus), 500), positions=True,
+                bucket_size=max(2 * n_corpus // cpus, 500), positions=True,
             )
             pos_reps.append(time.perf_counter() - t0)
         timings["index_build_positional"] = min(pos_reps)

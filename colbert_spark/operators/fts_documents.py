@@ -523,6 +523,33 @@ def fts_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(mapped)
 
 
+def fts_point_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship BM25 answered by the DRIVER-RESIDENT point path
+    (`IndexSearcher.search_point` — the reference's resident point server,
+    ``dense_server_client.py:21-66``) — same query set and same DuckDB
+    oracle as `fts_bm25_topk`, so the value-hash compare proves the point
+    path's driver-side block cache + budgeted decode kernels reproduce the
+    declarative scores end-to-end with no per-query job scheduling.
+    Over-fetch k+5 and re-rank the oracle's way (round-9 score), same as
+    `fts_bm25_index`."""
+    from colbert_spark.query.wand import IndexSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    searcher = IndexSearcher(spark, idx)
+    rows = []
+    for qid, q in DOC_QUERIES:
+        pt = searcher.search_point(q, k=TOPK + 5)
+        rows.extend(
+            (int(qid), int(r.doc_id), float(r.score)) for r in pt.itertuples()
+        )
+    if not rows:
+        hits = spark.createDataFrame([], "qid long, doc_id long, score double")
+    else:
+        hits = spark.createDataFrame(rows, "qid long, doc_id long, score double")
+    mapped = _map_index_docs(spark, idx, hits, "qid", "score")
+    return _rank_topk(mapped)
+
+
 # fixed proximity set: (pair_id, t1, t2); NEAR/w with |pos(t1)−pos(t2)| ≤ w
 NEAR_PAIRS = [
     (0, "hash", "join"),
@@ -2203,6 +2230,7 @@ ORACLES["fts_near_index"] = ORACLES["fts_near_match"]
 
 # the segment-index BM25 path must reproduce the DataFrame BM25 exactly
 ORACLES["fts_bm25_index"] = ORACLES["fts_bm25_topk"]
+ORACLES["fts_point_index"] = ORACLES["fts_bm25_topk"]
 
 # build ARTIFACTS (docs sink, stats.json, dictionary) vs corpus recounts
 ORACLES["fts_doclen_index"] = ORACLES["fts_doclen"]
@@ -2705,6 +2733,7 @@ QUERIES = {
     "fts_near_match": fts_near_match,
     "fts_near_index": fts_near_index,
     "fts_bm25_index": fts_bm25_index,
+    "fts_point_index": fts_point_index,
     "fts_doclen_index": fts_doclen_index,
     "fts_collection_stats_index": fts_collection_stats_index,
     "fts_term_df_index": fts_term_df_index,
