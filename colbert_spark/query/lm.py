@@ -197,7 +197,7 @@ def lm_topk_segments(
         )
     else:
         partial = shuffled.mapInPandas(
-            bucket_frame_stream(kernel, _EMPTY), KERNEL_OUT_SCHEMA
+            bucket_frame_stream(kernel, _EMPTY, final_topk=k), KERNEL_OUT_SCHEMA
         )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (

@@ -510,15 +510,33 @@ def make_batch_kernel(
     return kernel
 
 
-def bucket_frame_stream(kernel, empty: pd.DataFrame):
+def bucket_frame_stream(kernel, empty: pd.DataFrame, final_topk: int | None = None):
     """mapInPandas generator factory: feed `kernel` one COMPLETE bucket frame
     at a time. The trailing (possibly incomplete) bucket group of each Arrow
     batch carries into the next, so a bucket never splits across kernel calls
     and Python overhead is per-partition, not per-bucket. Shared by every
-    bucket-keyed scorer (BM25 batch, QL-Dirichlet, phrase/NEAR)."""
+    bucket-keyed scorer (BM25 batch, QL-Dirichlet, phrase/NEAR).
+
+    `final_topk=k`: merge the per-BUCKET top-k outputs into one per-
+    PARTITION per-qid top-k before emitting. Exact, because the cut uses
+    the identical total order as the downstream global window
+    ((score DESC, doc_id ASC) on exact floats): global top-k ⊆ union of
+    per-partition top-k under one total order. At production bucket counts
+    (100s of buckets per reducer) this shrinks the global-merge exchange by
+    the buckets-per-partition factor — per-partition rows go from
+    O(#buckets·|Q|·k) to O(|Q|·k)."""
 
     def stream(batches):
         tail: pd.DataFrame | None = None
+        acc: list[pd.DataFrame] = []
+
+        def emit(frame: pd.DataFrame):
+            if final_topk is None:
+                return frame
+            if len(frame):
+                acc.append(frame)
+            return None
+
         for pdf in batches:
             if tail is not None and len(tail):
                 pdf = pd.concat([tail, pdf], ignore_index=True)
@@ -530,9 +548,25 @@ def bucket_frame_stream(kernel, empty: pd.DataFrame):
             body = pdf[~is_tail]
             if len(body):
                 out = [kernel(g) for _, g in body.groupby("bucket", sort=False)]
-                yield pd.concat(out, ignore_index=True) if out else empty
+                merged = pd.concat(out, ignore_index=True) if out else empty
+                got = emit(merged)
+                if got is not None:
+                    yield got
         if tail is not None and len(tail):
-            yield kernel(tail)
+            got = emit(kernel(tail))
+            if got is not None:
+                yield got
+        if final_topk is not None:
+            if not acc:
+                yield empty
+                return
+            allp = pd.concat(acc, ignore_index=True)
+            order = np.lexsort(
+                (allp["doc_id"].to_numpy(), -allp["score"].to_numpy())
+            )
+            allp = allp.iloc[order]
+            keep = allp.groupby("qid", sort=False).cumcount() < final_topk
+            yield allp[keep].reset_index(drop=True)
 
     return stream
 
@@ -1055,7 +1089,8 @@ class IndexSearcher:
                 decode_cache_bytes=self.decode_cache_bytes,
             )
             partial = shuffled.mapInPandas(
-                bucket_frame_stream(kernel, _EMPTY), KERNEL_OUT_SCHEMA
+                bucket_frame_stream(kernel, _EMPTY, final_topk=k + offset),
+                KERNEL_OUT_SCHEMA,
             )
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
