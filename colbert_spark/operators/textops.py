@@ -305,7 +305,68 @@ ORACLES["repetition_stats"] = f"""
     ORDER BY d.doc_id
 """
 
+def quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-filtering signal: each document's perplexity
+    under the corpus' OWN unigram LM (p(t) = cf_t / total tokens) —
+    H(doc) = (1/n)·Σ_terms tf·(ln total − ln cf), ppl = e^H. Low-ppl docs
+    are head-term boilerplate, high-ppl docs are noise — the standard
+    pretraining-data quality dial (CCNet buckets on exactly this score).
+
+    Determinism contract: the per-doc float sum folds over the doc's
+    DISTINCT terms in ascending-term order (array_sort + aggregate), the
+    same order the DuckDB oracle's `list(c ORDER BY term)` accumulates, so
+    round-6 values hash-match. Scale shape: one explode feeding two
+    partial-agg exchanges (per-doc tf, corpus cf) + a vocabulary join (AQE:
+    broadcast while small, skew-split at web scale); the per-doc
+    collect_list is bounded by the doc's distinct-term count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    j = tf.join(cf, "term").crossJoin(F.broadcast(total))
+    contrib = F.col("tf") * (
+        F.log(F.col("total")) - F.log(F.col("cf").cast("double"))
+    )
+    per = j.select(
+        "doc_id", "tf", F.struct(F.col("term"), contrib.alias("c")).alias("s")
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.aggregate(
+            F.transform(F.array_sort(F.collect_list("s")), lambda s: s["c"]),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("h_sum"),
+        F.sum("tf").alias("n_tokens"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.exp(F.col("h_sum") / F.col("n_tokens")), 6).alias("ppl_r"),
+    ).orderBy("doc_id")
+
+
+ORACLES_PERPLEXITY_SQL = f"""
+    WITH tk AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+    cf AS (SELECT term, count(*) AS cf FROM tk GROUP BY term),
+    tot AS (SELECT count(*)::DOUBLE AS total FROM tk),
+    j AS (
+      SELECT doc_id, term, tf,
+             tf * (ln(total) - ln(cf::DOUBLE)) AS c
+      FROM tf JOIN cf USING (term) CROSS JOIN tot),
+    agg AS (
+      SELECT doc_id, list_sum(list(c ORDER BY term)) AS h_sum,
+             sum(tf) AS n
+      FROM j GROUP BY doc_id)
+    SELECT doc_id, n::BIGINT AS n_tokens, round(exp(h_sum / n), 6) AS ppl_r
+    FROM agg ORDER BY doc_id
+"""
+ORACLES["quality_perplexity"] = ORACLES_PERPLEXITY_SQL
+
+
 QUERIES = {
+    "quality_perplexity": quality_perplexity,
     "text_quality": text_quality,
     "langid_heuristic": langid_heuristic,
     "doc_fingerprint": doc_fingerprint,
