@@ -47,6 +47,7 @@ def _cmd_index(args) -> int:
         use_html=args.use_html,
         resume=not args.no_resume,
         positions=args.positions,
+        max_doclen=args.max_doclen,
     )
     print(json.dumps(stats))
     return 0
@@ -212,6 +213,13 @@ def main(argv: list[str] | None = None) -> int:
         "--positions",
         action="store_true",
         help="store occurrence positions in the blocks (enables phrase queries)",
+    )
+    ip.add_argument(
+        "--max-doclen",
+        type=int,
+        default=None,
+        help="truncate each document to its first N tokens at ingest (the "
+        "reference's doc_maxlen; appends inherit the contract)",
     )
     ip.set_defaults(fn=_cmd_index)
 
