@@ -36,13 +36,14 @@ surface, cross-checked against the DataFrame/DuckDB phrase oracle.
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from colbert_spark.functions.tokenizer import tokens_col
+from colbert_spark.functions.tokenizer import py_tokenize, tokens_col
 from colbert_spark.index.codec import decode_block
 from colbert_spark.query.wand import bucket_frame_stream, load_index
 
@@ -201,6 +202,14 @@ class PositionalSearcher:
                 os.path.join(index_dir, self.stats["tomb_dir"])
             )
         self._warm: DataFrame | None = None
+        # phrase_point driver caches (same contracts as IndexSearcher's
+        # point path: immutable-snapshot LRUs, byte-capped block rows)
+        self._pterm_cache: OrderedDict = OrderedDict()
+        self._pblock_cache: OrderedDict = OrderedDict()
+        self._pblock_bytes: int = 0
+        self.point_cache_bytes: int = 512 << 20
+        self._point_lookup_jobs: int = 0
+        self._point_fetch_jobs: int = 0
 
     def _mask(self, res: DataFrame) -> DataFrame:
         if self._tomb_df is None:
@@ -234,6 +243,129 @@ class PositionalSearcher:
         if self._warm is not None:
             self._warm.unpersist()
             self._warm = None
+        self._pterm_cache.clear()
+        self._pblock_cache.clear()
+        self._pblock_bytes = 0
+
+    def _lookup_terms_point(self, terms: list[str]) -> dict:
+        """term → (term_id, df) | None through a searcher-lifetime LRU —
+        the `IndexSearcher._lookup_terms` contract (sound: one immutable
+        snapshot); misses cost one pushed-filter collect."""
+        out, missing = {}, []
+        for t in terms:
+            if t in self._pterm_cache:
+                self._pterm_cache.move_to_end(t)
+                out[t] = self._pterm_cache[t]
+            else:
+                missing.append(t)
+        if missing:
+            self._point_lookup_jobs += 1
+            rows = (
+                self.term_dict.filter(F.col("term").isin(missing))
+                .select("term", "term_id", "df")
+                .collect()
+            )
+            found = {r["term"]: (int(r["term_id"]), int(r["df"])) for r in rows}
+            for t in missing:
+                out[t] = self._pterm_cache[t] = found.get(t)
+                if len(self._pterm_cache) > (1 << 20):
+                    self._pterm_cache.popitem(last=False)
+        return out
+
+    def _fetch_pblocks(self, term_ids: list[int]) -> None:
+        """Positional block rows (incl. pos_bytes) of `term_ids` into the
+        driver LRU — one collect for the misses, none when cache-hot."""
+        missing = [t for t in term_ids if t not in self._pblock_cache]
+        if missing:
+            self._point_fetch_jobs += 1
+            cols = ["bucket", "term_id", "doc_bytes", "tf_bytes", "pos_bytes"]
+            src = self._warm if self._warm is not None else self.segments
+            pdf = (
+                src.filter(F.col("term_id").isin(missing)).select(*cols).toPandas()
+            )
+            for t in missing:
+                sub = pdf[pdf["term_id"] == t].reset_index(drop=True)
+                nb = int(sub.memory_usage(deep=True).sum())
+                self._pblock_cache[t] = (sub, nb)
+                self._pblock_bytes += nb
+        current = set(term_ids)
+        for t in term_ids:
+            if t in self._pblock_cache:
+                self._pblock_cache.move_to_end(t)
+        while self._pblock_bytes > self.point_cache_bytes:
+            victim = next(
+                (t for t in self._pblock_cache if t not in current), None
+            )
+            if victim is None:
+                break
+            _, nb = self._pblock_cache.pop(victim)
+            self._pblock_bytes -= nb
+
+    def phrase_point(self, phrase: str) -> pd.DataFrame:
+        """(doc_id, n_occ) for ONE exact phrase, answered driver-side — the
+        positional sibling of `IndexSearcher.search_point`: tokenize with
+        the shared grammar, resolve through the term LRU, pull uncached
+        terms' positional block rows once, and run the IDENTICAL
+        `_make_phrase_kernel` intersection per cached bucket frame. A
+        cache-hot phrase schedules no Spark job. Any OOV token ⇒ empty (the
+        phrase cannot match). Indexes with pending deletes fall back to the
+        distributed path (the mask joins there)."""
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_occ": pd.Series([], dtype="int64"),
+            }
+        )
+        _require_positions(self.stats)
+        if self._tomb_df is not None:
+            qdf = self.spark.createDataFrame(
+                [(0, phrase)], "phrase_id long, phrase string"
+            )
+            rows = self.phrase(qdf).collect()
+            return (
+                pd.DataFrame(
+                    {
+                        "doc_id": [r["doc_id"] for r in rows],
+                        "n_occ": [r["n_occ"] for r in rows],
+                    }
+                ).sort_values("doc_id").reset_index(drop=True)
+                if rows
+                else empty
+            )
+        toks = py_tokenize(phrase or "")
+        if not toks:
+            return empty
+        resolved = self._lookup_terms_point(sorted(set(toks)))
+        if any(resolved.get(t) is None for t in toks):
+            return empty
+        tids = [resolved[t][0] for t in toks]
+        uniq = sorted(set(tids))
+        self._fetch_pblocks(uniq)
+        frames = [
+            self._pblock_cache[t][0]
+            for t in uniq
+            if len(self._pblock_cache[t][0])
+        ]
+        if len(frames) < len(uniq):
+            return empty  # a term with no stored blocks cannot complete a phrase
+        pdf = pd.concat(frames, ignore_index=True)
+        kernel = _make_phrase_kernel(
+            [(0, tids)], int(self.stats["bucket_size"])
+        )
+        outs = []
+        for _, sub in pdf.groupby("bucket", sort=False):
+            res = kernel(sub.reset_index(drop=True))
+            if len(res):
+                outs.append(res)
+        if not outs:
+            return empty
+        allr = pd.concat(outs, ignore_index=True)
+        return (
+            allr[["doc_id", "n_occ"]]
+            .astype({"doc_id": "int64", "n_occ": "int64"})
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
 
     def _resolve_phrases(self, phrases: DataFrame):
         """phrases(phrase_id, phrase) → (phrase_list, df_map) or None.

@@ -248,3 +248,31 @@ def test_phrase_requires_positional_index(spark, tiny_corpus, tmp_path_factory):
     qdf = spark.createDataFrame(pd.DataFrame(PHRASES[:1], columns=["phrase_id", "phrase"]))
     with pytest.raises(ValueError, match="positional"):
         phrase_match_segments(spark, d, qdf)
+
+
+def test_phrase_point_parity_and_cache_hot_zero_jobs(spark, pos_index):
+    """phrase_point (driver-resident positional point path) must agree
+    exactly with the sliding-window oracle for every fixture phrase, and a
+    cache-hot repeat must schedule zero lookup/fetch jobs."""
+    import time
+
+    from colbert_spark.query.phrase import PositionalSearcher
+
+    d, _, toks = pos_index
+    s = PositionalSearcher(spark, d).warm()
+    try:
+        for pid, phrase in PHRASES:
+            pt = s.phrase_point(phrase)
+            got = {int(r.doc_id): int(r.n_occ) for r in pt.itertuples()}
+            assert got == _oracle_phrase(toks, phrase), (pid, phrase)
+        lookups = s._point_lookup_jobs
+        fetches = s._point_fetch_jobs
+        t0 = time.perf_counter()
+        for _, phrase in PHRASES:
+            s.phrase_point(phrase)
+        dt = time.perf_counter() - t0
+        assert s._point_lookup_jobs == lookups
+        assert s._point_fetch_jobs == fetches
+        assert dt < 1.0, f"cache-hot phrase sweep took {dt:.2f}s"
+    finally:
+        s.close()
