@@ -132,7 +132,55 @@ def streaming_hourly_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("hour_start", "event_type")
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup RESOLUTION over a document feed: groupBy
+    content-hash (md5 of text — the `dedup_exact` fingerprint) keeping the
+    min-id canonical and a copy count, run to completion over the bounded
+    replay (bit-compatible with the batch SQL oracle). This is the
+    training-pipeline shape where documents arrive continuously and the
+    dedup table must stay current without re-reading the corpus.
+
+    State contract: one row per DISTINCT hash — the same cardinality any
+    batch dedup must hold, sharded across executors by the groupBy. The
+    bounded demo uses complete-mode/memory (deterministic: min/count are
+    order-insensitive); an unbounded deployment emits first-seen rows with
+    `dropDuplicates(["content_hash"])` + a watermark on arrival time so
+    state ages out, and the canonical-min answer then comes from the
+    downstream table (exactly the `index_stream.py` committed-url
+    anti-join pattern)."""
+    docs_schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    agg = stream.groupBy(
+        F.md5(F.col("text").cast("binary")).alias("content_hash")
+    ).agg(
+        F.min("doc_id").alias("canonical_doc"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("content_hash")
+
+
 ORACLES = {
+    "streaming_dedup": """
+        SELECT md5(text) AS content_hash,
+               min(doc_id)::BIGINT AS canonical_doc,
+               count(*)::BIGINT AS n_copies
+        FROM documents GROUP BY 1 ORDER BY content_hash
+    """,
     "streaming_hourly_closed": """
         WITH mx AS (SELECT max(ts) AS m FROM events)
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
@@ -154,4 +202,5 @@ ORACLES = {
 QUERIES = {
     "streaming_hourly_agg": streaming_hourly_agg,
     "streaming_hourly_closed": streaming_hourly_closed,
+    "streaming_dedup": streaming_dedup,
 }
