@@ -367,6 +367,69 @@ class PositionalSearcher:
             .reset_index(drop=True)
         )
 
+    def near_point(self, t1: str, t2: str, window: int = 4) -> pd.DataFrame:
+        """(doc_id, n_anchor) for ONE proximity pair (|pos(t1) − pos(t2)| ≤
+        window), answered driver-side through the same term/block LRUs as
+        `phrase_point` and the IDENTICAL `_make_near_kernel` probe. OOV on
+        either side ⇒ empty; pending-delete indexes fall back to the
+        distributed masked path."""
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_anchor": pd.Series([], dtype="int64"),
+            }
+        )
+        _require_positions(self.stats)
+        if self._tomb_df is not None:
+            qdf = self.spark.createDataFrame(
+                [(0, t1, t2)], "pair_id long, t1 string, t2 string"
+            )
+            rows = self.near(qdf, window=window).collect()
+            return (
+                pd.DataFrame(
+                    {
+                        "doc_id": [r["doc_id"] for r in rows],
+                        "n_anchor": [r["n_anchor"] for r in rows],
+                    }
+                ).sort_values("doc_id").reset_index(drop=True)
+                if rows
+                else empty
+            )
+        w1, w2 = py_tokenize(t1 or ""), py_tokenize(t2 or "")
+        if len(w1) != 1 or len(w2) != 1:
+            return empty
+        resolved = self._lookup_terms_point(sorted({w1[0], w2[0]}))
+        if resolved.get(w1[0]) is None or resolved.get(w2[0]) is None:
+            return empty
+        tid1, tid2 = resolved[w1[0]][0], resolved[w2[0]][0]
+        uniq = sorted({tid1, tid2})
+        self._fetch_pblocks(uniq)
+        frames = [
+            self._pblock_cache[t][0]
+            for t in uniq
+            if len(self._pblock_cache[t][0])
+        ]
+        if len(frames) < len(uniq):
+            return empty
+        pdf = pd.concat(frames, ignore_index=True)
+        kernel = _make_near_kernel(
+            [(0, tid1, tid2)], int(self.stats["bucket_size"]), int(window)
+        )
+        outs = []
+        for _, sub in pdf.groupby("bucket", sort=False):
+            res = kernel(sub.reset_index(drop=True))
+            if len(res):
+                outs.append(res)
+        if not outs:
+            return empty
+        allr = pd.concat(outs, ignore_index=True)
+        return (
+            allr[["doc_id", "n_anchor"]]
+            .astype({"doc_id": "int64", "n_anchor": "int64"})
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
     def _resolve_phrases(self, phrases: DataFrame):
         """phrases(phrase_id, phrase) → (phrase_list, df_map) or None.
         phrase_list is [(pid, [term_id, …] in token order)] for phrases whose

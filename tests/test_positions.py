@@ -276,3 +276,39 @@ def test_phrase_point_parity_and_cache_hot_zero_jobs(spark, pos_index):
         assert dt < 1.0, f"cache-hot phrase sweep took {dt:.2f}s"
     finally:
         s.close()
+
+
+def test_near_point_parity(spark, pos_index):
+    """near_point must agree with the distributed near() for each fixture
+    pair at window=4, and with a brute-force position check."""
+    from colbert_spark.query.phrase import PositionalSearcher
+
+    d, _, toks = pos_index
+    s = PositionalSearcher(spark, d).warm()
+    try:
+        pairs = [("term00000", "term00001"), ("term00003", "term00000"),
+                 ("zzznotindexed", "term00000")]
+        qdf = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(pairs)],
+            "pair_id long, t1 string, t2 string",
+        )
+        dist = {}
+        for r in s.near(qdf, window=4).collect():
+            dist.setdefault(r["pair_id"], {})[r["doc_id"]] = r["n_anchor"]
+        for i, (a, b) in enumerate(pairs):
+            pt = s.near_point(a, b, window=4)
+            got = {int(r.doc_id): int(r.n_anchor) for r in pt.itertuples()}
+            assert got == dist.get(i, {}), (a, b)
+        # brute force on one pair: anchor = occurrence of t1 with a t2
+        # within 4 tokens in the same doc
+        want = {}
+        for did, tk in enumerate(toks):
+            p1 = [j for j, t in enumerate(tk) if t == "term00000"]
+            p2 = [j for j, t in enumerate(tk) if t == "term00001"]
+            n = sum(1 for x in p1 if any(abs(x - y) <= 4 for y in p2))
+            if n:
+                want[did] = n
+        pt = s.near_point("term00000", "term00001", window=4)
+        assert {int(r.doc_id): int(r.n_anchor) for r in pt.itertuples()} == want
+    finally:
+        s.close()
