@@ -611,6 +611,55 @@ def fts_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fts_phrase_point_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_phrase_match` answered by the DRIVER-RESIDENT positional point
+    path (`PositionalSearcher.phrase_point` — term/block LRUs + the
+    identical occurrence-intersection kernel, zero per-query jobs when
+    cache-hot). Shares the corpus-scan oracle, so the value-hash compare
+    proves the point path end-to-end."""
+    from colbert_spark.query.phrase import PositionalSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    searcher = PositionalSearcher(spark, idx)
+    rows = []
+    for pid, phrase in DOC_PHRASES:
+        pt = searcher.phrase_point(phrase)
+        rows.extend(
+            (int(pid), int(r.doc_id), int(r.n_occ)) for r in pt.itertuples()
+        )
+    hits = spark.createDataFrame(
+        rows, "phrase_id long, doc_id long, n_occ long"
+    ) if rows else spark.createDataFrame(
+        [], "phrase_id long, doc_id long, n_occ long"
+    )
+    return _map_index_docs(spark, idx, hits, "phrase_id", "n_occ").orderBy(
+        "phrase_id", "doc_id"
+    )
+
+
+def fts_near_point_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_near_match` answered by the driver-resident proximity point path
+    (`PositionalSearcher.near_point`), sharing the corpus-scan oracle."""
+    from colbert_spark.query.phrase import PositionalSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    searcher = PositionalSearcher(spark, idx)
+    rows = []
+    for pid, t1, t2 in NEAR_PAIRS:
+        pt = searcher.near_point(t1, t2, window=NEAR_WINDOW)
+        rows.extend(
+            (int(pid), int(r.doc_id), int(r.n_anchor)) for r in pt.itertuples()
+        )
+    hits = spark.createDataFrame(
+        rows, "pair_id long, doc_id long, n_anchor long"
+    ) if rows else spark.createDataFrame(
+        [], "pair_id long, doc_id long, n_anchor long"
+    )
+    return _map_index_docs(spark, idx, hits, "pair_id", "n_anchor").orderBy(
+        "pair_id", "doc_id"
+    )
+
+
 def fts_snippet_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`fts_snippet` with the highlighting positions answered from the
     POSITIONAL INDEX (`query/phrase.py:first_hit_segments`) instead of
@@ -2227,6 +2276,8 @@ ORACLES["fts_near_match"] = f"""
 
 # index path ≡ corpus scan, same oracle (see fts_phrase_index)
 ORACLES["fts_near_index"] = ORACLES["fts_near_match"]
+ORACLES["fts_phrase_point_index"] = ORACLES["fts_phrase_match"]
+ORACLES["fts_near_point_index"] = ORACLES["fts_near_match"]
 
 # the segment-index BM25 path must reproduce the DataFrame BM25 exactly
 ORACLES["fts_bm25_index"] = ORACLES["fts_bm25_topk"]
@@ -2732,6 +2783,8 @@ QUERIES = {
     "fts_phrase_bm25_index": fts_phrase_bm25_index,
     "fts_near_match": fts_near_match,
     "fts_near_index": fts_near_index,
+    "fts_phrase_point_index": fts_phrase_point_index,
+    "fts_near_point_index": fts_near_point_index,
     "fts_bm25_index": fts_bm25_index,
     "fts_point_index": fts_point_index,
     "fts_doclen_index": fts_doclen_index,
