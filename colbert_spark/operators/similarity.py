@@ -57,12 +57,39 @@ def cosine_rerank(
     )
     names = [f.name for f in keep]
 
+    def to_mat(col) -> "np.ndarray":
+        """(n, d) float64 matrix. Fast path: one homogeneous np.array over
+        the Arrow column. Degenerate rows (NULL / empty / ragged lengths —
+        one bad embedding row must not fail the task, the HOF plan scored
+        it 0.0 via its norm guard) fall back to zero-padding to the batch
+        max length: trailing zeros change neither a left-fold dot nor a
+        norm (x + 0·y == x exactly), and an all-zero row has norm 0, so the
+        existing guard yields sim 0.0 for it."""
+        vals = [
+            np.asarray(v, dtype=np.float64)
+            if v is not None
+            else np.empty(0, dtype=np.float64)
+            for v in col
+        ]
+        lens = {len(v) for v in vals}
+        if len(lens) == 1 and 0 not in lens:
+            return np.vstack(vals)
+        d = max(max(lens, default=0), 1)
+        m = np.zeros((len(vals), d), dtype=np.float64)
+        for i, v in enumerate(vals):
+            m[i, : len(v)] = v
+        return m
+
     def kernel(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            lm = np.array(pdf[left].tolist(), dtype=np.float64)
-            rm = np.array(pdf[right].tolist(), dtype=np.float64)
+            lm = to_mat(pdf[left])
+            rm = to_mat(pdf[right])
+            if lm.shape[1] != rm.shape[1]:
+                d = max(lm.shape[1], rm.shape[1])
+                lm = np.pad(lm, ((0, 0), (0, d - lm.shape[1])))
+                rm = np.pad(rm, ((0, 0), (0, d - rm.shape[1])))
             dot = np.cumsum(lm * rm, axis=1)[:, -1]
             ln = np.sqrt(np.cumsum(lm * lm, axis=1)[:, -1])
             rn = np.sqrt(np.cumsum(rm * rm, axis=1)[:, -1])

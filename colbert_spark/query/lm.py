@@ -185,7 +185,7 @@ def lm_topk_segments(
         # differently (see wand.IndexSearcher.search)
         bucket_type = dict(shuffled.dtypes)["bucket"]
         tomb_b = s._tomb_df.select(
-            F.floor(F.col("doc_id") / bucket_size)
+            F.expr(f"doc_id DIV {bucket_size}")
             .cast(bucket_type)
             .alias("bucket"),
             F.col("doc_id").cast("long").alias("doc_id"),

@@ -181,7 +181,13 @@ class PositionalSearcher:
         spark: SparkSession,
         index_dir: str,
         as_of_epoch: int | None = None,
+        tomb_broadcast_max: int = 10_000_000,
     ):
+        """`tomb_broadcast_max`: pending-delete count above which the
+        result-mask anti-join stops hinting broadcast and lets AQE plan the
+        distributed join — the same knob (same default) as
+        `wand.IndexSearcher`, so tuning one searcher tunes both paths."""
+        self.tomb_broadcast_max = int(tomb_broadcast_max)
         self.spark = spark
         self.segments, self.term_dict, self.stats = load_index(
             spark, index_dir, as_of_epoch=as_of_epoch
@@ -208,6 +214,7 @@ class PositionalSearcher:
         self._pblock_cache: OrderedDict = OrderedDict()
         self._pblock_bytes: int = 0
         self.point_cache_bytes: int = 512 << 20
+        self.term_cache_max: int = 1 << 20
         self._point_lookup_jobs: int = 0
         self._point_fetch_jobs: int = 0
 
@@ -220,7 +227,7 @@ class PositionalSearcher:
         # set is small — past that, a plain (AQE-planned) join keeps the set
         # distributed (the wand.make_masked_kernel bound)
         t = self._tomb_df
-        if int(self.stats.get("n_deleted", 0)) <= 10_000_000:
+        if int(self.stats.get("n_deleted", 0)) <= self.tomb_broadcast_max:
             t = F.broadcast(t)
         return res.join(t, "doc_id", "left_anti")
 
@@ -268,7 +275,7 @@ class PositionalSearcher:
             found = {r["term"]: (int(r["term_id"]), int(r["df"])) for r in rows}
             for t in missing:
                 out[t] = self._pterm_cache[t] = found.get(t)
-                if len(self._pterm_cache) > (1 << 20):
+                if len(self._pterm_cache) > self.term_cache_max:
                     self._pterm_cache.popitem(last=False)
         return out
 

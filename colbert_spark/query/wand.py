@@ -526,15 +526,38 @@ def bucket_frame_stream(kernel, empty: pd.DataFrame, final_topk: int | None = No
     the buckets-per-partition factor — per-partition rows go from
     O(#buckets·|Q|·k) to O(|Q|·k)."""
 
+    # fold the running buffer whenever it exceeds this many rows: peak task
+    # memory stays O(FOLD_ROWS + one bucket's output) instead of
+    # O(#buckets · |Q| · k) — after a fold the buffer is ≤ |Q| · k rows
+    FOLD_ROWS = 1 << 18
+
+    def _cut(frames: list[pd.DataFrame]) -> pd.DataFrame:
+        allp = pd.concat(frames, ignore_index=True)
+        order = np.lexsort(
+            (allp["doc_id"].to_numpy(), -allp["score"].to_numpy())
+        )
+        allp = allp.iloc[order]
+        keep = allp.groupby("qid", sort=False).cumcount() < final_topk
+        return allp[keep].reset_index(drop=True)
+
     def stream(batches):
         tail: pd.DataFrame | None = None
         acc: list[pd.DataFrame] = []
+        acc_rows = 0
 
         def emit(frame: pd.DataFrame):
+            nonlocal acc, acc_rows
             if final_topk is None:
                 return frame
             if len(frame):
                 acc.append(frame)
+                acc_rows += len(frame)
+                if acc_rows > FOLD_ROWS:
+                    # per-qid cut is idempotent and associative under the
+                    # shared total order — folding early never changes the
+                    # final merged top-k
+                    acc = [_cut(acc)]
+                    acc_rows = len(acc[0])
             return None
 
         for pdf in batches:
@@ -557,16 +580,7 @@ def bucket_frame_stream(kernel, empty: pd.DataFrame, final_topk: int | None = No
             if got is not None:
                 yield got
         if final_topk is not None:
-            if not acc:
-                yield empty
-                return
-            allp = pd.concat(acc, ignore_index=True)
-            order = np.lexsort(
-                (allp["doc_id"].to_numpy(), -allp["score"].to_numpy())
-            )
-            allp = allp.iloc[order]
-            keep = allp.groupby("qid", sort=False).cumcount() < final_topk
-            yield allp[keep].reset_index(drop=True)
+            yield _cut(acc) if acc else empty
 
     return stream
 
@@ -800,6 +814,9 @@ class IndexSearcher:
         # scatter-add, not a re-decode.
         self._point_tbs: dict[int, dict[int, _TermBlocks]] = {}
         self._point_budget: _DecodeBudget | None = None
+        # batches above this row count resolve via distributed JVM
+        # tokenization (driver never holds the question strings)
+        self.resolve_collect_max: int = 10_000
 
     def warm(self) -> "IndexSearcher":
         if self._warm is None:
@@ -888,6 +905,74 @@ class IndexSearcher:
                     cache.popitem(last=False)
         return out
 
+    def _resolve_batch_distributed(self, queries: DataFrame, has_exclude: bool):
+        """Large-batch resolution (the pre-point-path shape): tokenize in
+        the JVM (codegen, distributed), count per-qid grammar tokens with a
+        partial-agg groupBy, join the dictionary with an AQE-planned join,
+        and collect ONLY the slim (qid, term_id, qtf, df[, neg]) rows plus
+        a |Q|-row token-count table — never the question strings."""
+        from colbert_spark.functions.tokenizer import tokens_col
+
+        pos = (
+            queries.select(
+                "qid", F.explode(tokens_col("question")).alias("term")
+            )
+            .groupBy("qid", "term")
+            .agg(F.count(F.lit(1)).alias("qtf"))
+        )
+        ntok_rows = (
+            pos.groupBy("qid").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        n_tokens = {r["qid"]: int(r["n"]) for r in ntok_rows}
+        qt = pos.withColumn("neg", F.lit(False))
+        if has_exclude:
+            negs = (
+                queries.filter(F.col("exclude").isNotNull())
+                .select("qid", F.explode(tokens_col("exclude")).alias("term"))
+                .distinct()
+                .select("qid", "term", F.lit(1).alias("qtf"), F.lit(True).alias("neg"))
+            )
+            qt = qt.unionByName(negs)
+        rows = (
+            self.term_dict.join(qt, "term")
+            .select("qid", "term_id", "qtf", "df", "neg")
+            .collect()
+        )
+        if not rows:
+            return None
+        n_docs = self.stats.get("live_docs", self.stats["N"])
+        idf_map: dict[int, float] = {}
+        by_qid: dict[int, list[tuple[int, int]]] = {}
+        neg_sets: dict[int, set] = {}
+        for r in rows:
+            tid = int(r["term_id"])
+            if tid not in idf_map:
+                df = int(r["df"])
+                idf_map[tid] = float(
+                    np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                )
+            if r["neg"]:
+                neg_sets.setdefault(r["qid"], set()).add(tid)
+            else:
+                by_qid.setdefault(r["qid"], []).append((tid, int(r["qtf"])))
+        batch = []
+        for qid, pairs in by_qid.items():
+            pairs.sort()  # ascending term_id == oracle accumulation order
+            batch.append(
+                (
+                    qid,
+                    np.array([p[0] for p in pairs], dtype=np.int64),
+                    np.array([float(p[1]) for p in pairs], dtype=np.float64),
+                )
+            )
+        if not batch:
+            return None
+        neg_map = {
+            qid: np.array(sorted(ts), dtype=np.int64)
+            for qid, ts in neg_sets.items()
+        }
+        return Resolved(batch, idf_map, sorted(idf_map), neg_map, n_tokens)
+
     def _resolve_batch(self, queries: DataFrame):
         """Resolved(batch, idf_map, all_tids, neg_map, n_tokens) for a query
         DataFrame, or None if no query term is in the vocabulary.
@@ -906,9 +991,18 @@ class IndexSearcher:
         so MATCH_ALL can enforce strict-AND without another job."""
         has_exclude = "exclude" in queries.columns
         cols = ["qid", "question"] + (["exclude"] if has_exclude else [])
-        qrows = queries.select(*cols).collect()
+        # cap driver materialization of QUESTION STRINGS: a serving batch
+        # collects whole (tiny) and tokenizes driver-side (zero jobs when
+        # the term LRU is hot); a LARGE offline batch (> resolve_collect_max
+        # rows) falls back to distributed JVM tokenization + a dictionary
+        # join, collecting only the slim vocabulary-matched
+        # (qid, term_id, qtf) table — the kernel broadcast's irreducible
+        # driver payload either way
+        qrows = queries.select(*cols).limit(self.resolve_collect_max + 1).collect()
         if not qrows:
             return None
+        if len(qrows) > self.resolve_collect_max:
+            return self._resolve_batch_distributed(queries, has_exclude)
         from collections import Counter
 
         pos_tf: dict[int, Counter] = {}
@@ -1047,7 +1141,7 @@ class IndexSearcher:
             bucket_size = int(self.stats["bucket_size"])
             bucket_type = dict(shuffled.dtypes)["bucket"]
             tomb_b = self._tomb_df.select(
-                F.floor(F.col("doc_id") / bucket_size)
+                F.expr(f"doc_id DIV {bucket_size}")
                 .cast(bucket_type)
                 .alias("bucket"),
                 F.col("doc_id").cast("long").alias("doc_id"),
@@ -1507,7 +1601,7 @@ class IndexSearcher:
         # hash differently (see the masked-kernel branch in `search`)
         bucket_type = dict(self.segments.dtypes)["bucket"]
         allowed_b = allowed.select(
-            F.floor(F.col("doc_id") / bucket_size)
+            F.expr(f"doc_id DIV {bucket_size}")
             .cast(bucket_type)
             .alias("bucket"),
             F.col("doc_id").cast("long").alias("doc_id"),

@@ -146,8 +146,9 @@ def test_append_manifest_has_only_bucket_rows(spark, tmp_path):
         .collect()[0][0]
     )
     assert sum(r["n_postings"] for r in rows) == total_df
-    # manifest consumers can sort bucket values (the crash ADVICE described)
-    assert sorted(r["bucket"] for r in rows) == sorted(r["bucket"] for r in rows)
+    # manifest consumers see integer buckets only (the null-bucket kind=1
+    # rows ADVICE described would make this sort/compare crash on None)
+    assert all(isinstance(r["bucket"], int) for r in rows)
 
 
 def test_append_scrubs_crashed_epoch_orphans(spark, tmp_path, tiny_queries):
@@ -275,3 +276,45 @@ def test_point_query_respects_small_tombstones(spark, tiny_corpus, tmp_path):
     qdf = spark.createDataFrame([(0, "term00001")], "qid long, question string")
     dist = sorted(s1.search(qdf, k=K).collect(), key=lambda r: r["rank"])
     assert [int(x) for x in after["doc_id"]] == [r["doc_id"] for r in dist]
+
+
+def test_large_batch_distributed_resolution_parity(spark, sidx, tiny_queries):
+    """Above resolve_collect_max the searcher resolves via distributed JVM
+    tokenization (the driver never holds question strings); results must be
+    identical to the driver-tokenized path, including must_not terms."""
+    d, oracle, _ = sidx
+    s = IndexSearcher(spark, d)
+    try:
+        qdf = spark.createDataFrame(tiny_queries[:25]).withColumn(
+            "exclude",
+            F.when(F.col("qid") % 5 == 0, F.lit("term00003")).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
+        base = sorted(
+            (r["qid"], r["rank"], r["doc_id"], r["score"])
+            for r in s.search(qdf, k=K).collect()
+        )
+        s.resolve_collect_max = 1  # force the distributed branch
+        via_dist = sorted(
+            (r["qid"], r["rank"], r["doc_id"], r["score"])
+            for r in s.search(qdf, k=K).collect()
+        )
+        assert via_dist == base
+        # strict-AND goes through the same resolver (n_tokens parity)
+        base_and = sorted(
+            (r["qid"], r["doc_id"])
+            for r in s.search(
+                spark.createDataFrame(tiny_queries[:10]), k=K, min_match=-1
+            ).collect()
+        )
+        s.resolve_collect_max = 10_000
+        and_driver = sorted(
+            (r["qid"], r["doc_id"])
+            for r in s.search(
+                spark.createDataFrame(tiny_queries[:10]), k=K, min_match=-1
+            ).collect()
+        )
+        assert base_and == and_driver
+    finally:
+        s.close()
