@@ -365,7 +365,67 @@ ORACLES_PERPLEXITY_SQL = f"""
 ORACLES["quality_perplexity"] = ORACLES_PERPLEXITY_SQL
 
 
+def fts_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf·idf (the
+    MoreLikeThis interesting-terms stage applied corpus-wide — the standard
+    tag/topic signal for webtext curation). idf is the BM25 idf over exact
+    df; ranking on round-9 score with ascending-term tie-break keeps the
+    cut deterministic in both engines. Shape: one explode → (doc, term) tf
+    partial-agg → vocabulary-grain df agg → AQE-planned join → per-doc
+    window (key = doc_id, never skewed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    scored = tf.join(df_tbl, "term").withColumn(
+        "score", F.col("tf").cast("double") * idf
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("term")
+    )
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("kw_rank") <= 3)
+        .select(
+            "doc_id", "kw_rank", "term", F.round("score", 6).alias("score_r")
+        )
+        .orderBy("doc_id", "kw_rank")
+    )
+
+
+ORACLES_KEYWORDS_SQL = f"""
+    WITH tk AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             tf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY round(score, 9) DESC, term ASC
+             ) AS kw_rank
+      FROM scored)
+    SELECT doc_id, kw_rank::BIGINT AS kw_rank, term,
+           round(score, 6) AS score_r
+    FROM ranked WHERE kw_rank <= 3 ORDER BY doc_id, kw_rank
+"""
+ORACLES["fts_keywords"] = ORACLES_KEYWORDS_SQL
+
+
 QUERIES = {
+    "fts_keywords": fts_keywords,
     "quality_perplexity": quality_perplexity,
     "text_quality": text_quality,
     "langid_heuristic": langid_heuristic,
