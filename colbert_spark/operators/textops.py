@@ -424,7 +424,61 @@ ORACLES_KEYWORDS_SQL = f"""
 ORACLES["fts_keywords"] = ORACLES_KEYWORDS_SQL
 
 
+def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture profile: per `source` (the corpus' domain axis) doc
+    count, token mass and its corpus share, mean doc length, and exact-dup
+    rate — the table a pretraining pipeline reweights against when
+    rebalancing domain mixes (and the denominator for the deterministic
+    sampling rates in `operators/curation.py`). One explode-free pass: token counts from the
+    tokenizer column size, dup rate from an md5 distinct count, all
+    partial-agg on the (low-cardinality, but see below) source key; a
+    web-scale source axis (registered domains) stays a groupBy key of ~10^8
+    — comfortably shuffle-sized, and AQE skew-splits a megadomain."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select(
+            "source",
+            F.size(tokens_col("text")).alias("n_tok"),
+            F.md5(F.col("text").cast("binary")).alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens"),
+            F.countDistinct("h").alias("n_distinct"),
+        )
+    )
+    total = per_source.agg(F.sum("tokens").alias("t")).collect()[0]["t"] or 1
+    return per_source.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("tokens").cast("long").alias("tokens"),
+        F.round(F.col("tokens") / F.lit(float(total)), 6).alias("token_share_r"),
+        F.round(F.col("tokens") / F.col("n_docs"), 6).alias("mean_doclen_r"),
+        F.round(
+            (F.col("n_docs") - F.col("n_distinct")) / F.col("n_docs"), 6
+        ).alias("dup_rate_r"),
+    ).orderBy("source")
+
+
+ORACLES_SOURCE_MIX_SQL = f"""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             sum(len({_TOK})) AS tokens,
+             count(DISTINCT md5(text)) AS n_distinct
+      FROM documents GROUP BY source),
+    tot AS (SELECT sum(tokens)::DOUBLE AS t FROM per)
+    SELECT source, n_docs::BIGINT AS n_docs, tokens::BIGINT AS tokens,
+           round(tokens / t, 6) AS token_share_r,
+           round(tokens / n_docs::DOUBLE, 6) AS mean_doclen_r,
+           round((n_docs - n_distinct) / n_docs::DOUBLE, 6) AS dup_rate_r
+    FROM per CROSS JOIN tot ORDER BY source
+"""
+ORACLES["source_mix"] = ORACLES_SOURCE_MIX_SQL
+
+
 QUERIES = {
+    "source_mix": source_mix,
     "fts_keywords": fts_keywords,
     "quality_perplexity": quality_perplexity,
     "text_quality": text_quality,
