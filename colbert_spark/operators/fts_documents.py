@@ -2828,3 +2828,181 @@ QUERIES = {
     "fts_eval_ndcg": fts_eval_ndcg,
     "fts_doclen_percentiles": fts_doclen_percentiles,
 }
+
+
+# ---------------------------------------------------------------------------
+# term-range queries — Lucene TermRangeQuery under the scoring rewrite: every
+# vocabulary term lexically in [lo, hi) joins the disjunction with its own
+# df/idf, weighted by the range's qtf. At scale the expansion is a broadcast
+# theta-join of the (tiny) range table against the term dictionary — which is
+# range-PARTITIONABLE on `term`, so a real deployment prunes dictionary
+# partitions to the [lo, hi) slice before the join; the big postings join
+# stays plain `term` equality either way.
+
+RANGE_QUERIES = [
+    (0, "a", "c", 1),  # a, agg, batch, big
+    (1, "q", "t", 1),  # query … stream
+    (2, "table", "value", 1),  # table, the
+    (3, "x", "z", 1),  # empty slice of the vocabulary ⇒ no rows
+    (4, "data", "datb", 2),  # singleton range, doubled weight
+]
+
+
+def _range_cond(ts, qr):
+    return (ts.term >= qr.lo) & (ts.term < qr.hi)
+
+
+def fts_range_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for TERM-RANGE queries by corpus scan (Lucene
+    TermRangeQuery, scoring rewrite): each [lo, hi) range expands to every
+    vocabulary term it covers via `_expanded_bm25_scan`'s broadcast
+    theta-join. Exact-semantics oracle for `fts_range_index`."""
+    qr = spark.createDataFrame(RANGE_QUERIES, "qid long, lo string, hi string, qtf long")
+    return _expanded_bm25_scan(spark, sf_dir, qr, _range_cond)
+
+
+def fts_range_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_range_bm25` answered from the segment index: the range expands
+    against the committed term DICTIONARY (at scale a partition-pruned slice
+    scan — the dictionary is sorted/partitionable on term), then the standard
+    batch kernel scores the rewritten disjunction. Shares the scan oracle."""
+    qr = spark.createDataFrame(RANGE_QUERIES, "qid long, lo string, hi string, qtf long")
+    return _expanded_bm25_index(spark, sf_dir, qr, _range_cond)
+
+
+# ---------------------------------------------------------------------------
+# general wildcard queries — Lucene WildcardQuery under the scoring rewrite:
+# '*' matches any run, '?' exactly one character. Patterns compile to SQL
+# LIKE ('%' / '_'), legal in both engines over the [a-z0-9]+ token grammar
+# (terms can never contain literal '%' or '_'). At scale the expansion
+# extracts the literal prefix before the first wildcard and range-scans the
+# sorted dictionary for it (the ReverseStringFilter trick covers leading-'*'
+# patterns with a reversed sidecar); here the whole pattern table is a tiny
+# broadcast against the dictionary, and the postings join stays equality.
+
+WILDCARD_QUERIES = [
+    (0, "da*a"),
+    (1, "*er s??n"),  # two patterns in one query
+    (2, "w?ndow"),
+    (3, "*zz*"),  # matches nothing ⇒ no rows
+]
+
+
+def _parse_wildcard_queries():
+    """(qid, glob) → rows (qid, LIKE-pattern, qtf), parsed once in Python and
+    shared verbatim by the Spark plan and the SQL oracle (the tokenizer
+    grammar would strip '*'/'?', so patterns bypass it; bases are already
+    lowercase [a-z0-9*?] runs)."""
+    from collections import Counter
+
+    rows = []
+    for qid, q in WILDCARD_QUERIES:
+        c: Counter = Counter()
+        for raw in q.split():
+            c[raw.replace("*", "%").replace("?", "_")] += 1
+        rows += [(qid, pat, n) for pat, n in sorted(c.items())]
+    return rows
+
+
+WILDCARD_PARSED = _parse_wildcard_queries()
+
+
+def _wildcard_cond(ts, qw):
+    return F.like(ts.term, qw.pat)
+
+
+def fts_wildcard_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for WILDCARD queries by corpus scan (Lucene WildcardQuery,
+    scoring rewrite): each pattern expands to every vocabulary term it
+    matches (JVM `LIKE` in the broadcast theta-join). Exact-semantics oracle
+    for `fts_wildcard_index`."""
+    qw = spark.createDataFrame(WILDCARD_PARSED, "qid long, pat string, qtf long")
+    return _expanded_bm25_scan(spark, sf_dir, qw, _wildcard_cond)
+
+
+def fts_wildcard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_wildcard_bm25` answered from the segment index: the pattern
+    expansion runs against the term dictionary, then the standard batch
+    kernel scores the rewritten disjunction. Shares the scan oracle."""
+    qw = spark.createDataFrame(WILDCARD_PARSED, "qid long, pat string, qtf long")
+    return _expanded_bm25_index(spark, sf_dir, qw, _wildcard_cond)
+
+
+_RANGE_VALUES = ", ".join(
+    f"({qid}, '{lo}', '{hi}', {qtf})" for qid, lo, hi, qtf in RANGE_QUERIES
+)
+
+ORACLES["fts_range_bm25"] = f"""
+    WITH qr(qid, lo, hi, qtf) AS (VALUES {_RANGE_VALUES}),
+    tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    qterm AS (
+      SELECT qr.qid, df.term, sum(qr.qtf) AS qtf, first(df.df) AS df
+      FROM qr JOIN df ON df.term >= qr.lo AND df.term < qr.hi
+      GROUP BY qr.qid, df.term),
+    scored AS (
+      SELECT qterm.qid::BIGINT AS qid, tf.doc_id,
+             sum(qterm.qtf * ln(1 + (stats.n - qterm.df + 0.5) / (qterm.df + 0.5))
+                 * tf.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl))
+             ) AS score
+      FROM qterm
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY qterm.qid, tf.doc_id),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+# index path ≡ corpus scan, same oracle
+ORACLES["fts_range_index"] = ORACLES["fts_range_bm25"]
+
+_WILDCARD_VALUES = ", ".join(
+    f"({qid}, '{pat}', {qtf})" for qid, pat, qtf in WILDCARD_PARSED
+)
+
+ORACLES["fts_wildcard_bm25"] = f"""
+    WITH qw(qid, pat, qtf) AS (VALUES {_WILDCARD_VALUES}),
+    tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    qterm AS (
+      SELECT qw.qid, df.term, sum(qw.qtf) AS qtf, first(df.df) AS df
+      FROM qw JOIN df ON df.term LIKE qw.pat
+      GROUP BY qw.qid, df.term),
+    scored AS (
+      SELECT qterm.qid::BIGINT AS qid, tf.doc_id,
+             sum(qterm.qtf * ln(1 + (stats.n - qterm.df + 0.5) / (qterm.df + 0.5))
+                 * tf.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl))
+             ) AS score
+      FROM qterm
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY qterm.qid, tf.doc_id),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+# index path ≡ corpus scan, same oracle
+ORACLES["fts_wildcard_index"] = ORACLES["fts_wildcard_bm25"]
+
+QUERIES["fts_range_bm25"] = fts_range_bm25
+QUERIES["fts_range_index"] = fts_range_index
+QUERIES["fts_wildcard_bm25"] = fts_wildcard_bm25
+QUERIES["fts_wildcard_index"] = fts_wildcard_index
