@@ -3006,3 +3006,136 @@ QUERIES["fts_range_bm25"] = fts_range_bm25
 QUERIES["fts_range_index"] = fts_range_index
 QUERIES["fts_wildcard_bm25"] = fts_wildcard_bm25
 QUERIES["fts_wildcard_index"] = fts_wildcard_index
+
+
+# ---------------------------------------------------------------------------
+# total-hit counting — Lucene TotalHitCountCollector: the SIZE of each
+# query's boolean-OR match set, no scoring, no top-k cut. The aggregation is
+# a partial-agg count over the match set, so at scale each executor emits one
+# count per (qid, bucket) and the exchange carries |Q|·buckets rows.
+
+
+def fts_hitcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query total hit count by corpus scan: distinct docs containing ≥1
+    query term. Exact-semantics oracle for `fts_hitcount_index`."""
+    docs = _docs(spark, sf_dir)
+    posts = docs.select("doc_id", F.explode(F.array_distinct("terms")).alias("term"))
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    qt = queries.select(
+        "qid", F.explode(F.array_distinct(tokens_col("question"))).alias("term")
+    )
+    return (
+        posts.join(F.broadcast(qt), "term")
+        .groupBy("qid")
+        .agg(F.count_distinct("doc_id").cast("long").alias("n_hits"))
+        .orderBy("qid")
+    )
+
+
+def fts_hitcount_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_hitcount` answered from the segment index via
+    `IndexSearcher.matching_docs` (per-bucket union of decoded postings).
+    Shares the corpus-scan oracle — the count compare proves the index's
+    match-set CARDINALITY, the complement of the facet entries' match-set
+    identity proof."""
+    from colbert_spark.query.wand import IndexSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    hits = IndexSearcher(spark, idx).matching_docs(queries)
+    return (
+        hits.groupBy("qid")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .orderBy("qid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort-by-field retrieval — Lucene Sort(SortField) over doc values: the
+# match set ordered by a document ATTRIBUTE instead of relevance (newest-
+# first, largest-first …). The attribute join is against the metadata table
+# (the engine's doc-values store); ranking is the standard per-qid window.
+
+SORT_TOPK = 10
+
+
+def fts_sort_by_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 matching docs per query ordered by (n_chars DESC, doc_id ASC)
+    — field-sorted retrieval by corpus scan. Exact-semantics oracle for
+    `fts_sort_index`."""
+    docs = _docs(spark, sf_dir)
+    posts = docs.select("doc_id", F.explode(F.array_distinct("terms")).alias("term"))
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    qt = queries.select(
+        "qid", F.explode(F.array_distinct(tokens_col("question"))).alias("term")
+    )
+    matched = posts.join(F.broadcast(qt), "term").select("qid", "doc_id").distinct()
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("qid").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        matched.join(meta, "doc_id")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= SORT_TOPK)
+        .select("qid", "rank", "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("qid", "rank")
+    )
+
+
+def fts_sort_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_sort_by_attr` answered from the segment index: the match set from
+    `IndexSearcher.matching_docs`, doc attributes from the metadata table
+    (doc-values analog), the same window rank. Shares the scan oracle."""
+    from colbert_spark.query.wand import IndexSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    hits = IndexSearcher(spark, idx).matching_docs(queries)
+    back = spark.read.parquet(_index_docs_path(idx)).select(
+        F.col("doc_id").alias("idx_doc"), F.col("url").cast("long").alias("doc_id")
+    )
+    mapped = (
+        hits.withColumnRenamed("doc_id", "idx_doc")
+        .join(back, "idx_doc")
+        .select("qid", "doc_id")
+    )
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("qid").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        mapped.join(meta, "doc_id")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= SORT_TOPK)
+        .select("qid", "rank", "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("qid", "rank")
+    )
+
+
+ORACLES["fts_hitcount"] = f"""
+    WITH q(qid, question) AS (VALUES {_values_clause()}),
+    tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    qt AS (SELECT DISTINCT qid, unnest({_QTOK}) AS term FROM q)
+    SELECT qt.qid::BIGINT AS qid, count(DISTINCT tok.doc_id)::BIGINT AS n_hits
+    FROM qt JOIN tok USING (term)
+    GROUP BY qt.qid
+"""
+
+ORACLES["fts_hitcount_index"] = ORACLES["fts_hitcount"]
+
+ORACLES["fts_sort_by_attr"] = f"""
+    WITH q(qid, question) AS (VALUES {_values_clause()}),
+    tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    qt AS (SELECT DISTINCT qid, unnest({_QTOK}) AS term FROM q),
+    matched AS (SELECT DISTINCT qt.qid, tok.doc_id FROM qt JOIN tok USING (term)),
+    ranked AS (
+      SELECT m.qid::BIGINT AS qid, m.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY m.qid ORDER BY d.n_chars DESC, m.doc_id) AS rank
+      FROM matched m JOIN documents d USING (doc_id))
+    SELECT qid, rank::BIGINT AS rank, doc_id, n_chars::BIGINT AS n_chars
+    FROM ranked WHERE rank <= {SORT_TOPK}
+"""
+
+ORACLES["fts_sort_index"] = ORACLES["fts_sort_by_attr"]
+
+QUERIES["fts_hitcount"] = fts_hitcount
+QUERIES["fts_hitcount_index"] = fts_hitcount_index
+QUERIES["fts_sort_by_attr"] = fts_sort_by_attr
+QUERIES["fts_sort_index"] = fts_sort_index
