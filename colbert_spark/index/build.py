@@ -249,6 +249,7 @@ def derive_docs(
     web_pages: DataFrame,
     use_html: bool = False,
     max_doclen: int | None = None,
+    analyzer: str | None = None,
 ) -> DataFrame:
     """web_pages → docs(doc_id, url, terms, doclen). Tokenization is pure JVM
     expression (whole-stage codegen; zero Python in the hot path).
@@ -266,16 +267,24 @@ def derive_docs(
     if use_html:
         src = src.withColumn("text", html_text_col("html"))
     with_ids = assign_doc_ids(src.select("url", "text"))
+    ids_src = with_ids  # holds the dense-rank sidecar attrs; withColumn copies lose them
     terms = tokens_col("text")
     if max_doclen is not None:
         terms = F.slice(terms, 1, int(max_doclen))
+    if analyzer is not None:
+        # index-level analysis chain (functions/analyzer.py): token filters
+        # run AFTER truncation, still pure JVM higher-order expressions
+        from colbert_spark.functions.analyzer import analyze_terms_col
+
+        with_ids = with_ids.withColumn("_raw_terms", terms)
+        terms = analyze_terms_col("_raw_terms", analyzer)
     out = with_ids.select(
         "doc_id",
         "url",
         terms.alias("terms"),
     ).withColumn("doclen", F.size("terms"))
-    out._dense_rank_cache = getattr(with_ids, "_dense_rank_cache", None)
-    out._dense_rank_total = getattr(with_ids, "_dense_rank_total", None)
+    out._dense_rank_cache = getattr(ids_src, "_dense_rank_cache", None)
+    out._dense_rank_total = getattr(ids_src, "_dense_rank_total", None)
     return out
 
 
@@ -670,6 +679,7 @@ def build_index(
     tshards: int = DEFAULT_TSHARDS,
     positions: bool = False,
     max_doclen: int | None = None,
+    analyzer: str | None = None,
 ) -> dict:
     """Full (resumable) index build. Layout under `index_dir`:
 
@@ -707,7 +717,9 @@ def build_index(
         phases[name] = round(now - t0, 3)
         t0 = now
 
-    docs = derive_docs(web_pages, use_html=use_html, max_doclen=max_doclen)
+    docs = derive_docs(
+        web_pages, use_html=use_html, max_doclen=max_doclen, analyzer=analyzer
+    )
     _mark("doc_rank")  # assign_dense_rank's eager offsets collect
     # N is EXACT and already paid for: it is the dense-rank offsets total
     # (urls are unique), so the build never runs a separate count job
@@ -777,6 +789,9 @@ def build_index(
         # ingest truncation (None = unbounded); append_index re-applies it so
         # every epoch's doclen statistics share one truncation contract
         "max_doclen": max_doclen,
+        # index-level analysis chain (functions/analyzer.py); every query
+        # path and append epoch re-applies it to its tokens
+        "analyzer": analyzer,
         # smallest avgdl any committed block was ENCODED with. Block max_unit
         # is exact at its encode-time avgdl, and unit scores grow with avgdl
         # (unit_new/unit_old ≤ avgdl_new/avgdl_old), so the query kernel keeps
@@ -1011,6 +1026,12 @@ def append_index(
     if stats.get("max_doclen"):
         # the base build's ingest-truncation contract applies to every epoch
         _terms = F.slice(_terms, 1, int(stats["max_doclen"]))
+    if stats.get("analyzer"):
+        # the base build's analysis chain applies to every epoch
+        from colbert_spark.functions.analyzer import analyze_terms_col
+
+        with_ids = with_ids.withColumn("_raw_terms", _terms)
+        _terms = analyze_terms_col("_raw_terms", stats["analyzer"])
     docs = (
         with_ids.select(
             (F.col("doc_id") + F.lit(n_committed)).cast("long").alias("doc_id"),

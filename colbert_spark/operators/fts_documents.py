@@ -99,11 +99,17 @@ def _fts_bm25_topk(
     k: int,
     allowed: DataFrame | None = None,
     page_offset: int = 0,
+    docs: DataFrame | None = None,
+    queries_df: DataFrame | None = None,
+    analyzer: str | None = None,
 ) -> DataFrame:
     """`allowed` (filtered retrieval): a (doc_id) DataFrame restricting the
     RANKED docs; collection statistics (N, avgdl, df) deliberately stay
-    corpus-wide — the standard filtered-search contract."""
-    docs = _docs(spark, sf_dir).cache()
+    corpus-wide — the standard filtered-search contract. `docs` / `queries_df`
+    override the default corpus tokenization / query set, and `analyzer`
+    applies an analysis chain to the QUERY tokens (analyzer entries pass
+    pre-analyzed `docs`)."""
+    docs = (docs if docs is not None else _docs(spark, sf_dir)).cache()
     row = docs.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
     n_docs, avgdl = row["n"], row["avgdl"]
     posts = (
@@ -114,9 +120,16 @@ def _fts_bm25_topk(
     tstats = posts.groupBy("term").agg(F.count("*").alias("df"))
     if allowed is not None:
         posts = posts.join(allowed.select("doc_id"), "doc_id", "leftsemi")
-    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    queries = (
+        queries_df
+        if queries_df is not None
+        else spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    )
+    from colbert_spark.functions.analyzer import analyze_terms_col
+
     qt = (
-        queries.select("qid", F.explode(tokens_col("question")).alias("term"))
+        queries.select("qid", tokens_col("question").alias("qtoks"))
+        .select("qid", F.explode(analyze_terms_col("qtoks", analyzer)).alias("term"))
         .groupBy("qid", "term")
         .agg(F.count("*").alias("qtf"))
     )
@@ -3139,3 +3152,132 @@ QUERIES["fts_hitcount"] = fts_hitcount
 QUERIES["fts_hitcount_index"] = fts_hitcount_index
 QUERIES["fts_sort_by_attr"] = fts_sort_by_attr
 QUERIES["fts_sort_index"] = fts_sort_index
+
+
+# ---------------------------------------------------------------------------
+# analyzer chain — the index-level token-filter contract (Lucene's
+# analyzer-per-index): the build records its analysis chain in stats.json and
+# every query path re-applies it, so "tables" retrieves docs that said
+# "table". One chain ships: the Harman S-stemmer (functions/analyzer.py),
+# defined once with three engine spellings that agree by construction.
+
+STEM_QUERIES = [
+    (0, "tables joins"),
+    (1, "customers orders lines"),
+    (2, "queries windows"),
+    (3, "values streams"),
+    (4, "hashes"),  # S-stems to 'hashe' (the stemmer's documented miss) ⇒ no rows
+]
+
+
+def _stem_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from colbert_spark.functions.analyzer import analyze_terms_col
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col("text").alias("raw"))
+        .select("doc_id", analyze_terms_col("raw", "s_stem").alias("terms"))
+        .withColumn("doclen", F.size("terms"))
+    )
+
+
+def fts_stem_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 under the S-STEM analysis chain by corpus scan: document
+    AND query tokens pass the same stemmer, so plural queries match singular
+    documents. Exact-semantics oracle for `fts_stem_index`."""
+    queries = spark.createDataFrame(STEM_QUERIES, "qid long, question string")
+    return _fts_bm25_topk(
+        spark, sf_dir, TOPK,
+        docs=_stem_docs(spark, sf_dir), queries_df=queries, analyzer="s_stem",
+    )
+
+
+_STEM_IDX_BUILT: set[str] = set()
+
+
+def _stem_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf_dir) a segment index over the documents
+    table with `analyzer='s_stem'` recorded in stats.json."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from colbert_spark.index.build import build_index
+
+    idx = os.path.join(
+        tempfile.gettempdir(), "colbert_spark_stem_idx_" + _corpus_key(sf_dir)
+    )
+    if idx not in _STEM_IDX_BUILT:
+        done = os.path.join(idx, "stats.json")
+        ok = False
+        if os.path.exists(done):
+            with open(done) as f:
+                s = json.load(f)
+            ok = s.get("analyzer") == "s_stem" and int(s.get("N", 0)) > 0
+        if not ok:
+            shutil.rmtree(idx, ignore_errors=True)
+            pages = load_table(spark, sf_dir, "documents").select(
+                F.format_string("%012d", F.col("doc_id")).alias("url"), "text"
+            )
+            build_index(spark, pages, idx, bucket_size=1000, analyzer="s_stem")
+        _STEM_IDX_BUILT.add(idx)
+    return idx
+
+
+def fts_stem_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_stem_bm25` answered from a segment index BUILT with the s_stem
+    analyzer: stats.json records the chain and `IndexSearcher` re-applies it
+    to query tokens, so the raw plural questions go in unchanged. Shares the
+    scan oracle — the value-hash compare proves the analysis chain is applied
+    identically at build time (postings) and query time (resolution)."""
+    from colbert_spark.query.wand import bm25_topk_segments
+
+    idx = _stem_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(STEM_QUERIES, "qid long, question string")
+    hits = bm25_topk_segments(spark, idx, queries, k=TOPK + 5)
+    mapped = _map_index_docs(
+        spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
+    )
+    return _rank_topk(mapped)
+
+
+from colbert_spark.functions.analyzer import duckdb_stem_sql as _stem_sql
+
+_STEM_VALUES = ", ".join(f"({qid}, '{q}')" for qid, q in STEM_QUERIES)
+_STEM_TOK = _stem_sql(_TOK)
+_STEM_QTOK = _stem_sql(_QTOK)
+
+ORACLES["fts_stem_bm25"] = f"""
+    WITH q(qid, question) AS (VALUES {_STEM_VALUES}),
+    tok AS (SELECT doc_id, unnest({_STEM_TOK}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    qt AS (SELECT qid, unnest({_STEM_QTOK}) AS term FROM q),
+    qtf AS (SELECT qid, term, count(*) AS qtf FROM qt GROUP BY qid, term),
+    scored AS (
+      SELECT qtf.qid::BIGINT AS qid, tf.doc_id,
+             sum(qtf.qtf * ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl))
+             ) AS score
+      FROM qtf
+      JOIN df USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY qtf.qid, tf.doc_id),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+ORACLES["fts_stem_index"] = ORACLES["fts_stem_bm25"]
+
+QUERIES["fts_stem_bm25"] = fts_stem_bm25
+QUERIES["fts_stem_index"] = fts_stem_index

@@ -765,6 +765,10 @@ class IndexSearcher:
         self.segments, self.term_dict, self.stats = load_index(
             spark, index_dir, as_of_epoch=as_of_epoch
         )
+        # index-level analysis chain: every query path re-applies the
+        # build's token filters so query text and postings agree
+        # (functions/analyzer.py)
+        self._analyzer: str | None = self.stats.get("analyzer")
         if "pos_bytes" in self.segments.columns:
             # BM25 never reads positions: prune the column so neither the
             # warm cache nor the per-batch exchange carries the (large)
@@ -911,11 +915,14 @@ class IndexSearcher:
         partial-agg groupBy, join the dictionary with an AQE-planned join,
         and collect ONLY the slim (qid, term_id, qtf, df[, neg]) rows plus
         a |Q|-row token-count table — never the question strings."""
+        from colbert_spark.functions.analyzer import analyze_terms_col
         from colbert_spark.functions.tokenizer import tokens_col
 
         pos = (
-            queries.select(
-                "qid", F.explode(tokens_col("question")).alias("term")
+            queries.select("qid", tokens_col("question").alias("toks"))
+            .select(
+                "qid",
+                F.explode(analyze_terms_col("toks", self._analyzer)).alias("term"),
             )
             .groupBy("qid", "term")
             .agg(F.count(F.lit(1)).alias("qtf"))
@@ -928,7 +935,13 @@ class IndexSearcher:
         if has_exclude:
             negs = (
                 queries.filter(F.col("exclude").isNotNull())
-                .select("qid", F.explode(tokens_col("exclude")).alias("term"))
+                .select("qid", tokens_col("exclude").alias("toks"))
+                .select(
+                    "qid",
+                    F.explode(
+                        analyze_terms_col("toks", self._analyzer)
+                    ).alias("term"),
+                )
                 .distinct()
                 .select("qid", "term", F.lit(1).alias("qtf"), F.lit(True).alias("neg"))
             )
@@ -1007,14 +1020,16 @@ class IndexSearcher:
 
         pos_tf: dict[int, Counter] = {}
         neg_terms: dict[int, set] = {}
+        from colbert_spark.functions.analyzer import py_analyze
+
         for r in qrows:
             qid = r["qid"]
             pos_tf.setdefault(qid, Counter()).update(
-                py_tokenize(r["question"] or "")
+                py_analyze(py_tokenize(r["question"] or ""), self._analyzer)
             )
             if has_exclude and r["exclude"]:
                 neg_terms.setdefault(qid, set()).update(
-                    py_tokenize(r["exclude"])
+                    py_analyze(py_tokenize(r["exclude"]), self._analyzer)
                 )
         all_terms = sorted(
             {t for c in pos_tf.values() for t in c}
@@ -1279,8 +1294,14 @@ class IndexSearcher:
             )
         from collections import Counter
 
-        counts = Counter(py_tokenize(question or ""))
-        neg = set(py_tokenize(exclude)) if exclude else set()
+        from colbert_spark.functions.analyzer import py_analyze
+
+        counts = Counter(py_analyze(py_tokenize(question or ""), self._analyzer))
+        neg = (
+            set(py_analyze(py_tokenize(exclude), self._analyzer))
+            if exclude
+            else set()
+        )
         if not counts:
             return empty
         resolved = self._lookup_terms(sorted(set(counts) | neg))
