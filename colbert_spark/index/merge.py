@@ -1,0 +1,274 @@
+"""Index merging — Lucene's ``addIndexes`` for the segment format: combine
+independently-built indexes into ONE searchable index without re-tokenizing
+any document.
+
+Why it exists: at 10^12 docs the natural build is SHARDED — crawl slices are
+indexed independently (different clusters, different days) and later fused.
+The reference rebuilds its static index whole per run (``colbert/indexing/
+encoder.py:41-67``); a production engine fuses shards instead. Lucene's
+semantics: each incoming index's doc ids are re-based onto the end of the
+composite doc space; nothing is re-analyzed.
+
+The Spark shape (one exchange, postings-scale):
+
+  1. doc-id re-base: index i's ids shift by Σ_{j<i} N_j (pure column add).
+  2. dictionary fusion: the merged vocabulary is the UNION of the inputs'
+     term dictionaries; df/cf are SUMS (doc spaces are disjoint — enforced
+     by a url-uniqueness check). Dense-rank assigns merged term_ids; each
+     input's blocks re-tag old → new term_id at BLOCK grain (a vocab-sized
+     broadcast join against the block-metadata frame) before any decode.
+  3. re-encode: each input's blocks decode into raw token rows
+     (doc_id, doclen, term_id[, pos]) — the exact frame the build exchange
+     ships — and flow through the SAME salted (bucket, tshard, sub)
+     repartition and encode kernel as `build_index`. Cost ≈ one build
+     exchange of the combined postings with the tokenize/doc-rank/term-rank
+     stages deleted; merged-bucket postings re-block at full BLOCK_SIZE, so
+     the output is as compact as a from-scratch build (an `addIndexes` that
+     is also a full compaction).
+
+Constraints (asserted): same k1/b, same analyzer, same positions flag, same
+max_doclen, no pending tombstones (expunge first — merging masked postings
+would resurrect them), and globally-unique urls across inputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from colbert_spark.index.build import (
+    SUMMARY_SCHEMA,
+    _encode_partition,
+    assign_dense_rank,
+    choose_n_sub,
+    shuffle_key_exprs,
+)
+from colbert_spark.index.codec import decode_block
+from colbert_spark.query.wand import load_index
+
+
+def _token_rows(
+    segments: DataFrame, doc_base: int, positions: bool, prefixed: bool = True
+):
+    """Decode block rows into raw token rows (doc_id, doclen, term_id[, pos])
+    with doc ids shifted by `doc_base` — the build exchange's input frame.
+    Arrow-batched mapInPandas; the token volume equals the input's total_cf."""
+    cols = ["term_id", "doc_bytes", "tf_bytes", "dl_bytes"]
+    if positions:
+        cols.append("pos_bytes")
+    out_schema = "doc_id long, doclen long, term_id long" + (
+        ", pos long" if positions else ""
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            d_l, dl_l, t_l, p_l = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                docs = np.cumsum(decode_block(r.doc_bytes, prefixed)) + doc_base
+                tfs = decode_block(r.tf_bytes, prefixed)
+                dls = decode_block(r.dl_bytes, prefixed)
+                d_l.append(np.repeat(docs, tfs))
+                dl_l.append(np.repeat(dls, tfs))
+                t_l.append(np.full(int(tfs.sum()), r.term_id, dtype=np.int64))
+                if positions:
+                    # per-posting position deltas, first occurrence raw:
+                    # absolute = cumsum within each posting's slice
+                    deltas = decode_block(r.pos_bytes, prefixed).astype(np.int64)
+                    cs = np.cumsum(deltas)
+                    offs = np.zeros(len(tfs) + 1, dtype=np.int64)
+                    np.cumsum(tfs, out=offs[1:])
+                    # subtract each posting's prefix so cumsum restarts per run
+                    base = np.repeat(cs[offs[:-1]] - deltas[offs[:-1]], tfs)
+                    p_l.append(cs - base)
+            if not d_l:
+                continue
+            out = {
+                "doc_id": np.concatenate(d_l),
+                "doclen": np.concatenate(dl_l),
+                "term_id": np.concatenate(t_l),
+            }
+            if positions:
+                out["pos"] = np.concatenate(p_l)
+            yield pd.DataFrame(out)
+
+    return segments.select(*cols).mapInPandas(fn, out_schema)
+
+
+def merge_indexes(
+    spark: SparkSession,
+    index_dirs: list[str],
+    out_dir: str,
+    bucket_size: int | None = None,
+    tshards: int | None = None,
+    built_at: str = "1970-01-01T00:00:00Z",
+) -> dict:
+    """Fuse ≥2 indexes into a fresh index at `out_dir` (epoch history
+    collapses to a single baseline, exactly like Lucene's addIndexes)."""
+    assert len(index_dirs) >= 2, "merge needs at least two indexes"
+    loaded = [load_index(spark, d) for d in index_dirs]
+    stats_l = [s for (_, _, s) in loaded]
+    s0 = stats_l[0]
+    for s in stats_l[1:]:
+        for key in ("k1", "b", "analyzer", "positions", "max_doclen"):
+            if s.get(key) != s0.get(key):
+                raise ValueError(
+                    f"cannot merge: stats[{key!r}] differs "
+                    f"({s.get(key)!r} != {s0.get(key)!r})"
+                )
+    for d, s in zip(index_dirs, stats_l):
+        if int(s.get("n_deleted", 0)):
+            raise ValueError(
+                f"{d} has pending tombstones: expunge (compact_index with "
+                "expunge_deletes=True) before merging"
+            )
+    positions = bool(s0.get("positions", False))
+    bucket_size = int(bucket_size or s0["bucket_size"])
+    tshards = int(tshards or s0["tshards"])
+    k1, b = float(s0["k1"]), float(s0["b"])
+
+    # doc-id re-base offsets (Lucene's per-reader docBase)
+    bases, acc = [], 0
+    for s in stats_l:
+        bases.append(acc)
+        acc += int(s["N"])
+    n_docs = acc
+    total_cf = sum(int(s["total_cf"]) for s in stats_l)
+    avgdl = total_cf / n_docs if n_docs else 0.0
+
+    # docs sink: union with shifted ids; enforce the disjoint-url contract
+    docs_parts = []
+    for d, s, base in zip(index_dirs, stats_l, bases):
+        docs_parts.append(
+            spark.read.parquet(os.path.join(d, s.get("docs_dir", "docs")))
+            .filter(F.col("doc_id") < int(s["N"]))  # ignore crashed-append ghosts
+            .select(
+                (F.col("doc_id") + F.lit(base)).cast("long").alias("doc_id"),
+                "url",
+                F.col("doclen").cast("long").alias("doclen"),
+            )
+        )
+    docs = docs_parts[0]
+    for p in docs_parts[1:]:
+        docs = docs.unionByName(p)
+    docs = docs.persist()
+    row = docs.agg(
+        F.count("*").alias("n"), F.count_distinct("url").alias("u")
+    ).collect()[0]
+    if int(row["n"]) != n_docs or int(row["u"]) != n_docs:
+        docs.unpersist()
+        raise ValueError(
+            f"cannot merge: urls must be globally unique across inputs "
+            f"(docs={row['n']}, distinct urls={row['u']}, expected {n_docs})"
+        )
+
+    # merged dictionary: union vocab, SUMMED df/cf (disjoint doc spaces),
+    # dense-ranked merged term_ids
+    dicts = [td.select("term", "df", "cf") for (_, td, _) in loaded]
+    uni = dicts[0]
+    for t in dicts[1:]:
+        uni = uni.unionByName(t)
+    fused = uni.groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    ranked = assign_dense_rank(fused, "term", "term_id", unique=True)
+    n_terms = int(getattr(ranked, "_dense_rank_total", 0) or 0)
+    merged_dict = ranked.persist()
+
+    # block-grain term_id re-tag (vocab-sized join against block metadata),
+    # then decode each input to token rows and union
+    token_parts = []
+    for (segs, td, s), base in zip(loaded, bases):
+        remap = td.select("term", F.col("term_id").alias("old_id")).join(
+            merged_dict.select("term", "term_id"), "term"
+        ).select("old_id", "term_id")
+        segs2 = (
+            segs.withColumnRenamed("term_id", "old_id")
+            .join(remap, "old_id")
+            .drop("old_id")
+        )
+        if positions and "pos_bytes" not in segs2.columns:
+            raise ValueError("positional merge requires positional inputs")
+        token_parts.append(
+            _token_rows(segs2, base, positions, s.get("segver", 2) >= 3)
+        )
+    tokens = token_parts[0]
+    for t in token_parts[1:]:
+        tokens = tokens.unionByName(t)
+
+    # the build's salted exchange + encode kernel, unchanged
+    p_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_buckets = max(1, -(-n_docs // bucket_size))
+    mrow = (
+        docs.groupBy(F.expr(f"doc_id DIV {bucket_size}").alias("bkt"))
+        .agg(F.sum("doclen").alias("cf"))
+        .agg(F.max("cf").alias("m"))
+        .collect()[0]
+    )
+    n_sub = choose_n_sub(
+        p_shuffle, n_buckets, tshards, total_cf, int(mrow["m"] or 0)
+    )
+    seg_path = os.path.join(out_dir, "segments")
+    os.makedirs(seg_path, exist_ok=True)
+    summaries = tokens.repartition(
+        p_shuffle, *shuffle_key_exprs(bucket_size, tshards, n_sub)
+    ).mapInPandas(
+        _encode_partition(
+            k1, b, avgdl, tshards, seg_path, bucket_size, epoch=0,
+            positions=positions,
+        ),
+        schema=SUMMARY_SCHEMA,
+    )
+
+    stats = {
+        "N": n_docs,
+        "avgdl": avgdl,
+        "total_cf": total_cf,
+        "n_terms": n_terms,
+        "k1": k1,
+        "b": b,
+        "bucket_size": bucket_size,
+        "tshards": tshards,
+        "segver": 3,
+        "positions": positions,
+        "max_doclen": s0.get("max_doclen"),
+        "analyzer": s0.get("analyzer"),
+        "min_enc_avgdl": avgdl,
+        "epochs": 1,
+        "dict_dir": "term_dict",
+        "seg_dir": "segments",
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    # commit order mirrors build_index: segments (kernel task-local writes,
+    # realized by the manifest job below) + dictionary + docs BEFORE the
+    # manifest marks buckets done; stats.json replace is the final commit
+    merged_dict.select("term", "df", "cf", "term_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "term_dict"))
+    docs.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
+    (
+        summaries.filter(F.col("kind") == 0)
+        .groupBy("bucket")
+        .agg(
+            F.min("term_lo").alias("term_lo"),
+            F.max("term_hi").alias("term_hi"),
+            F.sum("n_blocks").alias("n_blocks"),
+            F.sum("n_postings").alias("n_postings"),
+        )
+        .withColumn("status", F.lit("done"))
+        .withColumn("built_at", F.lit(built_at))
+        .write.mode("append")
+        .parquet(os.path.join(out_dir, "manifest"))
+    )
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    os.makedirs(os.path.join(out_dir, "epoch_stats"), exist_ok=True)
+    with open(os.path.join(out_dir, "epoch_stats", "e0.json"), "w") as f:
+        json.dump(stats, f)
+    docs.unpersist()
+    merged_dict.unpersist()
+    return stats

@@ -3281,3 +3281,78 @@ ORACLES["fts_stem_index"] = ORACLES["fts_stem_bm25"]
 
 QUERIES["fts_stem_bm25"] = fts_stem_bm25
 QUERIES["fts_stem_index"] = fts_stem_index
+
+
+# ---------------------------------------------------------------------------
+# sharded build + merge — Lucene addIndexes (index/merge.py): the corpus is
+# split into two halves indexed INDEPENDENTLY, fused with merge_indexes, and
+# the flagship query set is answered from the fused index. Sharing
+# `fts_bm25_topk`'s oracle proves the merge is statistically exact (summed
+# df/cf, re-based doc ids, re-encoded blocks) end-to-end.
+
+_MERGED_IDX_BUILT: set[str] = set()
+
+
+def _merged_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from colbert_spark.index.build import build_index
+    from colbert_spark.index.merge import merge_indexes
+
+    idx = os.path.join(
+        tempfile.gettempdir(), "colbert_spark_merged_idx_" + _corpus_key(sf_dir)
+    )
+    if idx not in _MERGED_IDX_BUILT:
+        done = os.path.join(idx, "stats.json")
+        ok = False
+        if os.path.exists(done):
+            with open(done) as f:
+                s = json.load(f)
+            ok = int(s.get("N", 0)) > 0 and s.get("merged_from") == 2
+        if not ok:
+            shutil.rmtree(idx, ignore_errors=True)
+            pages = load_table(spark, sf_dir, "documents").select(
+                F.format_string("%012d", F.col("doc_id")).alias("url"),
+                "text",
+                "doc_id",
+            )
+            mid = pages.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+            half_a = pages.filter(F.col("doc_id") <= mid).drop("doc_id")
+            half_b = pages.filter(F.col("doc_id") > mid).drop("doc_id")
+            work = idx + ".shards"
+            shutil.rmtree(work, ignore_errors=True)
+            build_index(spark, half_a, os.path.join(work, "a"), bucket_size=1000)
+            build_index(spark, half_b, os.path.join(work, "b"), bucket_size=1000)
+            stats = merge_indexes(
+                spark, [os.path.join(work, "a"), os.path.join(work, "b")], idx,
+                bucket_size=1000,
+            )
+            stats["merged_from"] = 2
+            with open(done, "w") as f:
+                json.dump(stats, f)
+            shutil.rmtree(work, ignore_errors=True)
+        _MERGED_IDX_BUILT.add(idx)
+    return idx
+
+
+def fts_merged_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship BM25 answered from a MERGED index (two independently-built
+    half-corpus shards fused by `merge_indexes`) — shares `fts_bm25_topk`'s
+    oracle, so the value-hash compare proves sharded-build-then-merge
+    reproduces the single-build scores rank-identically."""
+    from colbert_spark.query.wand import bm25_topk_segments
+
+    idx = _merged_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    hits = bm25_topk_segments(spark, idx, queries, k=TOPK + 5)
+    mapped = _map_index_docs(
+        spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
+    )
+    return _rank_topk(mapped)
+
+
+ORACLES["fts_merged_index"] = ORACLES["fts_bm25_topk"]
+QUERIES["fts_merged_index"] = fts_merged_index
