@@ -94,7 +94,9 @@ def index_fsck(
     `deep=True` additionally DECODES every payload on the executors
     (mapInPandas over the same bucket partitioning as the query kernel) and
     re-checks n/first/last/monotonicity against the decoded stream — the
-    check that actually catches truncated or bit-flipped payload bytes."""
+    check that actually catches truncated or bit-flipped payload bytes —
+    and verifies the duplicate-(term, bucket, doc) invariant across blocks
+    (count vs distinct per posting list; one partial-agg exchange)."""
     import pandas as pd
 
     segments, term_dict, stats = load_index(spark, index_dir, as_of_epoch)
@@ -130,7 +132,9 @@ def index_fsck(
     if orphan_terms:
         errors.append(f"{orphan_terms} block term_ids missing from the dictionary")
 
+
     decoded_blocks = 0
+    duplicate_postings = 0
     if deep:
         prefixed = stats.get("segver", 2) >= 3
         has_pos = "pos_bytes" in segments.columns
@@ -180,10 +184,63 @@ def index_fsck(
         if int(res["bad"] or 0):
             errors.append(f"{int(res['bad'])} blocks failed payload decode checks")
 
+        # duplicate-(term_id, bucket, doc) invariant: blocks of one
+        # (term_id, bucket) hold doc-SET-disjoint postings (build sub-splits
+        # and append epochs partition the doc space; ranges may interleave,
+        # sets may not). A crashed append retried under a different
+        # partition count leaves the same posting in two files — the dense
+        # kernel's fancy-index += then silently drops contributions and
+        # MaxScore double-counts. Detect it by exploding decoded doc ids and
+        # comparing count vs distinct per (term_id, bucket): one
+        # postings-scale partial-agg exchange, deep mode's own price class.
+        def explode_docs(batches):
+            import numpy as np
+
+            from colbert_spark.index.codec import decode_block
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                b_l, t_l, d_l = [], [], []
+                for r in pdf.itertuples(index=False):
+                    try:
+                        docs = np.cumsum(decode_block(r.doc_bytes, prefixed))
+                    except Exception:
+                        continue  # payload damage already reported above
+                    d_l.append(docs)
+                    b_l.append(np.full(len(docs), r.bucket, dtype=np.int64))
+                    t_l.append(np.full(len(docs), r.term_id, dtype=np.int64))
+                if d_l:
+                    yield pd.DataFrame(
+                        {
+                            "bucket": np.concatenate(b_l),
+                            "term_id": np.concatenate(t_l),
+                            "doc_id": np.concatenate(d_l),
+                        }
+                    )
+
+        dup_row = (
+            segments.select("bucket", "term_id", "doc_bytes")
+            .mapInPandas(explode_docs, "bucket long, term_id long, doc_id long")
+            .groupBy("bucket", "term_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.count_distinct("doc_id").alias("d"),
+            )
+            .agg(F.sum(F.col("n") - F.col("d")).alias("dups"))
+            .collect()[0]
+        )
+        duplicate_postings = int(dup_row["dups"] or 0)
+        if duplicate_postings:
+            errors.append(
+                f"{duplicate_postings} duplicated (term, bucket, doc) postings"
+            )
+
     return {
         "ok": not errors,
         "errors": errors,
         "blocks_checked": blocks_checked,
         "blocks_decoded": decoded_blocks,
+        "duplicate_postings": duplicate_postings if deep else None,
         "deep": deep,
     }

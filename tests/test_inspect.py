@@ -73,3 +73,24 @@ def test_deep_fsck_catches_corrupt_payload(spark, built, tmp_path):
     deep = index_fsck(spark, dc, deep=True)
     assert not deep["ok"]
     assert any("decode" in e for e in deep["errors"])
+
+
+def test_deep_fsck_catches_duplicated_postings(spark, built, tmp_path):
+    """Duplicate a whole segment file under a fresh name — the exact artifact
+    a crashed append retried under a different partition count would leave
+    (duplicated (term, bucket, doc) contributions, which the dense kernel's
+    fancy-index += silently drops and MaxScore double-counts). Deep fsck's
+    count-vs-distinct invariant must flag it; the metadata level cannot see
+    it (every copied block is internally self-consistent)."""
+    dd = str(tmp_path / "dup")
+    shutil.copytree(built[0], dd)
+    files = sorted(glob.glob(os.path.join(dd, "segments*/**/p*.parquet"), recursive=True))
+    assert files
+    dup = os.path.join(os.path.dirname(files[0]), "p999999.e0.parquet")
+    shutil.copyfile(files[0], dup)
+
+    assert index_fsck(spark, dd)["ok"], "metadata level can't see duplicates"
+    res = index_fsck(spark, dd, deep=True)
+    assert not res["ok"]
+    assert res["duplicate_postings"] > 0
+    assert any("duplicated" in e for e in res["errors"])
