@@ -3356,3 +3356,280 @@ def fts_merged_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["fts_merged_index"] = ORACLES["fts_bm25_topk"]
 QUERIES["fts_merged_index"] = fts_merged_index
+
+
+# ---------------------------------------------------------------------------
+# BM25F — multi-field ranking (Robertson & Zaragoza's simple BM25F): each
+# field's tf is length-normalized with its OWN per-field b and average
+# length, weighted, and summed into one per-term pseudo-frequency that
+# saturates once:
+#
+#   tf~(t,d) = Σ_f  w_f · tf_f(t,d) / (1 − b_f + b_f · len_f(d)/avglen_f)
+#   score    = Σ_t  qtf · idf(t) · tf~ · (k1+1) / (tf~ + k1)
+#
+# idf is computed over the catch-all document (a term's df = docs containing
+# it in ANY field) — the standard copy-to/catch-all-field practice. The
+# documents table has one text column, so fields are carved
+# deterministically: title = first TITLE_LEN tokens, body = the rest (a
+# web-page's title/body split stand-in that both engines replicate exactly).
+
+TITLE_LEN = 8
+BM25F_FIELDS = {"title": 2.0, "body": 1.0}  # field weights w_f
+BM25F_B = {"title": B_DEFAULT, "body": B_DEFAULT}
+
+
+def fts_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F top-10 by corpus scan over the (title, body) field split.
+    Exact-semantics oracle for `fts_bm25f_index`."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.slice("toks", 1, TITLE_LEN).alias("title"),
+            F.expr(f"slice(toks, {TITLE_LEN + 1}, 2147483647)").alias("body"),
+        )
+        .withColumn("len_title", F.size("title"))
+        .withColumn("len_body", F.size("body"))
+        .cache()
+    )
+    avgs = docs.agg(
+        F.count("*").alias("n"),
+        F.avg("len_title").alias("avg_title"),
+        F.avg("len_body").alias("avg_body"),
+    ).collect()[0]
+    n_docs = avgs["n"]
+    avg_len = {"title": float(avgs["avg_title"]), "body": float(avgs["avg_body"])}
+
+    # catch-all df: docs containing the term in ANY field
+    df_t = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.concat("title", "body"))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    qt = (
+        queries.select("qid", F.explode(tokens_col("question")).alias("term"))
+        .groupBy("qid", "term")
+        .agg(F.count("*").alias("qtf"))
+    )
+    # per-field normalized weighted tf, then per-(qid, doc) pseudo-frequency
+    parts = []
+    for fld, w in BM25F_FIELDS.items():
+        b_f = BM25F_B[fld]
+        tf_f = (
+            docs.select("doc_id", f"len_{fld}", F.explode(fld).alias("term"))
+            .groupBy("term", "doc_id", f"len_{fld}")
+            .agg(F.count("*").alias("tf"))
+        )
+        norm = 1.0 - b_f + b_f * F.col(f"len_{fld}") / F.lit(avg_len[fld])
+        parts.append(
+            tf_f.select(
+                "term",
+                "doc_id",
+                (F.lit(w) * F.col("tf") / norm).alias("wtf"),
+            )
+        )
+    wtf = parts[0].unionByName(parts[1])
+    pseudo = wtf.groupBy("term", "doc_id").agg(F.sum("wtf").alias("tfp"))
+    joined = pseudo.join(F.broadcast(qt.join(df_t, "term")), "term")
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    k1 = K1_DEFAULT
+    contrib = (
+        F.col("qtf") * idf * F.col("tfp") * (k1 + 1.0) / (F.col("tfp") + k1)
+    )
+    agg = (
+        joined.withColumn("contrib", contrib)
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return _rank_topk(agg)
+
+
+_TITLE_SQL = f"({_TOK})[1:{TITLE_LEN}]"
+_BODY_SQL = f"({_TOK})[{TITLE_LEN + 1}:]"
+
+ORACLES["fts_bm25f"] = f"""
+    WITH q(qid, question) AS (VALUES {_values_clause()}),
+    fields AS (SELECT doc_id, {_TITLE_SQL} AS title, {_BODY_SQL} AS body FROM documents),
+    lens AS (SELECT doc_id, len(title) AS len_title, len(body) AS len_body FROM fields),
+    stats AS (SELECT count(*) AS n, avg(len_title) AS avg_title, avg(len_body) AS avg_body FROM lens),
+    tok_all AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest(title) AS term FROM fields
+        UNION ALL SELECT doc_id, unnest(body) FROM fields)),
+    df AS (SELECT term, count(*) AS df FROM tok_all GROUP BY term),
+    tf_title AS (SELECT doc_id, term, count(*) AS tf FROM
+      (SELECT doc_id, unnest(title) AS term FROM fields) GROUP BY doc_id, term),
+    tf_body AS (SELECT doc_id, term, count(*) AS tf FROM
+      (SELECT doc_id, unnest(body) AS term FROM fields) GROUP BY doc_id, term),
+    wtf AS (
+      SELECT t.doc_id, t.term,
+             {BM25F_FIELDS["title"]} * t.tf
+               / (1.0 - {BM25F_B["title"]} + {BM25F_B["title"]} * l.len_title / s.avg_title) AS wtf
+      FROM tf_title t JOIN lens l USING (doc_id) CROSS JOIN stats s
+      UNION ALL
+      SELECT t.doc_id, t.term,
+             {BM25F_FIELDS["body"]} * t.tf
+               / (1.0 - {BM25F_B["body"]} + {BM25F_B["body"]} * l.len_body / s.avg_body) AS wtf
+      FROM tf_body t JOIN lens l USING (doc_id) CROSS JOIN stats s),
+    pseudo AS (SELECT doc_id, term, sum(wtf) AS tfp FROM wtf GROUP BY doc_id, term),
+    qt AS (SELECT qid, unnest({_QTOK}) AS term FROM q),
+    qtf AS (SELECT qid, term, count(*) AS qtf FROM qt GROUP BY qid, term),
+    scored AS (
+      SELECT qtf.qid::BIGINT AS qid, p.doc_id,
+             sum(qtf.qtf * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                 * p.tfp * ({K1_DEFAULT} + 1.0) / (p.tfp + {K1_DEFAULT})) AS score
+      FROM qtf JOIN df USING (term) JOIN pseudo p USING (term)
+      CROSS JOIN stats s
+      GROUP BY qtf.qid, p.doc_id),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+QUERIES["fts_bm25f"] = fts_bm25f
+
+
+_FIELD_IDX_BUILT: set[str] = set()
+
+
+def _field_index_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per process per sf_dir) one segment index PER FIELD —
+    Lucene's per-field posting lists. title = first TITLE_LEN tokens
+    (build-side `max_doclen` ingest truncation, the same cut as the scan
+    path's slice); body = the remaining tokens re-joined (space-joining
+    preserves the token sequence under the grammar)."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from colbert_spark.index.build import build_index
+
+    base = os.path.join(
+        tempfile.gettempdir(), "colbert_spark_field_idx_" + _corpus_key(sf_dir)
+    )
+    title_idx, body_idx = os.path.join(base, "title"), os.path.join(base, "body")
+    if base not in _FIELD_IDX_BUILT:
+        ok = True
+        for d in (title_idx, body_idx):
+            done = os.path.join(d, "stats.json")
+            if not os.path.exists(done):
+                ok = False
+                break
+            with open(done) as f:
+                if int(json.load(f).get("N", 0)) <= 0:
+                    ok = False
+                    break
+        if not ok:
+            shutil.rmtree(base, ignore_errors=True)
+            pages = load_table(spark, sf_dir, "documents").select(
+                F.format_string("%012d", F.col("doc_id")).alias("url"), "text"
+            )
+            build_index(
+                spark, pages, title_idx, bucket_size=1000, max_doclen=TITLE_LEN
+            )
+            # body text: tokens after the title cut, space-joined (the
+            # grammar re-tokenizes a space-joined token list identically)
+            body_pages = pages.select(
+                "url",
+                F.array_join(
+                    F.slice(tokens_col("text"), TITLE_LEN + 1, 2147483647), " "
+                ).alias("text"),
+            )
+            build_index(spark, body_pages, body_idx, bucket_size=1000)
+        _FIELD_IDX_BUILT.add(base)
+    return title_idx, body_idx
+
+
+def fts_bm25f_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_bm25f` answered from PER-FIELD segment indexes: each field's
+    (tf, fieldlen) statistics come from its own index via
+    `IndexSearcher.explain` over the field's boolean match set, idf from the
+    MAIN index's catch-all dictionary (term df over whole documents — the
+    copy-to field practice), and the BM25F combination is a declarative
+    join/agg over those slim per-candidate frames. Shares `fts_bm25f`'s
+    oracle, proving per-field stored statistics reproduce a fresh two-field
+    corpus recount."""
+    import json
+    import os
+
+    from collections import Counter
+
+    from colbert_spark.functions.tokenizer import py_tokenize
+    from colbert_spark.query.wand import IndexSearcher
+
+    title_idx, body_idx = _field_index_dirs(spark, sf_dir)
+    main_idx = _positional_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+
+    parts = []
+    for fld, idx in (("title", title_idx), ("body", body_idx)):
+        s = IndexSearcher(spark, idx)
+        cands = s.matching_docs(queries)
+        expl = s.explain(queries, cands).select("qid", "doc_id", "term_id", "tf", "doclen")
+        td = spark.read.parquet(os.path.join(idx, s.stats.get("dict_dir", "term_dict"))).select(
+            "term_id", "term"
+        )
+        back = spark.read.parquet(_index_docs_path(idx)).select(
+            F.col("doc_id").alias("idx_doc"),
+            F.col("url").cast("long").alias("table_doc"),
+        )
+        avg_f = float(s.stats["avgdl"])
+        w, b_f = BM25F_FIELDS[fld], BM25F_B[fld]
+        norm = 1.0 - b_f + b_f * F.col("doclen") / F.lit(avg_f)
+        parts.append(
+            expl.join(F.broadcast(td), "term_id")
+            .withColumnRenamed("doc_id", "idx_doc")
+            .join(back, "idx_doc")
+            .select(
+                "qid",
+                "term",
+                F.col("table_doc").alias("doc_id"),
+                (F.lit(w) * F.col("tf") / norm).alias("wtf"),
+            )
+        )
+    pseudo = (
+        parts[0].unionByName(parts[1])
+        .groupBy("qid", "term", "doc_id")
+        .agg(F.sum("wtf").alias("tfp"))
+    )
+
+    # catch-all idf from the MAIN index's committed dictionary
+    with open(os.path.join(main_idx, "stats.json")) as f:
+        n_docs = int(json.load(f)["N"])
+    main_td = spark.read.parquet(os.path.join(main_idx, "term_dict")).select(
+        "term", "df"
+    )
+    qt_rows = []
+    for qid, q in DOC_QUERIES:
+        for t, n in sorted(Counter(py_tokenize(q)).items()):
+            qt_rows.append((qid, t, n))
+    qt = spark.createDataFrame(qt_rows, "qid long, term string, qtf long")
+
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    k1 = K1_DEFAULT
+    contrib = F.col("qtf") * idf * F.col("tfp") * (k1 + 1.0) / (F.col("tfp") + k1)
+    agg = (
+        pseudo.join(F.broadcast(qt), ["qid", "term"])
+        .join(F.broadcast(main_td), "term")
+        .withColumn("contrib", contrib)
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return _rank_topk(agg)
+
+
+ORACLES["fts_bm25f_index"] = ORACLES["fts_bm25f"]
+QUERIES["fts_bm25f_index"] = fts_bm25f_index
