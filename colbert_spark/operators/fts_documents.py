@@ -3633,3 +3633,81 @@ def fts_bm25f_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["fts_bm25f_index"] = ORACLES["fts_bm25f"]
 QUERIES["fts_bm25f_index"] = fts_bm25f_index
+
+
+# ---------------------------------------------------------------------------
+# regexp term queries — Lucene RegexpQuery under the scoring rewrite: each
+# pattern FULL-matches vocabulary terms (Lucene anchors implicitly). The
+# pattern grammar is kept to the dialect subset Java regex and RE2 share
+# (character classes, '.', '*', '+', '|', grouping), so one spelling drives
+# both engines; expansion is the same broadcast dictionary theta-join as
+# prefix/fuzzy/wildcard, and the postings join stays term equality.
+
+REGEXP_QUERIES = [
+    (0, "d.ta"),  # data
+    (1, "qu.*|w.ndow"),  # query + window
+    (2, "[hj]ash|[hj]oin"),  # hash, join
+    (3, "zz+"),  # matches nothing ⇒ no rows
+]
+
+
+def _regexp_cond(ts, qr):
+    # full-match anchoring (Lucene RegexpQuery semantics)
+    return F.regexp_like(ts.term, F.concat(F.lit("^("), qr.pat, F.lit(")$")))
+
+
+def fts_regexp_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for REGEXP queries by corpus scan (Lucene RegexpQuery,
+    scoring rewrite). Exact-semantics oracle for `fts_regexp_index`."""
+    qr = spark.createDataFrame(
+        [(qid, pat, 1) for qid, pat in REGEXP_QUERIES],
+        "qid long, pat string, qtf long",
+    )
+    return _expanded_bm25_scan(spark, sf_dir, qr, _regexp_cond)
+
+
+def fts_regexp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_regexp_bm25` answered from the segment index (dictionary
+    expansion → batch kernel). Shares the scan oracle."""
+    qr = spark.createDataFrame(
+        [(qid, pat, 1) for qid, pat in REGEXP_QUERIES],
+        "qid long, pat string, qtf long",
+    )
+    return _expanded_bm25_index(spark, sf_dir, qr, _regexp_cond)
+
+
+_REGEXP_VALUES = ", ".join(f"({qid}, '{p}', 1)" for qid, p in REGEXP_QUERIES)
+
+ORACLES["fts_regexp_bm25"] = f"""
+    WITH qr(qid, pat, qtf) AS (VALUES {_REGEXP_VALUES}),
+    tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    qterm AS (
+      SELECT qr.qid, df.term, sum(qr.qtf) AS qtf, first(df.df) AS df
+      FROM qr JOIN df ON regexp_full_match(df.term, qr.pat)
+      GROUP BY qr.qid, df.term),
+    scored AS (
+      SELECT qterm.qid::BIGINT AS qid, tf.doc_id,
+             sum(qterm.qtf * ln(1 + (stats.n - qterm.df + 0.5) / (qterm.df + 0.5))
+                 * tf.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl))
+             ) AS score
+      FROM qterm
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY qterm.qid, tf.doc_id),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+ORACLES["fts_regexp_index"] = ORACLES["fts_regexp_bm25"]
+QUERIES["fts_regexp_bm25"] = fts_regexp_bm25
+QUERIES["fts_regexp_index"] = fts_regexp_index
