@@ -3290,7 +3290,54 @@ QUERIES["fts_stem_index"] = fts_stem_index
 # `fts_bm25_topk`'s oracle proves the merge is statistically exact (summed
 # df/cf, re-based doc ids, re-encoded blocks) end-to-end.
 
+_SHARD_IDX_BUILT: set[str] = set()
 _MERGED_IDX_BUILT: set[str] = set()
+
+
+def _shard_index_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Two INDEPENDENT half-corpus indexes (doc_id ≤/> median), urls =
+    zero-padded table doc_ids — the shard substrate for both the merge entry
+    and the sharded-search entry."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from colbert_spark.index.build import build_index
+
+    base = os.path.join(
+        tempfile.gettempdir(), "colbert_spark_shard_idx_" + _corpus_key(sf_dir)
+    )
+    a, b_ = os.path.join(base, "a"), os.path.join(base, "b")
+    if base not in _SHARD_IDX_BUILT:
+        ok = True
+        for d in (a, b_):
+            done = os.path.join(d, "stats.json")
+            if not os.path.exists(done):
+                ok = False
+                break
+            with open(done) as f:
+                if int(json.load(f).get("N", 0)) <= 0:
+                    ok = False
+                    break
+        if not ok:
+            shutil.rmtree(base, ignore_errors=True)
+            pages = load_table(spark, sf_dir, "documents").select(
+                F.format_string("%012d", F.col("doc_id")).alias("url"),
+                "text",
+                "doc_id",
+            )
+            mid = pages.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+            build_index(
+                spark, pages.filter(F.col("doc_id") <= mid).drop("doc_id"),
+                a, bucket_size=1000,
+            )
+            build_index(
+                spark, pages.filter(F.col("doc_id") > mid).drop("doc_id"),
+                b_, bucket_size=1000,
+            )
+        _SHARD_IDX_BUILT.add(base)
+    return a, b_
 
 
 def _merged_index_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -3299,7 +3346,6 @@ def _merged_index_dir(spark: SparkSession, sf_dir: str) -> str:
     import shutil
     import tempfile
 
-    from colbert_spark.index.build import build_index
     from colbert_spark.index.merge import merge_indexes
 
     idx = os.path.join(
@@ -3314,26 +3360,11 @@ def _merged_index_dir(spark: SparkSession, sf_dir: str) -> str:
             ok = int(s.get("N", 0)) > 0 and s.get("merged_from") == 2
         if not ok:
             shutil.rmtree(idx, ignore_errors=True)
-            pages = load_table(spark, sf_dir, "documents").select(
-                F.format_string("%012d", F.col("doc_id")).alias("url"),
-                "text",
-                "doc_id",
-            )
-            mid = pages.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
-            half_a = pages.filter(F.col("doc_id") <= mid).drop("doc_id")
-            half_b = pages.filter(F.col("doc_id") > mid).drop("doc_id")
-            work = idx + ".shards"
-            shutil.rmtree(work, ignore_errors=True)
-            build_index(spark, half_a, os.path.join(work, "a"), bucket_size=1000)
-            build_index(spark, half_b, os.path.join(work, "b"), bucket_size=1000)
-            stats = merge_indexes(
-                spark, [os.path.join(work, "a"), os.path.join(work, "b")], idx,
-                bucket_size=1000,
-            )
+            a, b_ = _shard_index_dirs(spark, sf_dir)
+            stats = merge_indexes(spark, [a, b_], idx, bucket_size=1000)
             stats["merged_from"] = 2
             with open(done, "w") as f:
                 json.dump(stats, f)
-            shutil.rmtree(work, ignore_errors=True)
         _MERGED_IDX_BUILT.add(idx)
     return idx
 
@@ -3711,3 +3742,25 @@ ORACLES["fts_regexp_bm25"] = f"""
 ORACLES["fts_regexp_index"] = ORACLES["fts_regexp_bm25"]
 QUERIES["fts_regexp_bm25"] = fts_regexp_bm25
 QUERIES["fts_regexp_index"] = fts_regexp_index
+
+
+def fts_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship BM25 by SCATTER-GATHER over the two independent half-corpus
+    shard indexes (`query/wand.py:sharded_bm25_topk`): each shard prices its
+    local top-k with GLOBAL statistics (summed df, global N and avgdl — the
+    distributed-IDF protocol), then the per-shard rankings merge. Shares
+    `fts_bm25_topk`'s oracle, so the value-hash compare proves federation is
+    exact, not approximate — the serving dual of `fts_merged_index`."""
+    from colbert_spark.query.wand import sharded_bm25_topk
+
+    a, b_ = _shard_index_dirs(spark, sf_dir)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    hits = sharded_bm25_topk(spark, [a, b_], queries, k=TOPK + 5)
+    mapped = hits.select(
+        "qid", F.col("url").cast("long").alias("doc_id"), "score"
+    )
+    return _rank_topk(mapped)
+
+
+ORACLES["fts_sharded_search"] = ORACLES["fts_bm25_topk"]
+QUERIES["fts_sharded_search"] = fts_sharded_search

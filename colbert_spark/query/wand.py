@@ -769,6 +769,9 @@ class IndexSearcher:
         # build's token filters so query text and postings agree
         # (functions/analyzer.py)
         self._analyzer: str | None = self.stats.get("analyzer")
+        # cross-shard statistics override (sharded_bm25_topk): term → GLOBAL
+        # df, consulted wherever idf is priced; None = shard-local stats
+        self._df_over: dict[str, int] | None = None
         if "pos_bytes" in self.segments.columns:
             # BM25 never reads positions: prune the column so neither the
             # warm cache nor the per-batch exchange carries the (large)
@@ -821,6 +824,25 @@ class IndexSearcher:
         # batches above this row count resolve via distributed JVM
         # tokenization (driver never holds the question strings)
         self.resolve_collect_max: int = 10_000
+
+    def with_global_stats(
+        self, n_docs: int, avgdl: float, df_map: dict[str, int]
+    ) -> "IndexSearcher":
+        """Price every query with CROSS-SHARD statistics (the distributed-IDF
+        protocol, Elasticsearch's dfs_query_then_fetch): idf from globally
+        summed df and global N, length norm from global avgdl. Pruning stays
+        sound: block max_unit inflation already covers any avgdl ≥ the
+        encode-time value, and unit scores are monotone in avgdl so a
+        smaller global avgdl only loosens the stored bound."""
+        self.stats = dict(self.stats)
+        self.stats["avgdl"] = float(avgdl)
+        self.stats["live_docs"] = int(n_docs)  # idf reads live_docs ?? N
+        self._df_over = dict(df_map)
+        # idf is baked into cached decoded terms and resolved-term LRUs built
+        # under the OLD prices — drop them
+        self._point_tbs = {}
+        self._point_budget = None
+        return self
 
     def warm(self) -> "IndexSearcher":
         if self._warm is None:
@@ -915,6 +937,11 @@ class IndexSearcher:
         partial-agg groupBy, join the dictionary with an AQE-planned join,
         and collect ONLY the slim (qid, term_id, qtf, df[, neg]) rows plus
         a |Q|-row token-count table — never the question strings."""
+        if self._df_over is not None:
+            raise ValueError(
+                "global-stats override (sharded search) requires driver-side "
+                "resolution: batch must be ≤ resolve_collect_max rows"
+            )
         from colbert_spark.functions.analyzer import analyze_terms_col
         from colbert_spark.functions.tokenizer import tokens_col
 
@@ -1047,6 +1074,8 @@ class IndexSearcher:
             hit = resolved.get(t)
             if hit is not None:
                 tid, df = hit
+                if self._df_over is not None:
+                    df = self._df_over.get(t, df)
                 idf_map[tid] = float(
                     np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
                 )
@@ -1322,6 +1351,8 @@ class IndexSearcher:
         for t, hit in resolved.items():
             if hit is not None:
                 tid, df = hit
+                if self._df_over is not None:
+                    df = self._df_over.get(t, df)
                 idf_map[tid] = float(
                     np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
                 )
@@ -1669,3 +1700,69 @@ def bm25_topk_segments(
     `IndexSearcher` and call `search` repeatedly). `as_of_epoch` opens the
     index's time-travel snapshot of that epoch instead of the live view."""
     return IndexSearcher(spark, index_dir, as_of_epoch=as_of_epoch).search(queries, k)
+
+
+def sharded_bm25_topk(
+    spark: SparkSession,
+    index_dirs: list[str],
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Scatter-gather search across INDEPENDENT shard indexes with GLOBAL
+    statistics — serving's dual of `index/merge.py` (which fuses the data;
+    this fuses only the query). The reference serves one resident index
+    (``dense_server_client.py:21-66``); a 10^12-doc deployment serves many.
+
+    Protocol (exact, not approximate):
+      1. global stats: N and avgdl from shard stats.json sums; df per QUERY
+         term by summing each shard's dictionary hit (KB-scale lookups
+         through the term LRU — never a full-dictionary union).
+      2. scatter: each shard prices its local top-k with the global
+         (N, avgdl, df) via `with_global_stats` — so a shard never
+         over/under-weights a term that is rare locally but common globally.
+      3. gather: per-shard top-k rankings (k·|Q| rows each) merge by score;
+         every document lives in exactly ONE shard (disjoint url spaces, the
+         build/merge contract), so the merged cut IS the global top-k.
+
+    → (qid, rank, url, score): url is the cross-shard document key (shard
+    doc_ids collide by construction)."""
+    from colbert_spark.functions.analyzer import py_analyze
+
+    searchers = [IndexSearcher(spark, d) for d in index_dirs]
+    a0 = searchers[0]._analyzer
+    if any(s._analyzer != a0 for s in searchers):
+        raise ValueError("cannot federate shards with different analyzers")
+    n_g = sum(s.stats.get("live_docs", s.stats["N"]) for s in searchers)
+    cf_g = sum(s.stats["total_cf"] for s in searchers)
+    avgdl_g = cf_g / n_g if n_g else 0.0
+
+    qrows = queries.select("qid", "question").collect()
+    terms = sorted(
+        {
+            t
+            for r in qrows
+            for t in py_analyze(py_tokenize(r["question"] or ""), a0)
+        }
+    )
+    df_g: dict[str, int] = {}
+    for s in searchers:
+        for t, hit in s._lookup_terms(terms).items():
+            if hit is not None:
+                df_g[t] = df_g.get(t, 0) + int(hit[1])
+
+    parts = []
+    for s, d in zip(searchers, index_dirs):
+        s.with_global_stats(n_g, avgdl_g, df_g)
+        hits = s.search(queries, k)
+        docs_dir = os.path.join(d, s.stats.get("docs_dir", "docs"))
+        urls = spark.read.parquet(docs_dir).select("doc_id", "url")
+        parts.append(hits.join(urls, "doc_id").select("qid", "url", "score"))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "url", "score")
+    )
