@@ -48,6 +48,19 @@ def _cmd_index(args) -> int:
         resume=not args.no_resume,
         positions=args.positions,
         max_doclen=args.max_doclen,
+        analyzer=args.analyzer,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+def _cmd_merge(args) -> int:
+    from colbert_spark.index.merge import merge_indexes
+    from colbert_spark.session import get_spark
+
+    spark = get_spark("colbert-merge")
+    stats = merge_indexes(
+        spark, args.inputs, args.output, bucket_size=args.bucket_size
     )
     print(json.dumps(stats))
     return 0
@@ -221,7 +234,27 @@ def main(argv: list[str] | None = None) -> int:
         help="truncate each document to its first N tokens at ingest (the "
         "reference's doc_maxlen; appends inherit the contract)",
     )
+    ip.add_argument(
+        "--analyzer",
+        default=None,
+        choices=["s_stem"],
+        help="analysis chain applied after tokenization, recorded in "
+        "stats.json and re-applied by every query path (S-stemmer)",
+    )
     ip.set_defaults(fn=_cmd_index)
+
+    mg = sub.add_parser(
+        "merge",
+        help="fuse independently-built indexes into one (addIndexes; "
+        "re-bases doc ids, sums dictionaries, re-encodes blocks — no "
+        "re-tokenization)",
+    )
+    mg.add_argument(
+        "--inputs", required=True, nargs="+", help="≥2 source index directories"
+    )
+    mg.add_argument("--output", required=True, help="merged index directory")
+    mg.add_argument("--bucket-size", type=int, default=None)
+    mg.set_defaults(fn=_cmd_merge)
 
     ap = sub.add_parser("append", help="incrementally add new documents to an index")
     ap.add_argument("--input", required=True, help="parquet web_pages path of NEW docs")
