@@ -142,7 +142,22 @@ def main() -> int:
         f"| {n} → {n4} cores | {build_eff[f'{n}->{n4}']} | {query_eff[f'{n}->{n4}']} |"
         for n, n4 in pairs
     )
-    with open(args.out, "w") as f:
+    # NEVER overwrite accumulated evidence: a fresh file gets the full
+    # header; an existing one gets this run APPENDED as a dated section
+    # (a prior version clobbered the soak/point-serving sections this way)
+    fresh = not os.path.exists(args.out)
+    mode = "w" if fresh else "a"
+    with open(args.out, mode) as f:
+        if not fresh:
+            f.write(
+                f"\n### bench_scaling run (appended): levels {levels}, "
+                f"{args.docs} docs, reps {args.reps}\n\n"
+                f"| cores | index build (s) | docs/sec | query batch (s) | q/s |\n"
+                f"|---|---|---|---|---|\n{rows}\n\n"
+                f"| pair | index build E | query batch E |\n|---|---|---|\n{eff_rows}\n"
+            )
+            print(json.dumps(summary))
+            return 0
         f.write(f"""# BENCH baseline — two-cluster-size scaling evidence
 
 North rule requires throughput at N and 4N executors with scaling efficiency
