@@ -193,6 +193,10 @@ class PositionalSearcher:
             spark, index_dir, as_of_epoch=as_of_epoch
         )
         _require_positions(self.stats)
+        # the index's analysis chain applies to every query string, same
+        # contract as wand.IndexSearcher (functions/analyzer.py); positions
+        # are post-filter stream offsets on both sides (filters are 1:1)
+        self._analyzer: str | None = self.stats.get("analyzer")
         # docs sink (doc_id, url, doclen): a stats.json pointer after an
         # expunging compaction, the build-time docs/ otherwise
         self._docs_path = os.path.join(
@@ -339,7 +343,9 @@ class PositionalSearcher:
                 if rows
                 else empty
             )
-        toks = py_tokenize(phrase or "")
+        from colbert_spark.functions.analyzer import py_analyze
+
+        toks = py_analyze(py_tokenize(phrase or ""), self._analyzer)
         if not toks:
             return empty
         resolved = self._lookup_terms_point(sorted(set(toks)))
@@ -402,7 +408,10 @@ class PositionalSearcher:
                 if rows
                 else empty
             )
-        w1, w2 = py_tokenize(t1 or ""), py_tokenize(t2 or "")
+        from colbert_spark.functions.analyzer import py_analyze
+
+        w1 = py_analyze(py_tokenize(t1 or ""), self._analyzer)
+        w2 = py_analyze(py_tokenize(t2 or ""), self._analyzer)
         if len(w1) != 1 or len(w2) != 1:
             return empty
         resolved = self._lookup_terms_point(sorted({w1[0], w2[0]}))
@@ -443,8 +452,15 @@ class PositionalSearcher:
         EVERY token is in the vocabulary (one OOV token ⇒ the phrase cannot
         match and is dropped); df_map carries each resolved term's df for
         query-time idf (blocks are idf-free, same contract as wand.py)."""
+        from colbert_spark.functions.analyzer import analyze_terms_col
+
         ptoks = phrases.select(
-            "phrase_id", F.posexplode(tokens_col("phrase")).alias("j", "term")
+            "phrase_id", tokens_col("phrase").alias("toks")
+        ).select(
+            "phrase_id",
+            F.posexplode(analyze_terms_col("toks", self._analyzer)).alias(
+                "j", "term"
+            ),
         )
         n_toks = {
             r["phrase_id"]: r["n"]
@@ -567,9 +583,19 @@ class PositionalSearcher:
         the index grammar; a pair with an out-of-vocabulary side matches
         nothing."""
         spark = self.spark
-        sides = pairs.selectExpr(
-            "pair_id", "stack(2, 0, t1, 1, t2) as (side, raw)"
-        ).select("pair_id", "side", F.element_at(tokens_col("raw"), 1).alias("term"))
+        from colbert_spark.functions.analyzer import analyze_terms_col
+
+        sides = (
+            pairs.selectExpr("pair_id", "stack(2, 0, t1, 1, t2) as (side, raw)")
+            .select("pair_id", "side", tokens_col("raw").alias("toks"))
+            .select(
+                "pair_id",
+                "side",
+                F.element_at(
+                    analyze_terms_col("toks", self._analyzer), 1
+                ).alias("term"),
+            )
+        )
         resolved = (
             self.term_dict.join(F.broadcast(sides), "term")
             .select("pair_id", "side", "term_id")
@@ -601,8 +627,15 @@ class PositionalSearcher:
         construction); pairs whose doc contains no query term produce no
         row."""
         spark = self.spark
+        from colbert_spark.functions.analyzer import analyze_terms_col
+
         qtoks = queries.select(
-            "qid", F.explode(F.array_distinct(tokens_col("question"))).alias("term")
+            "qid", tokens_col("question").alias("toks")
+        ).select(
+            "qid",
+            F.explode(
+                F.array_distinct(analyze_terms_col("toks", self._analyzer))
+            ).alias("term"),
         )
         resolved = (
             self.term_dict.join(F.broadcast(qtoks), "term")

@@ -149,3 +149,43 @@ def test_append_epoch_inherits_analyzer(spark, stem_indexes, tmp_path):
     # the appended doc (id 6) is reachable via its STEMMED terms from both
     # a plural query (query-side stemming) and a singular one (doc-side)
     assert 6 in by_qid.get(0, []) and 6 in by_qid.get(1, [])
+
+
+def test_positional_paths_apply_analyzer(spark, tmp_path):
+    """Phrase / NEAR / point paths on a POSITIONAL stemmed index must stem
+    query tokens: a plural phrase matches the singular doc stream, and
+    positions are post-filter offsets on both sides."""
+    from colbert_spark.index.build import build_index
+    from colbert_spark.query.phrase import PositionalSearcher
+
+    pages = [
+        ("u0", "fast tables join wins"),
+        ("u1", "the table joins a stream"),
+        ("u2", "tables apart from join"),
+    ]
+    idx = str(tmp_path / "pstem")
+    build_index(
+        spark, spark.createDataFrame(pages, "url string, text string"),
+        idx, bucket_size=2, positions=True, analyzer="s_stem",
+    )
+    s = PositionalSearcher(spark, idx)
+    # plural phrase "tables joins" stems to "table join": adjacent in u0
+    # ("tables join") and u1 ("table joins"), NOT in u2 ("tables ... join")
+    phrases = spark.createDataFrame(
+        [(0, "tables joins")], "phrase_id long, phrase string"
+    )
+    hits = sorted(r["doc_id"] for r in s.phrase(phrases).collect())
+    urls = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(idx + "/docs").collect()
+    }
+    assert sorted(urls[d] for d in hits) == ["u0", "u1"]
+    # point path agrees
+    pp = s.phrase_point("tables joins")
+    assert sorted(urls[d] for d in pp["doc_id"]) == ["u0", "u1"]
+    # NEAR with plural sides
+    pairs = spark.createDataFrame(
+        [(0, "tables", "streams")], "pair_id long, t1 string, t2 string"
+    )
+    near = s.near(pairs, window=4).collect()
+    assert sorted(urls[r["doc_id"]] for r in near) == ["u1"]

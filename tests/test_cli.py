@@ -106,3 +106,35 @@ def test_cli_negation_excludes_docs(cli_index, tmp_path, spark):
     for d in neg:
         if d["doc_id"] in plain_scores:
             assert abs(d["score"] - plain_scores[d["doc_id"]]) < 1e-9
+
+
+def test_cli_merge_and_analyzer(spark, tmp_path):
+    import contextlib
+    import io
+
+    root = tmp_path
+    a_pages, b_pages = str(root / "pa"), str(root / "pb")
+    assert main(["synth", "--output", a_pages, "--docs", "300", "--partitions", "2"]) == 0
+    from colbert_spark.sources.synth import synth_web_pages
+
+    spark.createDataFrame(synth_web_pages(600).iloc[300:]).write.parquet(b_pages)
+    a_idx, b_idx, fused = str(root / "ia"), str(root / "ib"), str(root / "fused")
+    assert main(["index", "--input", a_pages, "--output", a_idx, "--bucket-size", "100"]) == 0
+    assert main(["index", "--input", b_pages, "--output", b_idx, "--bucket-size", "100"]) == 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["merge", "--inputs", a_idx, b_idx, "--output", fused])
+    assert rc == 0
+    stats = json.loads(buf.getvalue().splitlines()[-1])
+    assert stats["N"] == 600
+    rows = _run_query(fused, root)
+    assert rows and all(r["rank"] >= 1 for r in rows)
+
+    # --analyzer is recorded in stats.json and applied at query time
+    s_idx = str(root / "stem")
+    assert main([
+        "index", "--input", a_pages, "--output", s_idx,
+        "--bucket-size", "100", "--analyzer", "s_stem",
+    ]) == 0
+    with open(s_idx + "/stats.json") as f:
+        assert json.load(f)["analyzer"] == "s_stem"
