@@ -250,6 +250,7 @@ def derive_docs(
     use_html: bool = False,
     max_doclen: int | None = None,
     analyzer: str | None = None,
+    stored_cols: list[str] | None = None,
 ) -> DataFrame:
     """web_pages → docs(doc_id, url, terms, doclen). Tokenization is pure JVM
     expression (whole-stage codegen; zero Python in the hot path).
@@ -266,7 +267,8 @@ def derive_docs(
     src = web_pages
     if use_html:
         src = src.withColumn("text", html_text_col("html"))
-    with_ids = assign_doc_ids(src.select("url", "text"))
+    stored = list(stored_cols or [])
+    with_ids = assign_doc_ids(src.select("url", "text", *stored))
     ids_src = with_ids  # holds the dense-rank sidecar attrs; withColumn copies lose them
     terms = tokens_col("text")
     if max_doclen is not None:
@@ -281,6 +283,7 @@ def derive_docs(
     out = with_ids.select(
         "doc_id",
         "url",
+        *stored,
         terms.alias("terms"),
     ).withColumn("doclen", F.size("terms"))
     out._dense_rank_cache = getattr(ids_src, "_dense_rank_cache", None)
@@ -680,6 +683,7 @@ def build_index(
     positions: bool = False,
     max_doclen: int | None = None,
     analyzer: str | None = None,
+    stored_cols: list[str] | None = None,
 ) -> dict:
     """Full (resumable) index build. Layout under `index_dir`:
 
@@ -718,7 +722,8 @@ def build_index(
         t0 = now
 
     docs = derive_docs(
-        web_pages, use_html=use_html, max_doclen=max_doclen, analyzer=analyzer
+        web_pages, use_html=use_html, max_doclen=max_doclen, analyzer=analyzer,
+        stored_cols=stored_cols,
     )
     _mark("doc_rank")  # assign_dense_rank's eager offsets collect
     # N is EXACT and already paid for: it is the dense-rank offsets total
@@ -792,6 +797,10 @@ def build_index(
         # index-level analysis chain (functions/analyzer.py); every query
         # path and append epoch re-applies it to its tokens
         "analyzer": analyzer,
+        # STORED FIELDS (Lucene stored fields / doc values): extra input
+        # columns carried verbatim into the docs sink, so sort/facet/collapse
+        # can be served wholly from the index; appends must supply them
+        "stored_cols": list(stored_cols or []),
         # smallest avgdl any committed block was ENCODED with. Block max_unit
         # is exact at its encode-time avgdl, and unit scores grow with avgdl
         # (unit_new/unit_old ≤ avgdl_new/avgdl_old), so the query kernel keeps
@@ -928,9 +937,9 @@ def build_index(
         phases["manifest_commit"] = round(time.perf_counter() - t, 3)
 
     def _write_docs() -> None:
-        docs.select("doc_id", "url", "doclen").write.mode("overwrite").parquet(
-            os.path.join(index_dir, "docs")
-        )
+        docs.select(
+            "doc_id", "url", "doclen", *(stored_cols or [])
+        ).write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
 
     # the two sinks are independent — submit them from concurrent driver
     # threads so the small docs job fills the scheduler gaps of the big one
@@ -1017,7 +1026,10 @@ def append_index(
             F.broadcast(tomb), "doc_id", "left_anti"
         )
     committed_urls = committed_docs.select("url")
-    fresh = src.select("url", "text").join(committed_urls, "url", "left_anti")
+    _stored = list(stats.get("stored_cols") or [])
+    fresh = src.select("url", "text", *_stored).join(
+        committed_urls, "url", "left_anti"
+    )
     with_ids = assign_dense_rank(fresh, "url", "doc_id", unique=True)
     n_new = int(getattr(with_ids, "_dense_rank_total", 0) or 0)
     if n_new == 0:
@@ -1036,6 +1048,7 @@ def append_index(
         with_ids.select(
             (F.col("doc_id") + F.lit(n_committed)).cast("long").alias("doc_id"),
             "url",
+            *_stored,
             _terms.alias("terms"),
         )
         .withColumn("doclen", F.size("terms"))
@@ -1158,18 +1171,21 @@ def append_index(
         pid = tc.partitionId() if tc is not None else 0
         tmp = os.path.join(docs_dir, f".p{pid:06d}.e{epoch}.{os.getpid()}.tmp")
         final = os.path.join(docs_dir, f"p{pid:06d}.e{epoch}.parquet")
-        pq.write_table(
-            pa.Table.from_pandas(pdf, preserve_index=False).cast(
-                pa.schema(
-                    [("doc_id", pa.int64()), ("url", pa.string()), ("doclen", pa.int32())]
-                )
-            ),
-            tmp,
-        )
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        # pin the core trio's types to the base build's sink schema; stored
+        # columns keep the stable Arrow types Spark's schema dictates
+        for name, typ in (
+            ("doc_id", pa.int64()),
+            ("url", pa.string()),
+            ("doclen", pa.int32()),
+        ):
+            i = tbl.schema.get_field_index(name)
+            tbl = tbl.set_column(i, name, tbl[name].cast(typ))
+        pq.write_table(tbl, tmp)
         os.replace(tmp, final)
         yield pd.DataFrame({"n": [len(pdf)]})
 
-    docs.select("doc_id", "url", "doclen").repartition(
+    docs.select("doc_id", "url", "doclen", *_stored).repartition(
         p_shuffle, "doc_id"
     ).mapInPandas(_docs_writer, "n long").count()
     docs.unpersist()

@@ -116,7 +116,7 @@ def merge_indexes(
     stats_l = [s for (_, _, s) in loaded]
     s0 = stats_l[0]
     for s in stats_l[1:]:
-        for key in ("k1", "b", "analyzer", "positions", "max_doclen"):
+        for key in ("k1", "b", "analyzer", "positions", "max_doclen", "stored_cols"):
             if s.get(key) != s0.get(key):
                 raise ValueError(
                     f"cannot merge: stats[{key!r}] differs "
@@ -152,6 +152,7 @@ def merge_indexes(
                 (F.col("doc_id") + F.lit(base)).cast("long").alias("doc_id"),
                 "url",
                 F.col("doclen").cast("long").alias("doclen"),
+                *(s0.get("stored_cols") or []),
             )
         )
     docs = docs_parts[0]
@@ -244,6 +245,7 @@ def merge_indexes(
         "positions": positions,
         "max_doclen": s0.get("max_doclen"),
         "analyzer": s0.get("analyzer"),
+        "stored_cols": list(s0.get("stored_cols") or []),
         "min_enc_avgdl": avgdl,
         "epochs": 1,
         "dict_dir": "term_dict",

@@ -341,13 +341,24 @@ def _positional_index_dir(spark: SparkSession, sf_dir: str) -> str:
 
             with open(done) as f:
                 s = json.load(f)
-            ok = bool(s.get("positions")) and s.get("bucket_size") == 1000
+            ok = (
+                bool(s.get("positions"))
+                and s.get("bucket_size") == 1000
+                and s.get("stored_cols") == ["n_chars", "lang", "source"]
+            )
         if not ok:
             shutil.rmtree(idx, ignore_errors=True)
             pages = load_table(spark, sf_dir, "documents").select(
-                F.format_string("%012d", F.col("doc_id")).alias("url"), "text"
+                F.format_string("%012d", F.col("doc_id")).alias("url"),
+                "text",
+                "n_chars",
+                "lang",
+                "source",
             )
-            build_index(spark, pages, idx, bucket_size=1000, positions=True)
+            build_index(
+                spark, pages, idx, bucket_size=1000, positions=True,
+                stored_cols=["n_chars", "lang", "source"],
+            )
         _PIDX_BUILT.add(idx)
     return idx
 
@@ -3764,3 +3775,35 @@ def fts_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["fts_sharded_search"] = ORACLES["fts_bm25_topk"]
 QUERIES["fts_sharded_search"] = fts_sharded_search
+
+
+def fts_stored_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_sort_by_attr` served WHOLLY from the index: the match set from
+    `matching_docs` and the sort attribute from the docs sink's STORED
+    FIELDS (`build_index(stored_cols=...)` — Lucene stored fields / doc
+    values), zero touches of the source table at query time. Shares
+    `fts_sort_by_attr`'s oracle, proving the stored column round-trips the
+    build (and every append/expunge/merge) verbatim."""
+    from colbert_spark.query.wand import IndexSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    hits = IndexSearcher(spark, idx).matching_docs(queries)
+    sink = spark.read.parquet(_index_docs_path(idx)).select(
+        F.col("doc_id").alias("idx_doc"),
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        hits.withColumnRenamed("doc_id", "idx_doc")
+        .join(sink, "idx_doc")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= SORT_TOPK)
+        .select("qid", "rank", "doc_id", "n_chars")
+        .orderBy("qid", "rank")
+    )
+
+
+ORACLES["fts_stored_sort"] = ORACLES["fts_sort_by_attr"]
+QUERIES["fts_stored_sort"] = fts_stored_sort
