@@ -58,7 +58,11 @@ def main() -> int:
             ),
             flush=True,
         )
-        if ratio >= 3.2 and g1 >= 40:
+        # UNIFORM-SLOW windows certify too (per-core speed cancels out of
+        # the N→4N ratio — the round-2 record was taken at 169 docs/s per
+        # core); the g1 floor only rejects probes suppressed by concurrent
+        # work on this VM, which inflate the ratio artificially
+        if ratio >= 3.2 and g1 >= 25:
             print("WINDOW CERTIFIED — launching scaling run", flush=True)
             r = subprocess.run(
                 [sys.executable, "bench_scaling.py", "--levels", "1,4",
