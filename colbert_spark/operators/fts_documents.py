@@ -3593,15 +3593,64 @@ def _field_index_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return title_idx, body_idx
 
 
+def _field_postings(spark: SparkSession, s, terms: list[str]) -> DataFrame:
+    """(term, doc_id, tf, doclen) rows for the query terms, decoded
+    DISTRIBUTED from a field index's pruned segment scan. Never a
+    driver-side candidate collect: a query term's match set is corpus-scale
+    (`explain`'s candidates contract is top-k-small, so it cannot carry
+    this), while the pruned scan ships only the query terms' blocks and the
+    decode emits posting rows executor-side."""
+    import numpy as np
+    import pandas as pd
+
+    from colbert_spark.index.codec import decode_block
+
+    out_schema = "term string, doc_id long, tf long, doclen long"
+    resolved = s._lookup_terms(sorted(set(terms)))
+    tid2term = {hit[0]: t for t, hit in resolved.items() if hit is not None}
+    if not tid2term:
+        return spark.createDataFrame([], out_schema)
+    prefixed = s.stats.get("segver", 2) >= 3
+    scan = s.pruned_scan(sorted(tid2term)).select(
+        "term_id", "doc_bytes", "tf_bytes", "dl_bytes"
+    )
+    bc = spark.sparkContext.broadcast(tid2term)
+
+    def fn(batches):
+        m = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t_l, d_l, f_l, l_l = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                docs = np.cumsum(decode_block(r.doc_bytes, prefixed))
+                t_l.append(np.full(len(docs), r.term_id, dtype=np.int64))
+                d_l.append(docs)
+                f_l.append(decode_block(r.tf_bytes, prefixed))
+                l_l.append(decode_block(r.dl_bytes, prefixed))
+            if t_l:
+                tid = np.concatenate(t_l)
+                yield pd.DataFrame(
+                    {
+                        "term": [m[int(x)] for x in tid],
+                        "doc_id": np.concatenate(d_l),
+                        "tf": np.concatenate(f_l).astype("int64"),
+                        "doclen": np.concatenate(l_l).astype("int64"),
+                    }
+                )
+
+    return scan.mapInPandas(fn, out_schema)
+
+
 def fts_bm25f_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`fts_bm25f` answered from PER-FIELD segment indexes: each field's
-    (tf, fieldlen) statistics come from its own index via
-    `IndexSearcher.explain` over the field's boolean match set, idf from the
-    MAIN index's catch-all dictionary (term df over whole documents — the
-    copy-to field practice), and the BM25F combination is a declarative
-    join/agg over those slim per-candidate frames. Shares `fts_bm25f`'s
-    oracle, proving per-field stored statistics reproduce a fresh two-field
-    corpus recount."""
+    (tf, fieldlen) statistics decode DISTRIBUTED from that field's pruned
+    segment scan (`_field_postings` — only the query terms' blocks move, no
+    driver-side match-set collect), idf from the MAIN index's catch-all
+    dictionary (term df over whole documents — the copy-to field practice),
+    and the BM25F combination is a declarative join/agg. Shares
+    `fts_bm25f`'s oracle, proving per-field stored statistics reproduce a
+    fresh two-field corpus recount."""
     import json
     import os
 
@@ -3612,16 +3661,12 @@ def fts_bm25f_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     title_idx, body_idx = _field_index_dirs(spark, sf_dir)
     main_idx = _positional_index_dir(spark, sf_dir)
-    queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
+    all_terms = sorted({t for _, q in DOC_QUERIES for t in py_tokenize(q)})
 
     parts = []
     for fld, idx in (("title", title_idx), ("body", body_idx)):
         s = IndexSearcher(spark, idx)
-        cands = s.matching_docs(queries)
-        expl = s.explain(queries, cands).select("qid", "doc_id", "term_id", "tf", "doclen")
-        td = spark.read.parquet(os.path.join(idx, s.stats.get("dict_dir", "term_dict"))).select(
-            "term_id", "term"
-        )
+        posts = _field_postings(spark, s, all_terms)
         back = spark.read.parquet(_index_docs_path(idx)).select(
             F.col("doc_id").alias("idx_doc"),
             F.col("url").cast("long").alias("table_doc"),
@@ -3630,11 +3675,9 @@ def fts_bm25f_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         w, b_f = BM25F_FIELDS[fld], BM25F_B[fld]
         norm = 1.0 - b_f + b_f * F.col("doclen") / F.lit(avg_f)
         parts.append(
-            expl.join(F.broadcast(td), "term_id")
-            .withColumnRenamed("doc_id", "idx_doc")
+            posts.withColumnRenamed("doc_id", "idx_doc")
             .join(back, "idx_doc")
             .select(
-                "qid",
                 "term",
                 F.col("table_doc").alias("doc_id"),
                 (F.lit(w) * F.col("tf") / norm).alias("wtf"),
@@ -3642,7 +3685,7 @@ def fts_bm25f_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     pseudo = (
         parts[0].unionByName(parts[1])
-        .groupBy("qid", "term", "doc_id")
+        .groupBy("term", "doc_id")
         .agg(F.sum("wtf").alias("tfp"))
     )
 
@@ -3664,7 +3707,7 @@ def fts_bm25f_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     k1 = K1_DEFAULT
     contrib = F.col("qtf") * idf * F.col("tfp") * (k1 + 1.0) / (F.col("tfp") + k1)
     agg = (
-        pseudo.join(F.broadcast(qt), ["qid", "term"])
+        pseudo.join(F.broadcast(qt), "term")  # fan one tfp table out per qid
         .join(F.broadcast(main_td), "term")
         .withColumn("contrib", contrib)
         .groupBy("qid", "doc_id")
