@@ -1314,29 +1314,23 @@ def fts_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fts_facets_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`fts_facets` answered from the segment index: the match set comes
+    """`fts_facets` answered WHOLLY from the segment index: the match set
     from `IndexSearcher.matching_docs` (per-bucket union of each query
-    term's decoded postings — no scoring, no top-k cut), mapped back to
-    table doc_ids and joined to the metadata table for counting. Shares the
-    corpus-scan oracle, proving the index's postings reproduce the exact
-    boolean match set."""
-    import os
-
+    term's decoded postings — no scoring, no top-k cut), facet values from
+    the docs sink's STORED FIELDS — zero source-table touches at query time.
+    Shares the corpus-scan oracle, proving both the exact boolean match set
+    and the stored-field round-trip."""
     from colbert_spark.query.wand import IndexSearcher
 
     idx = _positional_index_dir(spark, sf_dir)
     queries = spark.createDataFrame(DOC_QUERIES, "qid long, question string")
     hits = IndexSearcher(spark, idx).matching_docs(queries)
-    back = spark.read.parquet(_index_docs_path(idx)).select(
-        F.col("doc_id").alias("idx_doc"), F.col("url").cast("long").alias("doc_id")
+    sink = spark.read.parquet(_index_docs_path(idx)).select(
+        F.col("doc_id").alias("idx_doc"),
+        F.col("url").cast("long").alias("doc_id"),
+        *FACET_FIELDS,
     )
-    mapped = (
-        hits.withColumnRenamed("doc_id", "idx_doc")
-        .join(back, "idx_doc")
-        .select("qid", "doc_id")
-    )
-    meta = load_table(spark, sf_dir, "documents").select("doc_id", *FACET_FIELDS)
-    joined = mapped.join(meta, "doc_id")
+    joined = hits.withColumnRenamed("doc_id", "idx_doc").join(sink, "idx_doc")
     per_field = [
         joined.groupBy("qid", F.col(f).alias("value"))
         .agg(F.count("*").alias("n_docs"))
