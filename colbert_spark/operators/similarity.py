@@ -588,3 +588,274 @@ QUERIES = {
     "ann_recall_eval": ann_recall_eval,
     "label_centroid_sim": label_centroid_sim,
 }
+
+
+# ---------------------------------------------------------------------------
+# product quantization — the PQ half of the reference's IVFPQ index
+# (faiss IndexIVFPQ m=64, nbits=8: ``colbert/indexing/faiss_indexers.py:
+# 279-286``). The vector splits into PQ_M subspaces; each subvector encodes
+# as its nearest CODEWORD (deterministic codebook — a vec_id-modulus sample,
+# the same no-iterative-training trick as the IVF centroids, so Spark and
+# the SQL oracle derive identical codebooks); a query scores cosine against
+# the RECONSTRUCTION (codewords concatenated) — the ADC approximation.
+# Compression here: 64 float64 dims → PQ_M small codes.
+
+PQ_M = 4  # subspaces
+PQ_SUB = 16  # dims per subspace (PQ_M · PQ_SUB = embedding dim)
+PQ_MOD = 31  # codebook sample: vec_id % PQ_MOD == PQ_RES (K ≈ n/31)
+PQ_RES = 7
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed approximate top-10 by reconstruction cosine. Encode is
+    a zero-shuffle numpy map (one B×K×sub distance tensor per Arrow batch,
+    argmin with smallest-codeword tie-break); scoring reuses the exact
+    kernel over reconstructions. At 10^12 rows the codebook stays a few KB
+    broadcast and the stored index is PQ_M bytes-scale codes per vector —
+    the memory story that makes the reference's IVFPQ fit in RAM."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cb_rows = (
+        emb.filter(
+            (F.col("vec_id") >= N_QUERY_VECS)
+            & (F.col("vec_id") % PQ_MOD == PQ_RES)
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    cb = np.array([r["v"] for r in cb_rows], dtype=np.float64)
+    sub_cbs = [cb[:, m * PQ_SUB:(m + 1) * PQ_SUB].copy() for m in range(PQ_M)]
+    bc = spark.sparkContext.broadcast(sub_cbs)
+
+    def encode(batches):
+        import pandas as pd
+
+        cbs = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            recon = np.empty_like(vmat)
+            for m, cbm in enumerate(cbs):
+                sub = vmat[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+                d2 = ((sub[:, None, :] - cbm[None, :, :]) ** 2).sum(axis=2)
+                # round-9 then argmin: FIRST min ⇒ smallest codeword index,
+                # the oracle's (round(d2,9) ASC, cbid ASC) rank
+                codes = np.round(d2, 9).argmin(axis=1)
+                recon[:, m * PQ_SUB:(m + 1) * PQ_SUB] = cbm[codes]
+            yield pd.DataFrame(
+                {"cand_id": pdf["vec_id"].to_numpy(), "rv": list(recon)}
+            )
+
+    recon = (
+        emb.filter(F.col("vec_id") >= N_QUERY_VECS)
+        .select("vec_id", "v")
+        .mapInPandas(encode, "cand_id long, rv array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = cosine_rerank(
+        recon.crossJoin(F.broadcast(q)).select("qid", "cand_id", "qv", "rv"),
+        "qv", "rv",
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(F.col("sim"), 9)), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "rank", "cand_id", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured PQ quality: recall@k of the reconstruction ranking against
+    the exact float ranking — the same protocol as `ann_recall_eval`."""
+    exact = knn_cosine_topk(spark, sf_dir).select("qid", "cand_id")
+    pq = ann_pq_topk(spark, sf_dir).select("qid", "cand_id")
+    n_exact = exact.groupBy("qid").agg(F.count("*").alias("n_exact"))
+    h = (
+        exact.join(pq, ["qid", "cand_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("hits_pq"))
+    )
+    return (
+        n_exact.join(h, "qid", "left")
+        .select(
+            "qid",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce("hits_pq", F.lit(0)).cast("long").alias("hits_pq"),
+            F.round(
+                F.coalesce("hits_pq", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall_pq_r"),
+        )
+        .orderBy("qid")
+    )
+
+
+ORACLES["ann_pq_topk"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (SELECT vec_id AS cbid, v AS cbv FROM e
+           WHERE vec_id >= {N_QUERY_VECS} AND vec_id % {PQ_MOD} = {PQ_RES}),
+    subs AS (SELECT m FROM range({PQ_M}) t(m)),
+    dists AS (
+      SELECT c.vec_id AS cand_id, s.m, cb.cbid,
+             list_sum(list_transform(range(1, {PQ_SUB + 1}),
+               i -> (c.v[s.m*{PQ_SUB} + i] - cb.cbv[s.m*{PQ_SUB} + i])^2)) AS d2
+      FROM e c CROSS JOIN subs s CROSS JOIN cb
+      WHERE c.vec_id >= {N_QUERY_VECS}),
+    best AS (
+      SELECT cand_id, m, cbid FROM (
+        SELECT cand_id, m, cbid,
+               row_number() OVER (PARTITION BY cand_id, m
+                                  ORDER BY round(d2, 9) ASC, cbid ASC) AS rn
+        FROM dists) WHERE rn = 1),
+    recon AS (
+      SELECT b.cand_id,
+             flatten(list(list_transform(range(1, {PQ_SUB + 1}),
+               i -> cb.cbv[b.m*{PQ_SUB} + i]) ORDER BY b.m)) AS rv
+      FROM best b JOIN cb ON cb.cbid = b.cbid
+      GROUP BY b.cand_id),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERY_VECS}),
+    scored AS (
+      SELECT qid, cand_id,
+             CASE WHEN sqrt(list_sum(list_transform(qv, x -> x*x))) > 0
+                   AND sqrt(list_sum(list_transform(rv, x -> x*x))) > 0
+             THEN list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * rv[i]))
+                  / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+                     * sqrt(list_sum(list_transform(rv, x -> x*x))))
+             ELSE 0.0 END AS sim
+      FROM recon CROSS JOIN q),
+    ranked AS (
+      SELECT qid, cand_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY round(sim, 9) DESC, cand_id) AS rank
+      FROM scored)
+    SELECT qid, rank::BIGINT AS rank, cand_id, round(sim, 6) AS sim_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+ORACLES["ann_pq_recall"] = f"""
+    WITH exact AS (SELECT qid, cand_id FROM ({ORACLES['knn_cosine_topk']}) t),
+    pq AS (SELECT qid, cand_id FROM ({ORACLES['ann_pq_topk']}) t),
+    n_exact AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid),
+    h AS (SELECT e.qid, count(*) AS hits_pq
+          FROM exact e JOIN pq p ON e.qid = p.qid AND e.cand_id = p.cand_id
+          GROUP BY e.qid)
+    SELECT n.qid, n.n_exact::BIGINT AS n_exact,
+           coalesce(h.hits_pq, 0)::BIGINT AS hits_pq,
+           round(coalesce(h.hits_pq, 0) / n.n_exact::DOUBLE, 6) AS recall_pq_r
+    FROM n_exact n LEFT JOIN h USING (qid)
+    ORDER BY n.qid
+"""
+
+QUERIES["ann_pq_topk"] = ann_pq_topk
+QUERIES["ann_pq_recall"] = ann_pq_recall
+
+
+PQ_DEPTH = 50  # PQ shortlist depth before the exact refine (faiss_depth analog)
+
+
+def ann_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL serving shape for a PQ index: ADC ranks a
+    depth-{PQ_DEPTH} shortlist from the compressed codes, then EXACT cosine
+    over the original vectors re-ranks it to top-10 (faiss_depth=512 →
+    re-rank, ``dense_server_client.py:36,111``). Compressed-domain work
+    selects candidates; full-precision work touches only depth·|Q| rows."""
+    import numpy as np
+
+    # shortlist from the PQ (reconstruction) ranking
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cb_rows = (
+        emb.filter(
+            (F.col("vec_id") >= N_QUERY_VECS)
+            & (F.col("vec_id") % PQ_MOD == PQ_RES)
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    cb = np.array([r["v"] for r in cb_rows], dtype=np.float64)
+    sub_cbs = [cb[:, m * PQ_SUB:(m + 1) * PQ_SUB].copy() for m in range(PQ_M)]
+    bc = spark.sparkContext.broadcast(sub_cbs)
+
+    def encode(batches):
+        import pandas as pd
+
+        cbs = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            recon = np.empty_like(vmat)
+            for m, cbm in enumerate(cbs):
+                sub = vmat[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+                d2 = ((sub[:, None, :] - cbm[None, :, :]) ** 2).sum(axis=2)
+                codes = np.round(d2, 9).argmin(axis=1)
+                recon[:, m * PQ_SUB:(m + 1) * PQ_SUB] = cbm[codes]
+            yield pd.DataFrame(
+                {"cand_id": pdf["vec_id"].to_numpy(), "rv": list(recon)}
+            )
+
+    recon = (
+        emb.filter(F.col("vec_id") >= N_QUERY_VECS)
+        .select("vec_id", "v")
+        .mapInPandas(encode, "cand_id long, rv array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    adc = cosine_rerank(
+        recon.crossJoin(F.broadcast(q)).select("qid", "cand_id", "qv", "rv"),
+        "qv", "rv",
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(F.col("sim"), 9)), F.asc("cand_id")
+    )
+    shortlist = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_DEPTH)
+        .select("qid", "cand_id")
+    )
+    # exact refine over the shortlist only
+    cands = shortlist.join(
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")),
+        "cand_id",
+    ).join(F.broadcast(q), "qid")
+    exact = cosine_rerank(cands.select("qid", "cand_id", "qv", "cv"), "qv", "cv")
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "rank", "cand_id", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+ORACLES["ann_pq_refine"] = f"""
+    WITH pq_ranked AS (
+      SELECT qid, cand_id
+      FROM ({ORACLES['ann_pq_topk'].replace(f'WHERE rank <= {TOPK}', f'WHERE rank <= {PQ_DEPTH}')}) t),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERY_VECS}),
+    c AS (SELECT vec_id AS cand_id, v AS cv FROM e WHERE vec_id >= {N_QUERY_VECS}),
+    scored AS (
+      SELECT p.qid, p.cand_id,
+             CASE WHEN sqrt(list_sum(list_transform(qv, x -> x*x))) > 0
+                   AND sqrt(list_sum(list_transform(cv, x -> x*x))) > 0
+             THEN list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i]))
+                  / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+                     * sqrt(list_sum(list_transform(cv, x -> x*x))))
+             ELSE 0.0 END AS sim
+      FROM pq_ranked p JOIN c USING (cand_id) JOIN q USING (qid)),
+    ranked AS (
+      SELECT qid, cand_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY round(sim, 9) DESC, cand_id) AS rank
+      FROM scored)
+    SELECT qid, rank::BIGINT AS rank, cand_id, round(sim, 6) AS sim_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+QUERIES["ann_pq_refine"] = ann_pq_refine

@@ -99,3 +99,23 @@ def test_cli_roundtrip(tmp_path, spark):
     assert main(["index", "--input", wp, "--output", idx, "--bucket-size", "100"]) == 0
     qf.write_text("term00001 term00002\n")
     assert main(["query", "--index", idx, "--questions", str(qf), "--k", "5"]) == 0
+
+
+def test_pq_refine_improves_on_raw_adc(spark):
+    """PQ sanity: the exact-refine stage must not hurt — refined recall@10 vs
+    the exact ranking ≥ raw ADC recall, and both are measured (the
+    scale-path-needs-a-recall-number rule). Depth is the recall dial."""
+    from colbert_spark.operators.similarity import (
+        ann_pq_refine,
+        ann_pq_topk,
+        knn_cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {(r["qid"], r["cand_id"]) for r in knn_cosine_topk(spark, sf).collect()}
+    raw = {(r["qid"], r["cand_id"]) for r in ann_pq_topk(spark, sf).collect()}
+    ref = {(r["qid"], r["cand_id"]) for r in ann_pq_refine(spark, sf).collect()}
+    r_raw = len(exact & raw) / len(exact)
+    r_ref = len(exact & ref) / len(exact)
+    assert r_ref >= r_raw
+    assert r_ref > 0
