@@ -3844,3 +3844,70 @@ def fts_stored_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["fts_stored_sort"] = ORACLES["fts_sort_by_attr"]
 QUERIES["fts_stored_sort"] = fts_stored_sort
+
+
+# ---------------------------------------------------------------------------
+# prefix autocomplete — search-as-you-type (Lucene suggest/completion): each
+# typed prefix completes to the top-COMPLETE_K vocabulary terms ranked by
+# (df DESC, term ASC). The index path is DICTIONARY-ONLY (no postings touch);
+# at scale the sorted dictionary range-scans the prefix slice.
+
+COMPLETE_PREFIXES = [(0, "s"), (1, "qu"), (2, "c"), (3, "zz")]  # zz → no rows
+COMPLETE_K = 3
+
+
+def fts_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix completion by corpus scan: exact-semantics oracle for
+    `fts_complete_index`."""
+    docs = _docs(spark, sf_dir)
+    posts = (
+        docs.select("doc_id", F.explode(F.array_distinct("terms")).alias("term"))
+    )
+    tstats = posts.groupBy("term").agg(F.count("*").alias("df"))
+    qp = spark.createDataFrame(COMPLETE_PREFIXES, "qid long, prefix string")
+    cand = tstats.join(F.broadcast(qp), tstats.term.startswith(qp.prefix))
+    w = Window.partitionBy("qid").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= COMPLETE_K)
+        .select("qid", "prefix", "rank", "term", F.col("df").cast("long").alias("df"))
+        .orderBy("qid", "rank")
+    )
+
+
+def fts_complete_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_complete` answered from the index's term DICTIONARY alone —
+    zero postings decode, the completion-suggester serving shape. Shares
+    the scan oracle (the df compare re-proves the committed dictionary)."""
+    import os
+
+    idx = _positional_index_dir(spark, sf_dir)
+    td = spark.read.parquet(os.path.join(idx, "term_dict")).select("term", "df")
+    qp = spark.createDataFrame(COMPLETE_PREFIXES, "qid long, prefix string")
+    cand = td.join(F.broadcast(qp), td.term.startswith(qp.prefix))
+    w = Window.partitionBy("qid").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= COMPLETE_K)
+        .select("qid", "prefix", "rank", "term", F.col("df").cast("long").alias("df"))
+        .orderBy("qid", "rank")
+    )
+
+
+_COMPLETE_VALUES = ", ".join(f"({q}, '{p}')" for q, p in COMPLETE_PREFIXES)
+
+ORACLES["fts_complete"] = f"""
+    WITH qp(qid, prefix) AS (VALUES {_COMPLETE_VALUES}),
+    tok AS (SELECT DISTINCT doc_id, unnest({_TOK}) AS term FROM documents),
+    df AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+    cand AS (
+      SELECT qp.qid, qp.prefix, df.term, df.df,
+             row_number() OVER (PARTITION BY qp.qid ORDER BY df.df DESC, df.term) AS rank
+      FROM qp JOIN df ON df.term LIKE qp.prefix || '%')
+    SELECT qid, prefix, rank::BIGINT AS rank, term, df::BIGINT AS df
+    FROM cand WHERE rank <= {COMPLETE_K}
+"""
+
+ORACLES["fts_complete_index"] = ORACLES["fts_complete"]
+QUERIES["fts_complete"] = fts_complete
+QUERIES["fts_complete_index"] = fts_complete_index
