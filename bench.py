@@ -176,6 +176,38 @@ def main() -> None:
             timings[name] = min(reps)
         psearch.close()
 
+        # sharded build + merge (index/merge.py, Lucene addIndexes) and
+        # scatter-gather federation (sharded_bm25_topk). The two half-corpus
+        # builds are INPUT PREP (untimed); timed work = the merge's one
+        # decode→re-encode exchange, and the federated 100q batch.
+        from pyspark.sql import functions as F
+
+        from colbert_spark.index.merge import merge_indexes
+        from colbert_spark.query.wand import sharded_bm25_topk
+
+        shard_a, shard_b = os.path.join(work, "shard_a"), os.path.join(work, "shard_b")
+        bs = max(2 * n_corpus // cpus, 500)
+        build_index(spark, corpus.filter(F.crc32("url") % 2 == 0), shard_a, bucket_size=bs)
+        build_index(spark, corpus.filter(F.crc32("url") % 2 == 1), shard_b, bucket_size=bs)
+        merge_reps = []
+        for i in range(2):
+            t0 = time.perf_counter()
+            st = merge_indexes(
+                spark, [shard_a, shard_b], os.path.join(work, f"merged{i}"),
+                bucket_size=bs,
+            )
+            merge_reps.append(time.perf_counter() - t0)
+            assert st["N"] == n_corpus
+        timings["index_merge"] = min(merge_reps)
+        extra["merge_docs_per_sec"] = round(n_corpus / timings["index_merge"], 1)
+
+        sharded_reps = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            assert sharded_bm25_topk(spark, [shard_a, shard_b], queries, k=100).count() > 0
+            sharded_reps.append(time.perf_counter() - t0)
+        timings["bm25_sharded_100q"] = min(sharded_reps)
+
         for name, fn in [
             ("bm25_dataframe", fts_bm25_topk),
             ("tpch_q1", tpch_q1_pricing_summary),
