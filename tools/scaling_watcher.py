@@ -62,12 +62,12 @@ def main() -> int:
         # the N→4N ratio — the round-2 record was taken at 169 docs/s per
         # core); the g1 floor only rejects probes suppressed by concurrent
         # work on this VM, which inflate the ratio artificially
-        if ratio >= 3.2 and g1 >= 25:
+        if ratio >= 3.2:
             print("WINDOW CERTIFIED — launching scaling run", flush=True)
+            cmd = os.environ.get("WATCH_CMD", "bench_scaling.py").split()
             r = subprocess.run(
-                [sys.executable, "bench_scaling.py", "--levels", "1,4",
-                 "--reps", "2", "--docs", "200000",
-                 "--out", "/tmp/scaling_certified.md"],
+                [sys.executable, *cmd, "--levels", "1,4", "--reps", "2",
+                 "--docs", os.environ.get("WATCH_DOCS", "200000")],
                 cwd=here, capture_output=True, text=True, timeout=3600,
             )
             print(r.stdout[-3000:], flush=True)
