@@ -1158,6 +1158,16 @@ def append_index(
     # docs_dir (bound above) is a stats.json pointer after an expunging
     # compaction
 
+    docs_out = docs.select("doc_id", "url", "doclen", *_stored)
+    # pin EVERY column (stored included) to the Arrow type Spark's schema
+    # dictates, matching the base build's Spark-written parquet: a stored
+    # numeric column with nulls arrives in pandas as float64 and would
+    # otherwise land as double next to the base epoch's int64 files, breaking
+    # subsequent reads of the docs directory
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    _arrow_types = [(f.name, to_arrow_type(f.dataType)) for f in docs_out.schema]
+
     def _docs_writer(batches):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -1172,22 +1182,16 @@ def append_index(
         tmp = os.path.join(docs_dir, f".p{pid:06d}.e{epoch}.{os.getpid()}.tmp")
         final = os.path.join(docs_dir, f"p{pid:06d}.e{epoch}.parquet")
         tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-        # pin the core trio's types to the base build's sink schema; stored
-        # columns keep the stable Arrow types Spark's schema dictates
-        for name, typ in (
-            ("doc_id", pa.int64()),
-            ("url", pa.string()),
-            ("doclen", pa.int32()),
-        ):
+        for name, typ in _arrow_types:
             i = tbl.schema.get_field_index(name)
             tbl = tbl.set_column(i, name, tbl[name].cast(typ))
         pq.write_table(tbl, tmp)
         os.replace(tmp, final)
         yield pd.DataFrame({"n": [len(pdf)]})
 
-    docs.select("doc_id", "url", "doclen", *_stored).repartition(
-        p_shuffle, "doc_id"
-    ).mapInPandas(_docs_writer, "n long").count()
+    docs_out.repartition(p_shuffle, "doc_id").mapInPandas(
+        _docs_writer, "n long"
+    ).count()
     docs.unpersist()
 
     # THE commit: one atomic stats.json replace

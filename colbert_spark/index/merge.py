@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -112,6 +113,26 @@ def merge_indexes(
     """Fuse ≥2 indexes into a fresh index at `out_dir` (epoch history
     collapses to a single baseline, exactly like Lucene's addIndexes)."""
     assert len(index_dirs) >= 2, "merge needs at least two indexes"
+    # crash/retry safety (mirrors compact_index's new_dir wipe): the encode
+    # kernel writes task-local files and load_index reads EVERY parquet under
+    # segments/, so a retried crashed merge — or a re-run into the same
+    # --output under a different shuffle partition count — would leave stale
+    # files that silently duplicate postings. Refuse in-place merges, then
+    # start from a clean slate.
+    out_real = os.path.realpath(out_dir)
+    for d in index_dirs:
+        if os.path.realpath(d) == out_real:
+            raise ValueError(
+                f"merge output {out_dir!r} is also an input: merging in place "
+                "would overwrite segments while reading them"
+            )
+    for sub in ("segments", "manifest", "docs", "term_dict", "epoch_stats"):
+        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+    for fname in ("stats.json", ".stats.json.tmp"):
+        try:
+            os.remove(os.path.join(out_dir, fname))
+        except FileNotFoundError:
+            pass
     loaded = [load_index(spark, d) for d in index_dirs]
     stats_l = [s for (_, _, s) in loaded]
     s0 = stats_l[0]
@@ -133,14 +154,19 @@ def merge_indexes(
     tshards = int(tshards or s0["tshards"])
     k1, b = float(s0["k1"]), float(s0["b"])
 
-    # doc-id re-base offsets (Lucene's per-reader docBase)
+    # doc-id re-base offsets (Lucene's per-reader docBase). N is the doc-ID
+    # BOUND, not the live count: an expunged input (delete → compact with
+    # expunge_deletes) keeps its id space (holes where deleted docs were) and
+    # records the live count in `live_docs` — re-base on N, count on live.
     bases, acc = [], 0
     for s in stats_l:
         bases.append(acc)
         acc += int(s["N"])
-    n_docs = acc
-    total_cf = sum(int(s["total_cf"]) for s in stats_l)
-    avgdl = total_cf / n_docs if n_docs else 0.0
+    n_docs = acc  # merged id bound = Σ input bounds
+    live_l = [int(s.get("live_docs", s["N"])) for s in stats_l]
+    n_live = sum(live_l)
+    total_cf = sum(int(s["total_cf"]) for s in stats_l)  # live cf post-expunge
+    avgdl = total_cf / n_live if n_live else 0.0
 
     # docs sink: union with shifted ids; enforce the disjoint-url contract
     docs_parts = []
@@ -162,11 +188,12 @@ def merge_indexes(
     row = docs.agg(
         F.count("*").alias("n"), F.count_distinct("url").alias("u")
     ).collect()[0]
-    if int(row["n"]) != n_docs or int(row["u"]) != n_docs:
+    # an expunged input's docs sink holds live rows only → compare to n_live
+    if int(row["n"]) != n_live or int(row["u"]) != n_live:
         docs.unpersist()
         raise ValueError(
             f"cannot merge: urls must be globally unique across inputs "
-            f"(docs={row['n']}, distinct urls={row['u']}, expected {n_docs})"
+            f"(docs={row['n']}, distinct urls={row['u']}, expected {n_live})"
         )
 
     # merged dictionary: union vocab, SUMMED df/cf (disjoint doc spaces),
@@ -234,6 +261,7 @@ def merge_indexes(
 
     stats = {
         "N": n_docs,
+        **({"live_docs": n_live} if n_live != n_docs else {}),
         "avgdl": avgdl,
         "total_cf": total_cf,
         "n_terms": n_terms,
@@ -270,7 +298,9 @@ def merge_indexes(
         )
         .withColumn("status", F.lit("done"))
         .withColumn("built_at", F.lit(built_at))
-        .write.mode("append")
+        # overwrite, not append: a retried merge must not stack a second
+        # manifest generation on top of a crashed attempt's
+        .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "manifest"))
     )
     with open(os.path.join(out_dir, "stats.json"), "w") as f:

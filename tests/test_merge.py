@@ -126,3 +126,111 @@ def test_positional_merge_preserves_phrases(spark, tmp_path):
     }
     got = sorted(urls[r["doc_id"]] for r in hits)
     assert got == ["a0", "b0"]  # adjacency preserved; "hash there join" is not a hit
+
+
+def test_merge_refuses_in_place_output(spark, tmp_path):
+    import pandas as pd
+
+    pages = pd.DataFrame({"url": ["u0"], "text": ["hash join"]})
+    pages2 = pd.DataFrame({"url": ["u1"], "text": ["sort merge"]})
+    a, b_ = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(spark, spark.createDataFrame(pages), a, bucket_size=1)
+    build_index(spark, spark.createDataFrame(pages2), b_, bucket_size=1)
+    with pytest.raises(ValueError, match="in place"):
+        merge_indexes(spark, [a, b_], a)
+
+
+def test_merge_retry_into_same_output_is_clean(spark, tmp_path):
+    """A re-run (or crash-retry) of merge into the SAME out_dir — even under
+    a different shuffle partition count, which renames every task-local
+    segment file — must wipe the first attempt's files instead of stacking
+    duplicate postings next to them (the hazard ADVICE flagged: load_index
+    reads every parquet under segments/)."""
+    import pandas as pd
+
+    from colbert_spark.index.inspect import index_fsck
+
+    p1 = pd.DataFrame(
+        {"url": [f"a{i}" for i in range(6)],
+         "text": ["fast hash join"] * 3 + ["slow table scan"] * 3}
+    )
+    p2 = pd.DataFrame(
+        {"url": [f"b{i}" for i in range(6)],
+         "text": ["hash join wins"] * 3 + ["index seek"] * 3}
+    )
+    a, b_ = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(spark, spark.createDataFrame(p1), a, bucket_size=4)
+    build_index(spark, spark.createDataFrame(p2), b_, bucket_size=4)
+    out = str(tmp_path / "m")
+    old_p = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        merge_indexes(spark, [a, b_], out)
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        stats = merge_indexes(spark, [a, b_], out)  # the retry
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_p)
+    assert index_fsck(spark, out, deep=True)["ok"]
+    q = spark.createDataFrame([(0, "hash join")], "qid long, question string")
+    rows = bm25_topk_segments(spark, out, q, k=12).collect()
+    assert len(rows) == 6  # every doc containing hash or join, exactly once
+    assert stats["N"] == 12
+    # manifest holds exactly one generation (mode=overwrite, not append)
+    import pyspark.sql.functions as F
+
+    man = spark.read.parquet(out + "/manifest")
+    assert man.groupBy("bucket").count().agg(F.max("count")).collect()[0][0] == 1
+
+
+def test_merge_after_expunge_counts_live_docs(
+    spark, tiny_corpus, tiny_queries, tmp_path_factory
+):
+    """The delete → expunge → merge workflow the merge docstring prescribes:
+    an expunged input has live_docs < N (holes in its id space). Merge must
+    (a) accept it, (b) re-base on the id BOUND N, (c) compute avgdl/idf from
+    LIVE counts — so the merged index scores identically to a fresh build
+    over the surviving corpus."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from colbert_spark.index.compact import compact_index
+    from colbert_spark.index.delete import delete_docs
+
+    base = tmp_path_factory.mktemp("merge_expunge")
+    # doc_ids are dense-ranked by url: sort so positional indices == doc_ids
+    pdf = tiny_corpus.sort_values("url").reset_index(drop=True)
+    half = len(pdf) // 2
+    a, b_ = str(base / "a"), str(base / "b")
+    build_index(spark, spark.createDataFrame(pdf.iloc[:half]), a, bucket_size=97)
+    build_index(spark, spark.createDataFrame(pdf.iloc[half:]), b_, bucket_size=97)
+    dead = list(range(0, half, 5))
+    delete_docs(spark, a, spark.createDataFrame([(d,) for d in dead], "doc_id long"))
+    st_a = compact_index(spark, a, expunge_deletes=True)
+    assert st_a["live_docs"] == half - len(dead)
+
+    merged = str(base / "merged")
+    stats = merge_indexes(spark, [a, b_], merged, bucket_size=97)
+    assert stats["N"] == len(pdf)  # id bound: Σ input N, holes included
+    assert stats["live_docs"] == len(pdf) - len(dead)
+    assert math.isclose(stats["avgdl"], stats["total_cf"] / stats["live_docs"])
+
+    # oracle: fresh build over the survivors
+    surv = pd.concat(
+        [pdf.iloc[:half].drop(index=dead), pdf.iloc[half:]], ignore_index=True
+    )
+    fresh = str(base / "fresh")
+    build_index(spark, spark.createDataFrame(surv), fresh, bucket_size=97)
+    q = spark.createDataFrame(tiny_queries[:15])
+    got = bm25_topk_segments(spark, merged, q, k=10).collect()
+    want = bm25_topk_segments(spark, fresh, q, k=10).collect()
+    murl = {r["doc_id"]: r["url"]
+            for r in spark.read.parquet(merged + "/docs").collect()}
+    furl = {r["doc_id"]: r["url"]
+            for r in spark.read.parquet(fresh + "/docs").collect()}
+    kg = sorted((r["qid"], r["rank"], murl[r["doc_id"]], round(r["score"], 9))
+                for r in got)
+    kw = sorted((r["qid"], r["rank"], furl[r["doc_id"]], round(r["score"], 9))
+                for r in want)
+    assert kg == kw and kg

