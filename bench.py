@@ -208,6 +208,39 @@ def main() -> None:
             sharded_reps.append(time.perf_counter() - t0)
         timings["bm25_sharded_100q"] = min(sharded_reps)
 
+        # 4-shard federation over the SAME corpus: with the concurrent
+        # scatter, doubling the shard count must NOT double the wall —
+        # latency is max(shard), not Σ(shard). Quarter-corpus shards are
+        # input prep (untimed).
+        quads = [os.path.join(work, f"shard4_{i}") for i in range(4)]
+        for i, d4 in enumerate(quads):
+            build_index(
+                spark, corpus.filter(F.crc32("url") % 4 == i), d4,
+                bucket_size=bs,
+            )
+        sharded4_reps = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            assert sharded_bm25_topk(spark, quads, queries, k=100).count() > 0
+            sharded4_reps.append(time.perf_counter() - t0)
+        timings["bm25_sharded4_100q"] = min(sharded4_reps)
+
+        # point-serving federation: resident 2-shard service, 100 questions
+        # one at a time (cold pass then hot pass; hot = zero Spark jobs)
+        from colbert_spark.query.wand import ShardedSearcher
+
+        svc = ShardedSearcher(spark, [shard_a, shard_b])
+        qlist = list(synth_queries(100)["question"])
+        t0 = time.perf_counter()
+        for q in qlist:
+            svc.search_point(q, k=10)
+        extra["sharded_point_cold_100q_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        for q in qlist:
+            svc.search_point(q, k=10)
+        timings["sharded_point_hot_100q"] = time.perf_counter() - t0
+        svc.close()
+
         for name, fn in [
             ("bm25_dataframe", fts_bm25_topk),
             ("tpch_q1", tpch_q1_pricing_summary),

@@ -3814,6 +3814,39 @@ ORACLES["fts_sharded_search"] = ORACLES["fts_bm25_topk"]
 QUERIES["fts_sharded_search"] = fts_sharded_search
 
 
+def fts_sharded_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship BM25 by the POINT-SERVING federation
+    (`query/wand.py:ShardedSearcher.search_point`): one resident service
+    over the two half-corpus shards, each question fanned out CONCURRENTLY
+    to the shards' driver-side point paths and merged by (score, url).
+    Shares `fts_bm25_topk`'s oracle, so the value-hash compare proves the
+    production serving shape (concurrent scatter + resident caches) is
+    exactly the batch federation's ranking — the reference's resident
+    server (``dense_server_client.py:21-66``) generalized to N shards."""
+    from colbert_spark.query.wand import ShardedSearcher
+
+    a, b_ = _shard_index_dirs(spark, sf_dir)
+    svc = ShardedSearcher(spark, [a, b_])
+    try:
+        rows = []
+        for qid, q in DOC_QUERIES:
+            pt = svc.search_point(q, k=TOPK + 5)
+            rows.extend(
+                (int(qid), int(r.url), float(r.score)) for r in pt.itertuples()
+            )
+    finally:
+        svc._pool.shutdown(wait=True)
+    if not rows:
+        hits = spark.createDataFrame([], "qid long, doc_id long, score double")
+    else:
+        hits = spark.createDataFrame(rows, "qid long, doc_id long, score double")
+    return _rank_topk(hits)
+
+
+ORACLES["fts_sharded_point"] = ORACLES["fts_bm25_topk"]
+QUERIES["fts_sharded_point"] = fts_sharded_point
+
+
 def fts_stored_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`fts_sort_by_attr` served WHOLLY from the index: the match set from
     `matching_docs` and the sort attribute from the docs sink's STORED

@@ -68,7 +68,9 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from collections import OrderedDict
+from concurrent.futures import ThreadPoolExecutor
 from typing import NamedTuple
 
 import numpy as np
@@ -824,6 +826,23 @@ class IndexSearcher:
         # batches above this row count resolve via distributed JVM
         # tokenization (driver never holds the question strings)
         self.resolve_collect_max: int = 10_000
+        # point-path guard: estimated compressed bytes a single
+        # `_fetch_blocks` may collect to the driver. A web-scale head term
+        # (df 10^9-10^10) would be tens of GB at on-disk density — above
+        # this bound `search_point` degrades to the distributed `search()`
+        # path instead (the same pattern as the large-tombstone fallback)
+        self.point_fetch_max_bytes: int = 256 << 20
+        # doc_id → url LRU for point-serving result resolution (sharded
+        # federation's cross-shard key); misses are one pushed isin filter
+        # on the docs sink, never a full-table collect
+        self._url_cache: OrderedDict[int, str] = OrderedDict()
+        self.url_cache_max: int = 1 << 20
+        self._docs_df: DataFrame | None = None
+        # guards every driver-resident cache (_term_cache, _block_cache,
+        # _point_tbs, _point_budget, _url_cache) so a resident server can
+        # answer overlapping clients from threads — the reference's Listener
+        # accept loop (dense_server_client.py:21-66) implies concurrency
+        self._point_lock = threading.RLock()
 
     def with_global_stats(
         self, n_docs: int, avgdl: float, df_map: dict[str, int]
@@ -834,15 +853,34 @@ class IndexSearcher:
         sound: block max_unit inflation already covers any avgdl ≥ the
         encode-time value, and unit scores are monotone in avgdl so a
         smaller global avgdl only loosens the stored bound."""
-        self.stats = dict(self.stats)
-        self.stats["avgdl"] = float(avgdl)
-        self.stats["live_docs"] = int(n_docs)  # idf reads live_docs ?? N
-        self._df_over = dict(df_map)
-        # idf is baked into cached decoded terms and resolved-term LRUs built
-        # under the OLD prices — drop them
-        self._point_tbs = {}
-        self._point_budget = None
+        with self._point_lock:
+            self.stats = dict(self.stats)
+            self.stats["avgdl"] = float(avgdl)
+            self.stats["live_docs"] = int(n_docs)  # idf reads live_docs ?? N
+            self._df_over = dict(df_map)
+            # idf is baked into cached decoded terms and resolved-term LRUs
+            # built under the OLD prices — drop them
+            self._point_tbs = {}
+            self._point_budget = None
         return self
+
+    def update_global_df(self, df_updates: dict[str, int]) -> None:
+        """Merge new terms into the cross-shard df override WITHOUT dropping
+        the point path's decoded-term caches wholesale (`with_global_stats`
+        must — it reprices everything). A resident `ShardedSearcher` resolves
+        each term's global df exactly once (shard snapshots are immutable, so
+        a summed df can never change); only a term whose price actually moved
+        has its baked-idf cache entry invalidated."""
+        with self._point_lock:
+            if self._df_over is None:
+                self._df_over = {}
+            for t, df in df_updates.items():
+                if self._df_over.get(t) == df:
+                    continue
+                self._df_over[t] = df
+                hit = self._term_cache.get(t)
+                if hit is not None:
+                    self._point_tbs.pop(hit[0], None)
 
     def warm(self) -> "IndexSearcher":
         if self._warm is None:
@@ -906,13 +944,14 @@ class IndexSearcher:
         distributed)."""
         out: dict[str, tuple[int, int] | None] = {}
         missing: list[str] = []
-        cache = self._term_cache
-        for t in terms:
-            if t in cache:
-                cache.move_to_end(t)
-                out[t] = cache[t]
-            else:
-                missing.append(t)
+        with self._point_lock:
+            cache = self._term_cache
+            for t in terms:
+                if t in cache:
+                    cache.move_to_end(t)
+                    out[t] = cache[t]
+                else:
+                    missing.append(t)
         if missing:
             self._dict_lookup_jobs += 1
             rows = (
@@ -923,25 +962,56 @@ class IndexSearcher:
             found = {
                 r["term"]: (int(r["term_id"]), int(r["df"])) for r in rows
             }
-            for t in missing:
-                v = found.get(t)
-                out[t] = v
-                cache[t] = v
-                if len(cache) > self.term_cache_max:
-                    cache.popitem(last=False)
+            with self._point_lock:
+                for t in missing:
+                    v = found.get(t)
+                    out[t] = v
+                    cache[t] = v
+                    if len(cache) > self.term_cache_max:
+                        cache.popitem(last=False)
+        return out
+
+    def _lookup_urls(self, doc_ids: list[int]) -> dict[int, str]:
+        """doc_id → url through an LRU over the docs sink — the federation
+        point path's result-resolution step (url is the cross-shard document
+        key). Misses are one pushed `isin` filter over the (bounded, k·|Q|)
+        id set; a cache-hot repeat query schedules no job."""
+        out: dict[int, str] = {}
+        missing: list[int] = []
+        with self._point_lock:
+            for d in doc_ids:
+                if d in self._url_cache:
+                    self._url_cache.move_to_end(d)
+                    out[d] = self._url_cache[d]
+                else:
+                    missing.append(d)
+            if self._docs_df is None and missing:
+                self._docs_df = self.spark.read.parquet(
+                    os.path.join(
+                        self.index_dir, self.stats.get("docs_dir", "docs")
+                    )
+                ).select("doc_id", "url")
+        if missing:
+            rows = self._docs_df.filter(
+                F.col("doc_id").isin(missing)
+            ).collect()
+            with self._point_lock:
+                for r in rows:
+                    u = r["url"]
+                    out[int(r["doc_id"])] = u
+                    self._url_cache[int(r["doc_id"])] = u
+                    if len(self._url_cache) > self.url_cache_max:
+                        self._url_cache.popitem(last=False)
         return out
 
     def _resolve_batch_distributed(self, queries: DataFrame, has_exclude: bool):
         """Large-batch resolution (the pre-point-path shape): tokenize in
         the JVM (codegen, distributed), count per-qid grammar tokens with a
         partial-agg groupBy, join the dictionary with an AQE-planned join,
-        and collect ONLY the slim (qid, term_id, qtf, df[, neg]) rows plus
-        a |Q|-row token-count table — never the question strings."""
-        if self._df_over is not None:
-            raise ValueError(
-                "global-stats override (sharded search) requires driver-side "
-                "resolution: batch must be ≤ resolve_collect_max rows"
-            )
+        and collect ONLY the slim (qid, term, term_id, qtf, df[, neg]) rows
+        plus a |Q|-row token-count table — never the question strings. A
+        cross-shard df override (`_df_over`, sharded federation) is applied
+        driver-side to the collected slim rows by term."""
         from colbert_spark.functions.analyzer import analyze_terms_col
         from colbert_spark.functions.tokenizer import tokens_col
 
@@ -975,7 +1045,7 @@ class IndexSearcher:
             qt = qt.unionByName(negs)
         rows = (
             self.term_dict.join(qt, "term")
-            .select("qid", "term_id", "qtf", "df", "neg")
+            .select("qid", "term", "term_id", "qtf", "df", "neg")
             .collect()
         )
         if not rows:
@@ -988,6 +1058,8 @@ class IndexSearcher:
             tid = int(r["term_id"])
             if tid not in idf_map:
                 df = int(r["df"])
+                if self._df_over is not None:
+                    df = self._df_over.get(r["term"], df)
                 idf_map[tid] = float(
                     np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
                 )
@@ -1239,14 +1311,29 @@ class IndexSearcher:
             )
         )
 
-    def _fetch_blocks(self, term_ids: list[int]) -> None:
+    def _fetch_blocks(
+        self, term_ids: list[int], df_by_tid: dict[int, int] | None = None
+    ) -> bool:
         """Pull the block rows of `term_ids` into the driver-side point LRU.
         One `toPandas` collect for the MISSING terms — the only Spark job a
         point query can schedule; a cache-hot query schedules none. The
         collected bytes are the terms' compressed payloads (on-disk density,
         ~5-7 B/posting), NOT decoded postings, so even a df=10^6 head term
-        costs single-digit MB."""
+        costs single-digit MB.
+
+        Bounded: with `df_by_tid` (the dictionary df the caller already
+        resolved), the fetch size is ESTIMATED before collecting — df ×
+        ~10 B/posting (compressed payload + block-row overhead, a deliberate
+        over-estimate). If the missing terms would exceed
+        `point_fetch_max_bytes` (a web-scale head term: df 10^9 ≈ 10 GB),
+        returns False WITHOUT collecting — the caller degrades to the
+        distributed `search()` path, where that term's postings stream
+        through executors instead of the driver."""
         missing = [t for t in term_ids if t not in self._block_cache]
+        if missing and df_by_tid is not None:
+            est = sum(10 * int(df_by_tid.get(t, 0)) for t in missing)
+            if est > self.point_fetch_max_bytes:
+                return False
         if missing:
             self._block_fetch_jobs += 1
             cols = [
@@ -1282,6 +1369,7 @@ class IndexSearcher:
             _, nb = self._block_cache.pop(victim)
             self._block_cache_bytes -= nb
             self._point_tbs.pop(victim, None)
+        return True
 
     def search_point(self, question: str, k: int = 10,
                      exclude: str | None = None) -> pd.DataFrame:
@@ -1307,13 +1395,23 @@ class IndexSearcher:
                 "score": pd.Series([], dtype="float64"),
             }
         )
-        if self._tomb_df is not None:
-            qdf = self.spark.createDataFrame(
-                [(0, question)] , "qid long, question string"
-            )
+        def _distributed_fallback() -> pd.DataFrame:
+            # exact degrade path: one distributed search() — used when the
+            # mask must stay distributed (large tombstone set) or a head
+            # term's postings are too big to collect (`_fetch_blocks` bound)
+            if exclude:
+                qdf = self.spark.createDataFrame(
+                    [(0, question, exclude)],
+                    "qid long, question string, exclude string",
+                )
+            else:
+                qdf = self.spark.createDataFrame(
+                    [(0, question)], "qid long, question string"
+                )
             rows = self.search(qdf, k=k).collect()
             if not rows:
                 return empty
+            rows.sort(key=lambda r: r["rank"])
             return pd.DataFrame(
                 {
                     "rank": [r["rank"] for r in rows],
@@ -1321,6 +1419,9 @@ class IndexSearcher:
                     "score": [r["score"] for r in rows],
                 }
             )
+
+        if self._tomb_df is not None:
+            return _distributed_fallback()
         from collections import Counter
 
         from colbert_spark.functions.analyzer import py_analyze
@@ -1348,16 +1449,36 @@ class IndexSearcher:
             resolved[t][0] for t in neg if resolved.get(t) is not None
         )
         idf_map = {}
+        df_by_tid: dict[int, int] = {}
         for t, hit in resolved.items():
             if hit is not None:
                 tid, df = hit
                 if self._df_over is not None:
                     df = self._df_over.get(t, df)
+                df_by_tid[tid] = int(df)
                 idf_map[tid] = float(
                     np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
                 )
         all_ids = sorted(set(tids.tolist()) | set(neg_tids))
-        self._fetch_blocks(all_ids)
+        # one lock spans fetch → decode-cache build → scoring: concurrent
+        # clients see consistent LRUs and a shared _DecodeBudget (driver
+        # numpy is GIL-bound anyway; the win of threads is overlapping the
+        # SPARK jobs of cold queries, which release the lock's owner quickly
+        # on the hot path)
+        with self._point_lock:
+            if not self._fetch_blocks(all_ids, df_by_tid):
+                pass  # head term too big to collect — degrade below
+            else:
+                return self._score_point_locked(
+                    all_ids, tids, qtfs, neg_tids, idf_map, k, empty
+                )
+        return _distributed_fallback()
+
+    def _score_point_locked(
+        self, all_ids, tids, qtfs, neg_tids, idf_map, k, empty
+    ) -> pd.DataFrame:
+        """Driver-numpy scoring over the resident block cache (lock held by
+        caller): identical kernels to the distributed dense pass."""
         k1, b, avgdl = (
             self.stats["k1"], self.stats["b"], self.stats["avgdl"],
         )
@@ -1702,67 +1823,225 @@ def bm25_topk_segments(
     return IndexSearcher(spark, index_dir, as_of_epoch=as_of_epoch).search(queries, k)
 
 
+class ShardedSearcher:
+    """Resident scatter-gather service across INDEPENDENT shard indexes with
+    GLOBAL statistics — serving's dual of `index/merge.py` (which fuses the
+    data; this fuses only the query). The reference serves one resident
+    index (``dense_server_client.py:21-66``); N shards is its only
+    scale-out, and this IS the 10^12-doc serving architecture.
+
+    Protocol (exact, not approximate):
+      1. global stats: N and avgdl from shard stats.json sums ONCE at
+         construction; df per QUERY term by summing each shard's dictionary
+         hit (KB-scale lookups through the shard term LRUs — never a
+         full-dictionary union). Each term's global df is resolved once per
+         service lifetime (shard snapshots are immutable) and merged into
+         the shards via `update_global_df`, so point-path decoded caches
+         stay warm across queries.
+      2. scatter: every shard prices its local top-k with the global
+         (N, avgdl, df) — so a shard never over/under-weights a term that
+         is rare locally but common globally (Elasticsearch's
+         dfs_query_then_fetch). Per-shard searches are submitted
+         CONCURRENTLY from a thread pool (Spark schedules concurrent jobs),
+         so federation latency is max(shard), not Σ(shard).
+      3. gather: per-shard top-k rankings (k·|Q| rows each) merge by score;
+         every document lives in exactly ONE shard (disjoint url spaces,
+         the build/merge contract), so the merged cut IS the global top-k.
+
+    Batch sizing: a batch larger than `resolve_collect_max` resolves its
+    term set DISTRIBUTED (JVM tokenize → distinct → collect terms only,
+    vocabulary-bounded) — the driver never materializes question strings,
+    and each shard's `search()` takes its own distributed-resolution path."""
+
+    def __init__(
+        self, spark: SparkSession, index_dirs: list[str], warm: bool = False
+    ):
+        self.spark = spark
+        self.index_dirs = list(index_dirs)
+        self.searchers = [IndexSearcher(spark, d) for d in index_dirs]
+        a0 = self.searchers[0]._analyzer
+        if any(s._analyzer != a0 for s in self.searchers):
+            raise ValueError(
+                "cannot federate shards with different analyzers"
+            )
+        self._analyzer = a0
+        self.n_global = sum(
+            s.stats.get("live_docs", s.stats["N"]) for s in self.searchers
+        )
+        cf_g = sum(s.stats["total_cf"] for s in self.searchers)
+        self.avgdl_global = cf_g / self.n_global if self.n_global else 0.0
+        for s in self.searchers:
+            s.with_global_stats(self.n_global, self.avgdl_global, {})
+        self._df_g: dict[str, int] = {}
+        self._lock = threading.Lock()
+        self._pool = ThreadPoolExecutor(
+            max_workers=max(2, len(self.searchers))
+        )
+        if warm:
+            list(self._pool.map(lambda s: s.warm(), self.searchers))
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=True)
+        for s in self.searchers:
+            s.close()
+
+    def _batch_terms(self, queries: DataFrame) -> list[str]:
+        """Distinct analyzed terms of the batch (positives + must_nots).
+        Small batches tokenize driver-side; a batch past resolve_collect_max
+        tokenizes in the JVM and collects ONLY the distinct term strings —
+        never a question string."""
+        has_exclude = "exclude" in queries.columns
+        cols = ["question"] + (["exclude"] if has_exclude else [])
+        cap = min(s.resolve_collect_max for s in self.searchers)
+        rows = queries.select(*cols).limit(cap + 1).collect()
+        if len(rows) <= cap:
+            from colbert_spark.functions.analyzer import py_analyze
+
+            terms: set[str] = set()
+            for r in rows:
+                for c in cols:
+                    if r[c]:
+                        terms.update(
+                            py_analyze(py_tokenize(r[c]), self._analyzer)
+                        )
+            return sorted(terms)
+        from colbert_spark.functions.analyzer import analyze_terms_col
+        from colbert_spark.functions.tokenizer import tokens_col
+
+        frames = [
+            queries.select(tokens_col("question").alias("toks")).select(
+                F.explode(
+                    analyze_terms_col("toks", self._analyzer)
+                ).alias("term")
+            )
+        ]
+        if has_exclude:
+            frames.append(
+                queries.filter(F.col("exclude").isNotNull())
+                .select(tokens_col("exclude").alias("toks"))
+                .select(
+                    F.explode(
+                        analyze_terms_col("toks", self._analyzer)
+                    ).alias("term")
+                )
+            )
+        uni = frames[0]
+        for f2 in frames[1:]:
+            uni = uni.unionByName(f2)
+        return sorted(r["term"] for r in uni.distinct().collect())
+
+    def _ensure_global_df(self, terms: list[str]) -> None:
+        """Resolve the global df of any NOT-yet-priced terms: concurrent
+        per-shard dictionary lookups, summed, pushed into each shard's df
+        override. Idempotent and monotone — a term is priced exactly once."""
+        with self._lock:
+            new = sorted(t for t in set(terms) if t not in self._df_g)
+        if not new:
+            return
+        maps = list(
+            self._pool.map(lambda s: s._lookup_terms(new), self.searchers)
+        )
+        upd = {
+            t: sum(int(m[t][1]) for m in maps if m.get(t) is not None)
+            for t in new
+        }
+        with self._lock:
+            self._df_g.update(upd)
+        for s in self.searchers:
+            s.update_global_df(upd)
+
+    def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
+        """→ (qid, rank, url, score): url is the cross-shard document key
+        (shard doc_ids collide by construction)."""
+        self._ensure_global_df(self._batch_terms(queries))
+
+        def one(i: int) -> DataFrame:
+            s, d = self.searchers[i], self.index_dirs[i]
+            hits = s.search(queries, k)
+            docs_dir = os.path.join(d, s.stats.get("docs_dir", "docs"))
+            urls = self.spark.read.parquet(docs_dir).select(
+                "doc_id", "url"
+            )
+            return hits.join(urls, "doc_id").select("qid", "url", "score")
+
+        # concurrent scatter: each shard's eager resolution jobs overlap;
+        # the union below executes the per-shard plans in one gather action
+        parts = list(self._pool.map(one, range(len(self.searchers))))
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
+        return (
+            merged.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "url", "score")
+        )
+
+    def search_point(
+        self, question: str, k: int = 10, exclude: str | None = None
+    ) -> pd.DataFrame:
+        """Point-serving federation: fan a single query out over the
+        resident shard searchers' driver-side point paths CONCURRENTLY and
+        merge the per-shard top-k by (score DESC, url ASC) — rank-identical
+        to `search()` on the same shards. A cache-hot question schedules
+        zero Spark jobs on every shard. → pandas (rank, url, score, shard,
+        doc_id)."""
+        from colbert_spark.functions.analyzer import py_analyze
+
+        terms = set(py_analyze(py_tokenize(question or ""), self._analyzer))
+        if exclude:
+            terms |= set(py_analyze(py_tokenize(exclude), self._analyzer))
+        if terms:
+            self._ensure_global_df(sorted(terms))
+        futs = [
+            self._pool.submit(s.search_point, question, k, exclude)
+            for s in self.searchers
+        ]
+        parts = []
+        for i, f in enumerate(futs):
+            pdf = f.result()
+            if len(pdf):
+                urls = self.searchers[i]._lookup_urls(
+                    [int(d) for d in pdf["doc_id"]]
+                )
+                pdf = pdf.assign(
+                    shard=np.int64(i),
+                    url=[urls[int(d)] for d in pdf["doc_id"]],
+                )
+                parts.append(pdf)
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "rank": pd.Series([], dtype="int64"),
+                    "url": pd.Series([], dtype="object"),
+                    "score": pd.Series([], dtype="float64"),
+                    "shard": pd.Series([], dtype="int64"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                }
+            )
+        allp = (
+            pd.concat(parts, ignore_index=True)
+            .sort_values(
+                ["score", "url"], ascending=[False, True], kind="mergesort"
+            )
+            .head(k)
+            .reset_index(drop=True)
+        )
+        allp["rank"] = np.arange(1, len(allp) + 1, dtype=np.int64)
+        return allp[["rank", "url", "score", "shard", "doc_id"]]
+
+
 def sharded_bm25_topk(
     spark: SparkSession,
     index_dirs: list[str],
     queries: DataFrame,
     k: int = 10,
 ) -> DataFrame:
-    """Scatter-gather search across INDEPENDENT shard indexes with GLOBAL
-    statistics — serving's dual of `index/merge.py` (which fuses the data;
-    this fuses only the query). The reference serves one resident index
-    (``dense_server_client.py:21-66``); a 10^12-doc deployment serves many.
-
-    Protocol (exact, not approximate):
-      1. global stats: N and avgdl from shard stats.json sums; df per QUERY
-         term by summing each shard's dictionary hit (KB-scale lookups
-         through the term LRU — never a full-dictionary union).
-      2. scatter: each shard prices its local top-k with the global
-         (N, avgdl, df) via `with_global_stats` — so a shard never
-         over/under-weights a term that is rare locally but common globally.
-      3. gather: per-shard top-k rankings (k·|Q| rows each) merge by score;
-         every document lives in exactly ONE shard (disjoint url spaces, the
-         build/merge contract), so the merged cut IS the global top-k.
-
-    → (qid, rank, url, score): url is the cross-shard document key (shard
-    doc_ids collide by construction)."""
-    from colbert_spark.functions.analyzer import py_analyze
-
-    searchers = [IndexSearcher(spark, d) for d in index_dirs]
-    a0 = searchers[0]._analyzer
-    if any(s._analyzer != a0 for s in searchers):
-        raise ValueError("cannot federate shards with different analyzers")
-    n_g = sum(s.stats.get("live_docs", s.stats["N"]) for s in searchers)
-    cf_g = sum(s.stats["total_cf"] for s in searchers)
-    avgdl_g = cf_g / n_g if n_g else 0.0
-
-    qrows = queries.select("qid", "question").collect()
-    terms = sorted(
-        {
-            t
-            for r in qrows
-            for t in py_analyze(py_tokenize(r["question"] or ""), a0)
-        }
-    )
-    df_g: dict[str, int] = {}
-    for s in searchers:
-        for t, hit in s._lookup_terms(terms).items():
-            if hit is not None:
-                df_g[t] = df_g.get(t, 0) + int(hit[1])
-
-    parts = []
-    for s, d in zip(searchers, index_dirs):
-        s.with_global_stats(n_g, avgdl_g, df_g)
-        hits = s.search(queries, k)
-        docs_dir = os.path.join(d, s.stats.get("docs_dir", "docs"))
-        urls = spark.read.parquet(docs_dir).select("doc_id", "url")
-        parts.append(hits.join(urls, "doc_id").select("qid", "url", "score"))
-    merged = parts[0]
-    for p in parts[1:]:
-        merged = merged.unionByName(p)
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
-    return (
-        merged.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("qid", "rank", "url", "score")
-    )
+    """One-shot convenience wrapper over `ShardedSearcher` (services should
+    hold the searcher resident and call `search`/`search_point` repeatedly).
+    → (qid, rank, url, score)."""
+    svc = ShardedSearcher(spark, index_dirs)
+    try:
+        return svc.search(queries, k)
+    finally:
+        svc._pool.shutdown(wait=True)

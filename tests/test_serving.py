@@ -318,3 +318,73 @@ def test_large_batch_distributed_resolution_parity(spark, sidx, tiny_queries):
         assert base_and == and_driver
     finally:
         s.close()
+
+
+def test_point_head_term_fetch_bound_falls_back(spark, sidx, tiny_queries):
+    """A head term whose compressed postings would exceed
+    `point_fetch_max_bytes` must NEVER be collected to the driver: the point
+    path degrades to the distributed search() (exact, rank-identical) and
+    the block cache stays empty of that term — the graceful-degrade contract
+    for web-scale df 10^9 terms."""
+    d, oracle, _ = sidx
+    s = IndexSearcher(spark, d)
+    try:
+        q = "term00001 term00002"
+        want = s.search_point(q, k=K)  # normal path, warm baseline
+        s2 = IndexSearcher(spark, d)
+        s2.point_fetch_max_bytes = 1  # every term is now a "head term"
+        got = s2.search_point(q, k=K)
+        assert s2._block_fetch_jobs == 0  # the collect never happened
+        assert len(s2._block_cache) == 0
+        assert [int(x) for x in got["doc_id"]] == [int(x) for x in want["doc_id"]]
+        for gs, ws in zip(got["score"], want["score"]):
+            assert math.isclose(float(gs), float(ws), rel_tol=1e-9)
+        # and the bound is per-FETCH estimate, not a blanket off-switch:
+        # a generous bound takes the resident path again
+        s2.point_fetch_max_bytes = 1 << 30
+        again = s2.search_point(q, k=K)
+        assert s2._block_fetch_jobs == 1
+        assert [int(x) for x in again["doc_id"]] == [int(x) for x in want["doc_id"]]
+        s2.close()
+    finally:
+        s.close()
+
+
+def test_point_concurrent_clients_rank_identical(spark, sidx, tiny_queries):
+    """One resident IndexSearcher answering 8 overlapping clients: every
+    answer must equal the single-threaded baseline, and the caches must not
+    corrupt (the reference's Listener accept loop implies concurrency;
+    dense_server_client.py:21-66)."""
+    import threading
+
+    d, oracle, _ = sidx
+    s = IndexSearcher(spark, d).warm()
+    try:
+        questions = list(tiny_queries["question"][:10])
+        baseline = {
+            q: [(int(r.doc_id), round(float(r.score), 12))
+                for r in s.search_point(q, k=K).itertuples()]
+            for q in questions
+        }
+        errors = []
+        def client(offset):
+            try:
+                for i in range(20):
+                    q = questions[(i + offset) % len(questions)]
+                    got = [
+                        (int(r.doc_id), round(float(r.score), 12))
+                        for r in s.search_point(q, k=K).itertuples()
+                    ]
+                    assert got == baseline[q], q
+            except Exception as e:
+                errors.append(e)
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors[:1]
+        # budget accounting stayed consistent under contention
+        assert s._block_cache_bytes >= 0
+    finally:
+        s.close()

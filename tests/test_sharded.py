@@ -65,3 +65,124 @@ def test_sharded_refuses_mixed_analyzers(spark, tmp_path):
     q = spark.createDataFrame([(0, "table")], "qid long, question string")
     with pytest.raises(ValueError, match="analyzer"):
         sharded_bm25_topk(spark, [a, b_], q)
+
+
+def test_sharded_searcher_point_matches_batch(spark, uneven_shards, tiny_queries):
+    """Point-serving federation (ShardedSearcher.search_point) must be
+    rank-identical — urls AND scores — to the batch federation over the same
+    shards, and a repeated question must schedule zero Spark jobs on every
+    shard (resident caches stay warm across queries because global df is
+    resolved once per term, never re-priced)."""
+    from colbert_spark.query.wand import ShardedSearcher
+
+    a, b_, _ = uneven_shards
+    svc = ShardedSearcher(spark, [a, b_])
+    try:
+        q = spark.createDataFrame(tiny_queries[:15])
+        batch = {}
+        for r in svc.search(q, k=10).collect():
+            batch.setdefault(r["qid"], []).append(r)
+        for qid, question in zip(
+            tiny_queries["qid"][:15], tiny_queries["question"][:15]
+        ):
+            pt = svc.search_point(question, k=10)
+            exp = sorted(batch.get(qid, []), key=lambda r: r["rank"])
+            assert len(pt) == len(exp), f"qid={qid}"
+            for row, er in zip(pt.itertuples(), exp):
+                assert row.url == er["url"], f"qid={qid}"
+                assert math.isclose(row.score, er["score"], rel_tol=1e-9)
+
+        # cache-hot federation: counters frozen on every shard
+        jobs = [
+            (s._dict_lookup_jobs, s._block_fetch_jobs) for s in svc.searchers
+        ]
+        for question in tiny_queries["question"][:15]:
+            svc.search_point(question, k=10)
+        assert jobs == [
+            (s._dict_lookup_jobs, s._block_fetch_jobs) for s in svc.searchers
+        ]
+    finally:
+        svc.close()
+
+
+def test_sharded_large_batch_never_collects_questions(
+    spark, uneven_shards, tiny_queries, monkeypatch
+):
+    """A federated batch past resolve_collect_max must resolve DISTRIBUTED:
+    the driver never materializes a question string. Asserted by poisoning
+    the driver-side tokenizer — executors run in separate processes, so only
+    a driver-side collect-and-tokenize would trip it."""
+    import colbert_spark.functions.analyzer as analyzer_mod
+    import colbert_spark.query.wand as wand_mod
+    from colbert_spark.query.wand import ShardedSearcher, bm25_topk_segments
+
+    a, b_, whole = uneven_shards
+    svc = ShardedSearcher(spark, [a, b_])
+    try:
+        for s in svc.searchers:
+            s.resolve_collect_max = 5  # force the distributed path
+        def _poisoned(text):
+            raise AssertionError("driver tokenized a question string")
+        monkeypatch.setattr(wand_mod, "py_tokenize", _poisoned)
+        monkeypatch.setattr(analyzer_mod, "py_analyze", _poisoned)
+        q = spark.createDataFrame(tiny_queries)  # 50 rows > 5
+        got = svc.search(q, k=10).collect()
+    finally:
+        monkeypatch.undo()
+        svc.close()
+    want = bm25_topk_segments(spark, whole, spark.createDataFrame(tiny_queries), k=10).collect()
+    wurl = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(whole + "/docs").collect()
+    }
+    def bykey(rows, urlcol):
+        out = {}
+        for r in rows:
+            out.setdefault(r["qid"], []).append(r)
+        return {
+            k: [(urlcol(r), round(r["score"], 9))
+                for r in sorted(v, key=lambda r: r["rank"])]
+            for k, v in out.items()
+        }
+    g = bykey(got, lambda r: r["url"])
+    w = bykey(want, lambda r: wurl[r["doc_id"]])
+    assert g == w and g
+
+
+def test_sharded_point_concurrent_storm(spark, uneven_shards, tiny_queries):
+    """N concurrent clients hammering the SAME resident federation must get
+    bit-identical results to a single-threaded sweep — the searcher cache
+    locks (term LRU, block LRU, decoded-term budget, url LRU) hold under
+    contention."""
+    import threading
+
+    from colbert_spark.query.wand import ShardedSearcher
+
+    a, b_, _ = uneven_shards
+    svc = ShardedSearcher(spark, [a, b_])
+    try:
+        questions = list(tiny_queries["question"][:12])
+        baseline = {
+            q: [(r.url, round(r.score, 12)) for r in svc.search_point(q, k=10).itertuples()]
+            for q in questions
+        }
+        errors = []
+        def client(offset):
+            try:
+                for i in range(len(questions) * 2):
+                    q = questions[(i + offset) % len(questions)]
+                    got = [
+                        (r.url, round(r.score, 12))
+                        for r in svc.search_point(q, k=10).itertuples()
+                    ]
+                    assert got == baseline[q], q
+            except Exception as e:  # surface across the thread boundary
+                errors.append(e)
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors[:1]
+    finally:
+        svc.close()
