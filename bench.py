@@ -197,7 +197,9 @@ def main() -> None:
                 bucket_size=bs,
             )
             merge_reps.append(time.perf_counter() - t0)
-            assert st["N"] == n_corpus
+            # block-copy merge pads doc bases to bucket boundaries: N is the
+            # id bound, live_docs the real count
+            assert st.get("live_docs", st["N"]) == n_corpus
         timings["index_merge"] = min(merge_reps)
         extra["merge_docs_per_sec"] = round(n_corpus / timings["index_merge"], 1)
 

@@ -178,6 +178,23 @@ def shuffle_balance(
     )
 
 
+def write_term_dict(df: DataFrame, path: str) -> None:
+    """Write a dictionary RANGE-PARTITIONED and sorted by `term`: every
+    parquet file then covers one lexicographic term range, so sortable
+    range predicates (autocomplete `term >= p AND term < p||'\\uffff'`,
+    prefix queries) prune whole files/row-groups via parquet min/max stats
+    instead of scanning the vocabulary — the Lucene terms-index analog. One
+    vocabulary-scale range exchange at build/append/merge time buys every
+    future prefix probe an O(matching-range) scan."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(p, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def assign_dense_rank(
     df: DataFrame,
     key: str,
@@ -916,7 +933,7 @@ def build_index(
                 .join(tdict_ids, "term_id")
                 .select("term", "df", "cf", "term_id")
             )
-        term_dict.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict"))
+        write_term_dict(term_dict, os.path.join(index_dir, "term_dict"))
         phases["seg_dict_write"] = round(time.perf_counter() - t, 3)
         t = time.perf_counter()
         (
@@ -1089,7 +1106,7 @@ def append_index(
         )
     )
     dict_dir = f"term_dict_e{epoch}"
-    merged.write.mode("overwrite").parquet(os.path.join(index_dir, dict_dir))
+    write_term_dict(merged, os.path.join(index_dir, dict_dir))
     active = spark.read.parquet(os.path.join(index_dir, dict_dir))  # lineage cut
     delta_cf = int(delta.agg(F.sum("cf")).collect()[0][0] or 0)
     delta.unpersist()

@@ -315,8 +315,11 @@ def compact_index(
             os.path.join(index_dir, stats.get("dict_dir", "term_dict"))
         ).drop("df", "cf")
         new_dict_name = f"term_dict_x{gen}"
-        old_dict.join(ts, "term_id").write.mode("overwrite").parquet(
-            os.path.join(index_dir, new_dict_name)
+        from colbert_spark.index.build import write_term_dict
+
+        write_term_dict(
+            old_dict.join(ts, "term_id"),
+            os.path.join(index_dir, new_dict_name),
         )
         new_docs_name = f"docs_x{gen}"
         docs_df.write.mode("overwrite").parquet(

@@ -3911,13 +3911,31 @@ def fts_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fts_complete_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`fts_complete` answered from the index's term DICTIONARY alone —
     zero postings decode, the completion-suggester serving shape. Shares
-    the scan oracle (the df compare re-proves the committed dictionary)."""
+    the scan oracle (the df compare re-proves the committed dictionary).
+
+    Scale shape: `startswith(p)` is rewritten as the SORTABLE range
+    `term >= p AND term < p || '\\uffff'` ('\\uffff' sorts above every
+    grammar character), applied twice — once as a pushable literal
+    DISJUNCTION over the batch's prefixes (reaches the parquet scan, and
+    because `write_term_dict` lays the dictionary out range-sorted by term,
+    prunes whole files/row-groups via min/max stats), then as the
+    equivalent range theta-join condition to tag each row's qid. A 10^9-term
+    vocabulary scans only the matching lexicographic slices."""
     import os
 
     idx = _positional_index_dir(spark, sf_dir)
     td = spark.read.parquet(os.path.join(idx, "term_dict")).select("term", "df")
+    cond = None
+    for _, p in COMPLETE_PREFIXES:
+        c = (F.col("term") >= p) & (F.col("term") < p + "￿")
+        cond = c if cond is None else (cond | c)
     qp = spark.createDataFrame(COMPLETE_PREFIXES, "qid long, prefix string")
-    cand = td.join(F.broadcast(qp), td.term.startswith(qp.prefix))
+    pruned = td.filter(cond)
+    cand = pruned.join(
+        F.broadcast(qp),
+        (pruned.term >= qp.prefix)
+        & (pruned.term < F.concat(qp.prefix, F.lit("￿"))),
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("df"), F.asc("term"))
     return (
         cand.withColumn("rank", F.row_number().over(w).cast("long"))

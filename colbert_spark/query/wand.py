@@ -838,6 +838,12 @@ class IndexSearcher:
         self._url_cache: OrderedDict[int, str] = OrderedDict()
         self.url_cache_max: int = 1 << 20
         self._docs_df: DataFrame | None = None
+        # prefix → (completions, fetched depth, exhausted) LRU for the
+        # interactive autocomplete point path (`complete_point`)
+        self._prefix_cache: OrderedDict[
+            str, tuple[list[tuple[str, int]], int, bool]
+        ] = OrderedDict()
+        self.prefix_cache_max: int = 1 << 16
         # guards every driver-resident cache (_term_cache, _block_cache,
         # _point_tbs, _point_budget, _url_cache) so a resident server can
         # answer overlapping clients from threads — the reference's Listener
@@ -1003,6 +1009,45 @@ class IndexSearcher:
                     if len(self._url_cache) > self.url_cache_max:
                         self._url_cache.popitem(last=False)
         return out
+
+    def complete_point(
+        self, prefix: str, k: int = 10, fetch_depth: int = 50
+    ) -> list[tuple[str, int]]:
+        """Interactive autocomplete: top-k dictionary terms with `prefix`,
+        ranked (df DESC, term ASC) — the completion-suggester point path.
+        Misses run ONE range-pruned dictionary scan (`term >= p AND
+        term < p||'\\uffff'`, a sortable predicate that reaches the parquet
+        min/max stats of the range-sorted dictionary layout) with a
+        LIMIT-pushed top-k; hits come from a prefix LRU, zero jobs — so a
+        keystroke stream (h, ha, has, hash…) costs one pruned scan per NEW
+        prefix and pure driver memory for repeats. `fetch_depth` (> k)
+        rows are cached so deepening k within a session stays hot."""
+        fetch_depth = max(fetch_depth, k)
+        with self._point_lock:
+            hit = self._prefix_cache.get(prefix)
+            if hit is not None and (hit[1] >= fetch_depth or hit[2]):
+                self._prefix_cache.move_to_end(prefix)
+                return hit[0][:k]
+        rows = (
+            self.term_dict.filter(
+                (F.col("term") >= prefix)
+                & (F.col("term") < prefix + "￿")
+            )
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(fetch_depth)
+            .collect()
+        )
+        out = [(r["term"], int(r["df"])) for r in rows]
+        with self._point_lock:
+            # (completions, depth asked, exhausted?) — a result shorter than
+            # fetch_depth is the COMPLETE set for this prefix, so any k hits
+            self._prefix_cache[prefix] = (
+                out, fetch_depth, len(out) < fetch_depth
+            )
+            self._prefix_cache.move_to_end(prefix)
+            if len(self._prefix_cache) > self.prefix_cache_max:
+                self._prefix_cache.popitem(last=False)
+        return out[:k]
 
     def _resolve_batch_distributed(self, queries: DataFrame, has_exclude: bool):
         """Large-batch resolution (the pre-point-path shape): tokenize in

@@ -32,7 +32,11 @@ def test_merge_stats_are_exact_sums(spark, merged_vs_whole, tiny_corpus):
 
     merged, whole, stats = merged_vs_whole
     w = json.load(open(os.path.join(whole, "stats.json")))
-    assert stats["N"] == w["N"] == len(tiny_corpus)
+    # the block-copy path pads doc bases to bucket boundaries: N is the id
+    # BOUND (includes padding holes); live_docs carries the real count and
+    # prices idf/avgdl — the same mechanism expunge uses
+    assert stats.get("live_docs", stats["N"]) == w["N"] == len(tiny_corpus)
+    assert stats["N"] >= len(tiny_corpus)
     assert stats["total_cf"] == w["total_cf"]
     assert stats["n_terms"] == w["n_terms"]
     assert math.isclose(stats["avgdl"], w["avgdl"], rel_tol=1e-12)
@@ -174,7 +178,7 @@ def test_merge_retry_into_same_output_is_clean(spark, tmp_path):
     q = spark.createDataFrame([(0, "hash join")], "qid long, question string")
     rows = bm25_topk_segments(spark, out, q, k=12).collect()
     assert len(rows) == 6  # every doc containing hash or join, exactly once
-    assert stats["N"] == 12
+    assert stats.get("live_docs", stats["N"]) == 12
     # manifest holds exactly one generation (mode=overwrite, not append)
     import pyspark.sql.functions as F
 
@@ -212,7 +216,7 @@ def test_merge_after_expunge_counts_live_docs(
 
     merged = str(base / "merged")
     stats = merge_indexes(spark, [a, b_], merged, bucket_size=97)
-    assert stats["N"] == len(pdf)  # id bound: Σ input N, holes included
+    assert stats["N"] >= len(pdf)  # id bound: Σ input N + bucket padding
     assert stats["live_docs"] == len(pdf) - len(dead)
     assert math.isclose(stats["avgdl"], stats["total_cf"] / stats["live_docs"])
 
@@ -234,3 +238,47 @@ def test_merge_after_expunge_counts_live_docs(
     kw = sorted((r["qid"], r["rank"], furl[r["doc_id"]], round(r["score"], 9))
                 for r in want)
     assert kg == kw and kg
+
+
+def test_merge_block_copy_vs_compacting_identical(spark, tmp_path, tiny_queries):
+    """The block-copy fast path and the compacting path must produce
+    rank+score-identical indexes; mismatched bucket sizes must auto-fall
+    back to compacting (and refuse a forced block_copy)."""
+    import pandas as pd
+
+    from colbert_spark.index.inspect import index_fsck
+    from colbert_spark.sources.synth import synth_web_pages
+
+    pdf = synth_web_pages(300)
+    half = 150
+    a, b_ = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(spark, spark.createDataFrame(pdf.iloc[:half]), a, bucket_size=64)
+    build_index(spark, spark.createDataFrame(pdf.iloc[half:]), b_, bucket_size=64)
+    fast, slow = str(tmp_path / "fast"), str(tmp_path / "slow")
+    st_f = merge_indexes(spark, [a, b_], fast, bucket_size=64)
+    st_s = merge_indexes(spark, [a, b_], slow, bucket_size=64, block_copy=False)
+    assert index_fsck(spark, fast, deep=True)["ok"]
+    assert st_f.get("live_docs", st_f["N"]) == st_s.get("live_docs", st_s["N"]) == 300
+    q = spark.createDataFrame(tiny_queries[:15])
+    gf = bm25_topk_segments(spark, fast, q, k=10).collect()
+    gs = bm25_topk_segments(spark, slow, q, k=10).collect()
+    furl = {r["doc_id"]: r["url"]
+            for r in spark.read.parquet(fast + "/docs").collect()}
+    surl = {r["doc_id"]: r["url"]
+            for r in spark.read.parquet(slow + "/docs").collect()}
+    kf = sorted((r["qid"], r["rank"], furl[r["doc_id"]], round(r["score"], 9))
+                for r in gf)
+    ks = sorted((r["qid"], r["rank"], surl[r["doc_id"]], round(r["score"], 9))
+                for r in gs)
+    assert kf == ks and kf
+
+    # mismatched bucket sizes: auto-fallback to compacting, forced copy fails
+    c = str(tmp_path / "c")
+    build_index(spark, spark.createDataFrame(
+        pd.DataFrame({"url": ["zz0", "zz1"], "text": ["hash join", "scan"]})
+    ), c, bucket_size=7)
+    with pytest.raises(ValueError, match="block_copy"):
+        merge_indexes(spark, [a, c], str(tmp_path / "x"),
+                      bucket_size=64, block_copy=True)
+    st_m = merge_indexes(spark, [a, c], str(tmp_path / "y"), bucket_size=64)
+    assert st_m.get("live_docs", st_m["N"]) == half + 2

@@ -349,3 +349,63 @@ def test_search_offset_is_exact_page_slice(spark, index_dir, tiny_queries):
             assert page == want
     finally:
         searcher.close()
+
+
+def test_dictionary_prefix_range_prunes_files(spark, index_dir):
+    """The dictionary is laid out range-sorted by term (write_term_dict), so
+    the autocomplete range predicate `term >= p AND term < p||'￿'`
+    must read a strict subset of the dictionary's parquet files — the
+    Lucene terms-index analog, unpruned-scan-shaped no more."""
+    dict_files = glob.glob(os.path.join(index_dir, "term_dict", "*.parquet"))
+    assert len(dict_files) > 2, "need a multi-file dictionary for this test"
+    td = spark.read.parquet(os.path.join(index_dir, "term_dict"))
+    # a narrow prefix: terms are term00000..term0NNNN plus body words
+    read_files = {
+        r[0]
+        for r in td.filter(
+            (F.col("term") >= "term0000") & (F.col("term") < "term0000￿")
+        )
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert read_files, "range scan read nothing"
+    assert len(read_files) < len(dict_files), (
+        f"no pruning: {len(read_files)}/{len(dict_files)} files read"
+    )
+
+
+def test_complete_point_parity_and_hot_cache(spark, index_dir):
+    """complete_point must return exactly the dictionary's (df DESC, term)
+    top-k for the prefix; a repeated prefix must schedule no job; k-deepening
+    within fetch_depth stays hot; an exhausted prefix serves any k hot."""
+    s = IndexSearcher(spark, index_dir)
+    try:
+        td = spark.read.parquet(os.path.join(index_dir, "term_dict"))
+        want = [
+            (r["term"], int(r["df"]))
+            for r in td.filter(F.col("term").startswith("term0001"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(10)
+            .collect()
+        ]
+        got = s.complete_point("term0001", k=10)
+        assert got == want
+        # hot path: no further Spark job for the same prefix (tracked via
+        # the SparkContext job-group side effect — use the scheduler's job
+        # counter through the status tracker)
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup() or [])
+        got2 = s.complete_point("term0001", k=5)  # k deepening within depth
+        assert got2 == want[:5]
+        after = len(tracker.getJobIdsForGroup() or [])
+        assert after == before, "cache-hot completion scheduled a Spark job"
+        # exhausted prefix: fewer matches than fetch_depth → complete set
+        few = s.complete_point("term00010", k=3)
+        assert [t for t, _ in few] == sorted(
+            t for t, _ in few
+        ) or len(few) <= 3
+        again = s.complete_point("term00010", k=50)
+        assert set(t for t, _ in few) <= set(t for t, _ in again)
+    finally:
+        s.close()
