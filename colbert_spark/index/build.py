@@ -308,6 +308,56 @@ def derive_docs(
     return out
 
 
+FIELD_SEP = "\x1f"  # field-qualified term: f"{field}\x1f{term}" — Lucene's
+# field:term dictionary keying (one inverted index, terms namespaced per
+# field), with U+001F chosen because the tokenizer grammar can never emit it.
+
+
+def derive_docs_fielded(
+    web_pages: DataFrame,
+    fields: list[tuple[str, str]],
+    max_doclen: int | None = None,
+    analyzer: str | None = None,
+    stored_cols: list[str] | None = None,
+) -> DataFrame:
+    """Multi-field ingest: web_pages → docs(doc_id, url, toks_<f> per field,
+    len_<f> per field, doclen=Σ field lens). `fields` is a list of
+    (field_name, source_column) pairs; each source column tokenizes under
+    the SAME grammar/analyzer chain as a plain build (pure JVM expressions).
+    One document row per url — the per-field token arrays feed the build's
+    single shuffle as field-prefixed tokens whose doclen is the FIELD
+    length, giving Lucene's per-field posting lists + field norms from one
+    physical index (cf. the reference's doc_maxlen per-surface budgets,
+    ``proj_conf/dense.yaml:6-8``)."""
+    stored = list(stored_cols or [])
+    src_cols = []
+    for _, c in fields:
+        if c not in src_cols:
+            src_cols.append(c)
+    with_ids = assign_doc_ids(web_pages.select("url", *src_cols, *stored))
+    ids_src = with_ids
+    sel = ["doc_id", "url", *stored]
+    for name, col in fields:
+        t = tokens_col(col)
+        if max_doclen is not None:
+            t = F.slice(t, 1, int(max_doclen))
+        if analyzer is not None:
+            from colbert_spark.functions.analyzer import analyze_terms_col
+
+            with_ids = with_ids.withColumn(f"_raw_{name}", t)
+            t = analyze_terms_col(f"_raw_{name}", analyzer)
+        sel.append(t.alias(f"toks_{name}"))
+    out = with_ids.select(*sel)
+    total = None
+    for name, _ in fields:
+        out = out.withColumn(f"len_{name}", F.size(f"toks_{name}"))
+        total = F.col(f"len_{name}") if total is None else total + F.col(f"len_{name}")
+    out = out.withColumn("doclen", total)
+    out._dense_rank_cache = getattr(ids_src, "_dense_rank_cache", None)
+    out._dense_rank_total = getattr(ids_src, "_dense_rank_total", None)
+    return out
+
+
 def collection_stats(docs: DataFrame) -> dict:
     """Exact N and avgdl (north_star forbids approximations)."""
     row = docs.agg(
@@ -701,6 +751,7 @@ def build_index(
     max_doclen: int | None = None,
     analyzer: str | None = None,
     stored_cols: list[str] | None = None,
+    fields: list[tuple[str, str]] | None = None,
 ) -> dict:
     """Full (resumable) index build. Layout under `index_dir`:
 
@@ -738,10 +789,21 @@ def build_index(
         phases[name] = round(now - t0, 3)
         t0 = now
 
-    docs = derive_docs(
-        web_pages, use_html=use_html, max_doclen=max_doclen, analyzer=analyzer,
-        stored_cols=stored_cols,
-    )
+    if fields:
+        # FIELDED build (single-index BM25F): one doc row per url, one token
+        # array per field; tokens enter the one shuffle field-prefixed with
+        # the FIELD length as their doclen (the dl stream therefore stores
+        # Lucene's per-field norm — a prefixed term occurs in exactly one
+        # field, so dl stays constant within every (term_id, doc) run).
+        docs = derive_docs_fielded(
+            web_pages, fields, max_doclen=max_doclen, analyzer=analyzer,
+            stored_cols=stored_cols,
+        )
+    else:
+        docs = derive_docs(
+            web_pages, use_html=use_html, max_doclen=max_doclen, analyzer=analyzer,
+            stored_cols=stored_cols,
+        )
     _mark("doc_rank")  # assign_dense_rank's eager offsets collect
     # N is EXACT and already paid for: it is the dense-rank offsets total
     # (urls are unique), so the build never runs a separate count job
@@ -756,10 +818,17 @@ def build_index(
     # sum+max before collect) — max_bucket_cf feeds the mass-aware sub-split
     # (choose_n_sub): token mass per bucket is NOT uniform even though doc
     # count is, and the heaviest bucket sets the exchange's skew.
+    _faggs = [
+        F.sum(f"len_{name}").alias(f"cf_{name}") for name, _ in (fields or [])
+    ]
     _brow = (
         docs.groupBy(F.expr(f"doc_id DIV {bucket_size}").alias("bucket"))
-        .agg(F.sum("doclen").alias("cf"))
-        .agg(F.sum("cf").alias("s"), F.max("cf").alias("m"))
+        .agg(F.sum("doclen").alias("cf"), *_faggs)
+        .agg(
+            F.sum("cf").alias("s"),
+            F.max("cf").alias("m"),
+            *[F.sum(f"cf_{name}").alias(f"cf_{name}") for name, _ in (fields or [])],
+        )
         .collect()[0]
     )
     total_cf = int(_brow["s"] or 0)
@@ -776,7 +845,25 @@ def build_index(
     # moved into the kernel — saves a whole groupBy exchange of the postings).
     # Positional builds posexplode instead: the occurrence's token position
     # rides the same shuffle as one extra int column (~8 bytes/posting).
-    if positions:
+    if fields:
+        # per-field token streams, unioned: the prefixed term namespaces the
+        # posting list, the FIELD length rides as doclen, and positions (if
+        # any) are within-field offsets — Lucene's per-field position space
+        parts = []
+        for name, _ in fields:
+            ex = (
+                F.posexplode(f"toks_{name}").alias("pos", "term")
+                if positions
+                else F.explode(f"toks_{name}").alias("term")
+            )
+            part = docs.select(
+                "doc_id", F.col(f"len_{name}").alias("doclen"), ex
+            ).withColumn("term", F.concat(F.lit(name + FIELD_SEP), F.col("term")))
+            parts.append(part)
+        tokens = parts[0]
+        for part in parts[1:]:
+            tokens = tokens.unionByName(part)
+    elif positions:
         tokens = docs.select(
             "doc_id", "doclen", F.posexplode("terms").alias("pos", "term")
         )
@@ -814,6 +901,24 @@ def build_index(
         # index-level analysis chain (functions/analyzer.py); every query
         # path and append epoch re-applies it to its tokens
         "analyzer": analyzer,
+        # FIELDED index (single-index BM25F): per-field exact collection
+        # statistics — postings are keyed f"{field}{FIELD_SEP}{term}" and the
+        # dl stream stores the FIELD length (Lucene field norms); None for a
+        # plain single-field build
+        "fields": (
+            {
+                name: {
+                    "total_cf": int(_brow[f"cf_{name}"] or 0),
+                    "avgdl": (
+                        int(_brow[f"cf_{name}"] or 0) / n_docs if n_docs else 0.0
+                    ),
+                }
+                for name, _ in fields
+            }
+            if fields
+            else None
+        ),
+        "field_sep": FIELD_SEP if fields else None,
         # STORED FIELDS (Lucene stored fields / doc values): extra input
         # columns carried verbatim into the docs sink, so sort/facet/collapse
         # can be served wholly from the index; appends must supply them
@@ -954,8 +1059,9 @@ def build_index(
         phases["manifest_commit"] = round(time.perf_counter() - t, 3)
 
     def _write_docs() -> None:
+        flen_cols = [f"len_{name}" for name, _ in (fields or [])]
         docs.select(
-            "doc_id", "url", "doclen", *(stored_cols or [])
+            "doc_id", "url", "doclen", *flen_cols, *(stored_cols or [])
         ).write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
 
     # the two sinks are independent — submit them from concurrent driver
@@ -1022,6 +1128,14 @@ def append_index(
         stats = json.load(f)
     if stats.get("segver", 1) < 2:
         raise ValueError("append_index requires a segver>=2 (idf-free) index")
+    if stats.get("fields"):
+        # a fielded epoch must re-derive per-field token streams and update
+        # per-field avgdl; not wired yet — fail loudly rather than corrupt
+        # the field statistics with a single-field epoch
+        raise NotImplementedError(
+            "append_index does not support fielded (multi-field) indexes yet; "
+            "rebuild with build_index(fields=...)"
+        )
     bucket_size = stats["bucket_size"]
     tshards = stats["tshards"]
     epoch = stats["epochs"]

@@ -248,10 +248,23 @@ def compact_index(
                 os.path.join(index_dir, stats["tomb_dir"])
             )
             docs_df = docs_df.join(F.broadcast(tomb_df), "doc_id", "left_anti")
+        fnames = sorted(stats.get("fields") or {})
         row = docs_df.agg(
-            F.count("*").alias("n"), F.sum("doclen").alias("cf")
+            F.count("*").alias("n"),
+            F.sum("doclen").alias("cf"),
+            *[F.sum(f"len_{fn}").alias(f"cf_{fn}") for fn in fnames],
         ).collect()[0]
         n_live, total_cf_live = int(row["n"]), int(row["cf"] or 0)
+        if fnames:
+            # fielded index: per-field statistics re-price off the live docs
+            # sink (len_<f> columns), exactly like the global avgdl below
+            stats["fields"] = {
+                fn: {
+                    "total_cf": int(row[f"cf_{fn}"] or 0),
+                    "avgdl": (int(row[f"cf_{fn}"] or 0) / n_live if n_live else 0.0),
+                }
+                for fn in fnames
+            }
         # exact int/int division — a fresh build over the survivors computes
         # the identical double, so scores match bit-for-bit
         avgdl_live = total_cf_live / n_live if n_live else 1.0

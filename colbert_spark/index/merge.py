@@ -246,6 +246,17 @@ def merge_indexes(
                     f"cannot merge: stats[{key!r}] differs "
                     f"({s.get(key)!r} != {s0.get(key)!r})"
                 )
+        # fielded indexes must share the field SCHEMA (names + separator);
+        # the per-field statistics themselves recombine from the docs sink
+        if sorted(s.get("fields") or {}) != sorted(s0.get("fields") or {}) or s.get(
+            "field_sep"
+        ) != s0.get("field_sep"):
+            raise ValueError(
+                "cannot merge: fielded inputs must share field names and "
+                f"separator ({sorted(s.get('fields') or {})!r} != "
+                f"{sorted(s0.get('fields') or {})!r})"
+            )
+    fnames = sorted(s0.get("fields") or {})
     for d, s in zip(index_dirs, stats_l):
         if int(s.get("n_deleted", 0)):
             raise ValueError(
@@ -299,6 +310,7 @@ def merge_indexes(
                 (F.col("doc_id") + F.lit(base)).cast("long").alias("doc_id"),
                 "url",
                 F.col("doclen").cast("long").alias("doclen"),
+                *[F.col(f"len_{fn}").cast("long").alias(f"len_{fn}") for fn in fnames],
                 *(s0.get("stored_cols") or []),
             )
         )
@@ -307,7 +319,9 @@ def merge_indexes(
         docs = docs.unionByName(p)
     docs = docs.persist()
     row = docs.agg(
-        F.count("*").alias("n"), F.count_distinct("url").alias("u")
+        F.count("*").alias("n"),
+        F.count_distinct("url").alias("u"),
+        *[F.sum(f"len_{fn}").alias(f"cf_{fn}") for fn in fnames],
     ).collect()[0]
     # an expunged input's docs sink holds live rows only → compare to n_live
     if int(row["n"]) != n_live or int(row["u"]) != n_live:
@@ -415,6 +429,21 @@ def merge_indexes(
         "max_doclen": s0.get("max_doclen"),
         "analyzer": s0.get("analyzer"),
         "stored_cols": list(s0.get("stored_cols") or []),
+        # fielded: per-field stats recombined exactly from the merged docs
+        # sink's len_<f> columns (correct across expunged inputs, where a
+        # Σ of input stats would double-count nothing but miss re-pricing)
+        "fields": (
+            {
+                fn: {
+                    "total_cf": int(row[f"cf_{fn}"] or 0),
+                    "avgdl": (int(row[f"cf_{fn}"] or 0) / n_live if n_live else 0.0),
+                }
+                for fn in fnames
+            }
+            if fnames
+            else None
+        ),
+        "field_sep": s0.get("field_sep"),
         # copied blocks keep their encode-time unit maxima: the pruning
         # bound must cover the SMALLEST avgdl any input block was encoded
         # at (query kernels inflate by avgdl/min_enc_avgdl); the compacting

@@ -3423,7 +3423,9 @@ def fts_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.slice("toks", 1, TITLE_LEN).alias("title"),
-            F.expr(f"slice(toks, {TITLE_LEN + 1}, 2147483647)").alias("body"),
+            # length = size(toks): an INT_MAX literal overflows start+length
+            # inside slice on some plans and silently yields []
+            F.expr(f"slice(toks, {TITLE_LEN + 1}, size(toks))").alias("body"),
         )
         .withColumn("len_title", F.size("title"))
         .withColumn("len_body", F.size("body"))
@@ -3535,15 +3537,16 @@ ORACLES["fts_bm25f"] = f"""
 QUERIES["fts_bm25f"] = fts_bm25f
 
 
-_FIELD_IDX_BUILT: set[str] = set()
+_FIELDED_IDX_BUILT: set[str] = set()
 
 
-def _field_index_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Build (once per process per sf_dir) one segment index PER FIELD —
-    Lucene's per-field posting lists. title = first TITLE_LEN tokens
-    (build-side `max_doclen` ingest truncation, the same cut as the scan
-    path's slice); body = the remaining tokens re-joined (space-joining
-    preserves the token sequence under the grammar)."""
+def _fielded_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf_dir) ONE fielded segment index —
+    Lucene's field-qualified posting lists in a single directory
+    (`build_index(fields=...)`): terms keyed f"{field}\\x1f{term}", the dl
+    stream storing the FIELD length, per-field avgdl in stats.json.
+    title = first TITLE_LEN tokens; body = the remaining tokens re-joined
+    (space-joining preserves the token sequence under the grammar)."""
     import json
     import os
     import shutil
@@ -3552,39 +3555,36 @@ def _field_index_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     from colbert_spark.index.build import build_index
 
     base = os.path.join(
-        tempfile.gettempdir(), "colbert_spark_field_idx_" + _corpus_key(sf_dir)
+        tempfile.gettempdir(), "colbert_spark_fielded_idx_" + _corpus_key(sf_dir)
     )
-    title_idx, body_idx = os.path.join(base, "title"), os.path.join(base, "body")
-    if base not in _FIELD_IDX_BUILT:
-        ok = True
-        for d in (title_idx, body_idx):
-            done = os.path.join(d, "stats.json")
-            if not os.path.exists(done):
-                ok = False
-                break
+    if base not in _FIELDED_IDX_BUILT:
+        ok = False
+        done = os.path.join(base, "stats.json")
+        if os.path.exists(done):
             with open(done) as f:
-                if int(json.load(f).get("N", 0)) <= 0:
-                    ok = False
-                    break
+                st = json.load(f)
+            ok = int(st.get("N", 0)) > 0 and bool(st.get("fields"))
         if not ok:
             shutil.rmtree(base, ignore_errors=True)
+            toks = tokens_col("text")
             pages = load_table(spark, sf_dir, "documents").select(
-                F.format_string("%012d", F.col("doc_id")).alias("url"), "text"
+                F.format_string("%012d", F.col("doc_id")).alias("url"),
+                F.array_join(F.slice(toks, 1, TITLE_LEN), " ").alias("title"),
+                F.array_join(
+                    # length = size(toks): an INT_MAX literal overflows
+                    # start+length inside slice and silently yields []
+                    F.slice(toks, TITLE_LEN + 1, F.size(toks)), " "
+                ).alias("body"),
             )
             build_index(
-                spark, pages, title_idx, bucket_size=1000, max_doclen=TITLE_LEN
+                spark,
+                pages,
+                base,
+                bucket_size=1000,
+                fields=[("title", "title"), ("body", "body")],
             )
-            # body text: tokens after the title cut, space-joined (the
-            # grammar re-tokenizes a space-joined token list identically)
-            body_pages = pages.select(
-                "url",
-                F.array_join(
-                    F.slice(tokens_col("text"), TITLE_LEN + 1, 2147483647), " "
-                ).alias("text"),
-            )
-            build_index(spark, body_pages, body_idx, bucket_size=1000)
-        _FIELD_IDX_BUILT.add(base)
-    return title_idx, body_idx
+        _FIELDED_IDX_BUILT.add(base)
+    return base
 
 
 def _field_postings(spark: SparkSession, s, terms: list[str]) -> DataFrame:
@@ -3637,58 +3637,64 @@ def _field_postings(spark: SparkSession, s, terms: list[str]) -> DataFrame:
 
 
 def fts_bm25f_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`fts_bm25f` answered from PER-FIELD segment indexes: each field's
-    (tf, fieldlen) statistics decode DISTRIBUTED from that field's pruned
-    segment scan (`_field_postings` — only the query terms' blocks move, no
-    driver-side match-set collect), idf from the MAIN index's catch-all
-    dictionary (term df over whole documents — the copy-to field practice),
-    and the BM25F combination is a declarative join/agg. Shares
-    `fts_bm25f`'s oracle, proving per-field stored statistics reproduce a
-    fresh two-field corpus recount."""
-    import json
-    import os
-
+    """`fts_bm25f` answered from ONE fielded index directory
+    (`build_index(fields=...)`): every field's (tf, fieldlen) statistics
+    decode DISTRIBUTED from the SAME pruned segment scan — the query terms
+    are field-qualified (f"{field}\\x1f{term}") so one `_field_postings`
+    pass ships both fields' blocks; per-field avgdl reads from the single
+    stats.json; catch-all idf (docs containing the term in ANY field — the
+    copy-to field practice) is an exact distinct-count over the already
+    pruned posting rows, never a second index. The BM25F combination is a
+    declarative join/agg. Shares `fts_bm25f`'s oracle, proving one fielded
+    physical index reproduces a fresh two-field corpus recount."""
     from collections import Counter
 
     from colbert_spark.functions.tokenizer import py_tokenize
+    from colbert_spark.index.build import FIELD_SEP
     from colbert_spark.query.wand import IndexSearcher
 
-    title_idx, body_idx = _field_index_dirs(spark, sf_dir)
-    main_idx = _positional_index_dir(spark, sf_dir)
-    all_terms = sorted({t for _, q in DOC_QUERIES for t in py_tokenize(q)})
+    idx = _fielded_index_dir(spark, sf_dir)
+    s = IndexSearcher(spark, idx)
+    base_terms = sorted({t for _, q in DOC_QUERIES for t in py_tokenize(q)})
+    qualified = [f + FIELD_SEP + t for f in sorted(BM25F_FIELDS) for t in base_terms]
+    posts = _field_postings(spark, s, qualified).select(
+        F.substring_index("term", FIELD_SEP, 1).alias("field"),
+        F.substring_index("term", FIELD_SEP, -1).alias("term"),
+        F.col("doc_id").alias("idx_doc"),
+        "tf",
+        "doclen",  # the dl stream of a fielded index IS the field length
+    )
+    posts = posts.persist()
 
-    parts = []
-    for fld, idx in (("title", title_idx), ("body", body_idx)):
-        s = IndexSearcher(spark, idx)
-        posts = _field_postings(spark, s, all_terms)
-        back = spark.read.parquet(_index_docs_path(idx)).select(
-            F.col("doc_id").alias("idx_doc"),
-            F.col("url").cast("long").alias("table_doc"),
-        )
-        avg_f = float(s.stats["avgdl"])
-        w, b_f = BM25F_FIELDS[fld], BM25F_B[fld]
-        norm = 1.0 - b_f + b_f * F.col("doclen") / F.lit(avg_f)
-        parts.append(
-            posts.withColumnRenamed("doc_id", "idx_doc")
-            .join(back, "idx_doc")
-            .select(
-                "term",
-                F.col("table_doc").alias("doc_id"),
-                (F.lit(w) * F.col("tf") / norm).alias("wtf"),
-            )
-        )
+    fstats = s.stats["fields"]
+    avg_map = F.create_map(
+        *[x for f in BM25F_FIELDS for x in (F.lit(f), F.lit(float(fstats[f]["avgdl"])))]
+    )
+    w_map = F.create_map(
+        *[x for f, w in BM25F_FIELDS.items() for x in (F.lit(f), F.lit(float(w)))]
+    )
+    b_map = F.create_map(
+        *[x for f, bf in BM25F_B.items() for x in (F.lit(f), F.lit(float(bf)))]
+    )
+    fld = F.col("field")
+    norm = F.lit(1.0) - b_map[fld] + b_map[fld] * F.col("doclen") / avg_map[fld]
     pseudo = (
-        parts[0].unionByName(parts[1])
-        .groupBy("term", "doc_id")
+        posts.select(
+            "term", "idx_doc", (w_map[fld] * F.col("tf") / norm).alias("wtf")
+        )
+        .groupBy("term", "idx_doc")
         .agg(F.sum("wtf").alias("tfp"))
     )
 
-    # catch-all idf from the MAIN index's committed dictionary
-    with open(os.path.join(main_idx, "stats.json")) as f:
-        n_docs = int(json.load(f)["N"])
-    main_td = spark.read.parquet(os.path.join(main_idx, "term_dict")).select(
-        "term", "df"
+    # catch-all df from the pruned posting rows themselves: a doc counts
+    # once however many fields the term hits (exact two-phase distinct)
+    dfr = (
+        posts.select("term", "idx_doc")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
     )
+    n_docs = int(s.stats["N"])
     qt_rows = []
     for qid, q in DOC_QUERIES:
         for t, n in sorted(Counter(py_tokenize(q)).items()):
@@ -3700,12 +3706,18 @@ def fts_bm25f_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k1 = K1_DEFAULT
     contrib = F.col("qtf") * idf * F.col("tfp") * (k1 + 1.0) / (F.col("tfp") + k1)
+    back = spark.read.parquet(_index_docs_path(idx)).select(
+        F.col("doc_id").alias("idx_doc"),
+        F.col("url").cast("long").alias("doc_id"),
+    )
     agg = (
         pseudo.join(F.broadcast(qt), "term")  # fan one tfp table out per qid
-        .join(F.broadcast(main_td), "term")
+        .join(F.broadcast(dfr), "term")
         .withColumn("contrib", contrib)
-        .groupBy("qid", "doc_id")
+        .groupBy("qid", "idx_doc")
         .agg(F.sum("contrib").alias("score"))
+        .join(F.broadcast(back), "idx_doc")  # index ids → table ids for ranking
+        .select("qid", "doc_id", "score")
     )
     return _rank_topk(agg)
 
