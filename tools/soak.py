@@ -1,13 +1,17 @@
-"""Large-corpus soak: build → deep-fsck → warm query/phrase, one JSON line.
+"""Large-corpus soak: build → deep-fsck → warm query/phrase → point sweep
+→ compaction, one JSON line.
 
-Round-3 protocol (VERDICT.md §next #3): one decade beyond the 200k soak —
-1M docs, positional build at a tuned bucket_size, `index_fsck --deep`
-decoding every payload, warm 1000-query BM25 batch + 50-phrase batch, and
-the block-count floor analysis (Σ_t min(df_t, n_buckets) — the Zipf tail's
-lower bound on blocks, which per-doc write cost amortizes against as the
-corpus grows into a fixed bucket count).
+Round-4 protocol (VERDICT.md round-3 §next #5): one decade beyond the 1M
+soak — positional build at a tuned bucket_size, `index_fsck --deep`
+decoding every payload, warm 1000-query BM25 batch + 50-phrase batch, a
+20-query `search_point` cold/hot sweep, then `compact_index` with a
+post-compaction deep fsck and a rank/score-identity spot check across the
+swap, and the block-count floor analysis (Σ_t min(df_t, n_buckets) — the
+Zipf tail's lower bound on blocks, which per-doc write cost amortizes
+against as the corpus grows into a fixed bucket count).
 
 Usage: python tools/soak.py [n_docs] [bucket_size]   (defaults 1_000_000, 62_500)
+Set SOAK_COMPACT=0 to skip the compaction leg (round-3 behavior).
 Corpus and index live under /tmp and are reused across runs if present
 (delete /tmp/soak_<n>_corpus to regenerate).
 """
@@ -121,6 +125,20 @@ def main() -> None:
     lat.sort()
     out["warm_latency_p50"] = round(lat[len(lat) // 2], 3)
     out["warm_latency_p95"] = round(lat[int(len(lat) * 0.95)], 3)
+
+    # point sweep: driver-resident path, cold pass (block fetches) then hot
+    plat_cold, plat_hot = [], []
+    for pass_lat in (plat_cold, plat_hot):
+        for q in single["question"]:
+            t0 = time.perf_counter()
+            searcher.search_point(q, k=100)
+            pass_lat.append(time.perf_counter() - t0)
+        pass_lat.sort()
+    out["point_p50_cold"] = round(plat_cold[len(plat_cold) // 2], 4)
+    out["point_p50_hot"] = round(plat_hot[len(plat_hot) // 2], 4)
+    out["point_p95_hot"] = round(plat_hot[int(len(plat_hot) * 0.95)], 4)
+    # pre-compaction answers for the identity check across the swap
+    pre_compact = [searcher.search_point(q, k=20) for q in single["question"][:10]]
     searcher.close()
 
     # warm phrase batch (positional path)
@@ -136,6 +154,47 @@ def main() -> None:
     out["phrase_batch_sec"] = round(time.perf_counter() - t0, 2)
     out["phrase_hits"] = n_hits
     psearch.close()
+
+    if os.environ.get("SOAK_COMPACT", "1") != "0":
+        from colbert_spark.index.compact import compact_index
+
+        t0 = time.perf_counter()
+        cstats = compact_index(spark, index_dir)
+        out["compact_sec"] = round(time.perf_counter() - t0, 1)
+        out["compact_blocks_before"] = cstats.get("n_blocks_before")
+        out["compact_blocks_after"] = cstats.get("n_blocks_after")
+
+        t0 = time.perf_counter()
+        fsck2 = index_fsck(spark, index_dir, deep=True)
+        out["compact_fsck_sec"] = round(time.perf_counter() - t0, 1)
+        out["compact_fsck_ok"] = fsck2["ok"]
+        out["compact_fsck_errors"] = fsck2.get("errors", [])[:5]
+
+        istats2 = index_stats(spark, index_dir)
+        out["compact_fill_ratio"] = istats2["fill_ratio"]
+        out["compact_bytes_per_posting"] = istats2["bytes_per_posting"]
+        if floor:
+            out["compact_block_floor_ratio"] = round(istats2["blocks"] / floor, 3)
+
+        # identity across the swap: compaction rewrites every block but must
+        # not change a single (doc_id, score) pair
+        s2 = IndexSearcher(spark, index_dir)
+        s2.warm()
+        ident = True
+        for q, pre in zip(single["question"][:10], pre_compact):
+            post = s2.search_point(q, k=20)
+            if len(pre) != len(post):
+                ident = False
+                break
+            if len(pre) and not (
+                (pre["doc_id"].values == post["doc_id"].values).all()
+                and abs(pre["score"].values - post["score"].values).max()
+                <= 1e-9 * max(1.0, abs(pre["score"].values).max())
+            ):
+                ident = False
+                break
+        out["compact_identity_ok"] = ident
+        s2.close()
 
     print(json.dumps(out))
 
