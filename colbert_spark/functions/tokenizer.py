@@ -60,14 +60,17 @@ def py_html_to_text(html: bytes | str) -> str:
     return _TAG_RE.sub(" ", no_scripts)
 
 
-def tokens_col(col_name: str = "text"):
+def tokens_col(col_name="text"):
     """Spark Column of array<string> terms — pure JVM expressions, codegen'd.
 
     Equivalent to ``py_tokenize`` by construction (same regex grammar).
+    Accepts a column name or a Column expression.
     """
+    from pyspark.sql import Column
     from pyspark.sql import functions as F
 
-    return F.regexp_extract_all(F.lower(F.col(col_name)), F.lit(JAVA_TOKEN_REGEX), 0)
+    c = col_name if isinstance(col_name, Column) else F.col(col_name)
+    return F.regexp_extract_all(F.lower(c), F.lit(JAVA_TOKEN_REGEX), 0)
 
 
 def html_text_col(col_name: str = "html"):

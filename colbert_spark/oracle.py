@@ -88,6 +88,39 @@ class OracleIndex:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def topk_boolean(
+        self,
+        question: str,
+        k: int = 10,
+        require_groups: list[list[str]] | None = None,
+        exclude_terms: list[str] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Top-k under boolean constraints: score `question` as plain BM25,
+        keep docs containing ≥1 term of EVERY require group (MUST, filter
+        context — no score contribution) and none of `exclude_terms`
+        (MUST_NOT). A require group with no in-vocabulary term matches no
+        document."""
+        scores = self.score_all(question)
+        if require_groups:
+            for grp in require_groups:
+                members = set()
+                found = False
+                for t in grp:
+                    plist = self.postings.get(t)
+                    if plist:
+                        found = True
+                        members.update(d for d, _ in plist)
+                if not found:
+                    return []
+                scores = {d: s for d, s in scores.items() if d in members}
+        if exclude_terms:
+            banned = set()
+            for t in exclude_terms:
+                banned.update(d for d, _ in self.postings.get(t, ()))
+            scores = {d: s for d, s in scores.items() if d not in banned}
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def term_upper_bound(self, term: str) -> float:
         """Max possible BM25 contribution of `term` over all docs (for WAND tests)."""
         plist = self.postings.get(term)

@@ -92,10 +92,15 @@ class Resolved(NamedTuple):
     Tuple-compatible: legacy consumers unpack the first four fields."""
 
     batch: list  # [(qid, term_ids asc int64[], qtfs float64[]), ...]
-    idf_map: dict  # term_id → current idf (positives ∪ negatives)
+    idf_map: dict  # term_id → current idf (positives ∪ negatives ∪ required)
     all_tids: list  # sorted(idf_map) — the pruned-scan term set
     neg_map: dict  # qid → ascending negated term_ids (must_not)
     n_tokens: dict  # qid → DISTINCT in-grammar token count, OOV included
+    # qid → list of int64 arrays: doc must match ≥1 term of EVERY group
+    # (Lucene MUST / ES bool-filter context — constrains, does not score).
+    # A qid whose require groups cannot all resolve is dropped from `batch`
+    # at resolution (a required term with no postings matches nothing).
+    req_map: dict = {}
 
 _EMPTY = pd.DataFrame(
     {
@@ -342,6 +347,7 @@ def _score_batch_dense(
     min_match: int = 1,
     neg_map: dict | None = None,
     excluded: np.ndarray | None = None,
+    req_map: dict | None = None,
 ) -> tuple[list, list, list]:
     """Shared-decode exhaustive scoring of a whole query batch against one
     bucket. Docs inside a bucket span a contiguous id range (bucket =
@@ -369,7 +375,16 @@ def _score_batch_dense(
 
     `excluded` (deletion tombstones): sorted global doc_ids masked out of
     every query's results (Lucene liveDocs); scoring statistics deliberately
-    stay encode-time until an expunging compaction (see index/delete.py)."""
+    stay encode-time until an expunging compaction (see index/delete.py).
+
+    `req_map` (boolean MUST / filter context): qid → list of term_id groups;
+    a doc survives only if it contains ≥1 term of EVERY group (a plain
+    required term is a singleton group; a required wildcard is the group of
+    its dictionary expansions). Bucket-local like negation — a doc's
+    postings all live in its own bucket, so a group with no postings here
+    eliminates every doc of this bucket for that query. Required terms do
+    NOT add score (ES bool-`filter`); list them in the positives too for
+    Lucene's scored-MUST."""
     lo = min(int(tb.firsts.min()) for tb in groups.values())
     hi = max(int(tb.lasts.max()) for tb in groups.values())
     acc = np.zeros(hi - lo + 1, dtype=np.float64)
@@ -392,6 +407,26 @@ def _score_batch_dense(
         ]
         if not present or len(present) < thr:
             continue
+        rmask = None
+        if req_map is not None and qid in req_map:
+            dead = False
+            for grp in req_map[qid]:
+                gmask = np.zeros(hi - lo + 1, dtype=bool)
+                hit = False
+                for rt in grp:
+                    rtb = groups.get(int(rt))
+                    if rtb is not None:
+                        rdocs, _ = rtb.full(k1, b, avgdl)
+                        gmask[rdocs - lo] = True
+                        hit = True
+                if not hit:
+                    # the whole group is absent from this bucket: no doc
+                    # here can satisfy the conjunction
+                    dead = True
+                    break
+                rmask = gmask if rmask is None else (rmask & gmask)
+            if dead:
+                continue
         acc[:] = 0.0
         if cnt is not None:
             cnt[:] = 0
@@ -402,6 +437,8 @@ def _score_batch_dense(
                 cnt[docs - lo] += 1
         if mask is not None:
             acc[~mask] = 0.0
+        if rmask is not None:
+            acc[~rmask] = 0.0
         if cnt is not None:
             acc[cnt < thr] = 0.0
         if neg_map is not None:
@@ -466,6 +503,7 @@ def make_batch_kernel(
         batch, idf_map, *rest = payload
         neg_map = rest[0] if len(rest) > 0 else None
         excluded = rest[1] if len(rest) > 1 else None
+        req_map = rest[2] if len(rest) > 2 else None
         budget = _DecodeBudget(decode_cache_bytes)
         groups: dict[int, _TermBlocks] = {}
         for tid, sub in pdf.groupby("term_id", sort=False):
@@ -478,11 +516,15 @@ def make_batch_kernel(
             len(batch) >= dense_min
             or min_match != 1
             or neg_map
+            or req_map
             or excluded is not None
         ):
+            # require forces the dense pass: θ pruning seeded from docs a
+            # required group will eliminate could over-prune (the same
+            # soundness argument as negation/filters/min_match)
             out_q, out_d, out_s = _score_batch_dense(
                 groups, batch, k, k1, b, avgdl, min_match=min_match,
-                neg_map=neg_map, excluded=excluded,
+                neg_map=neg_map, excluded=excluded, req_map=req_map,
             )
         else:
             out_q, out_d, out_s = [], [], []
@@ -613,6 +655,7 @@ def make_filtered_kernel(
         batch, idf_map, *rest = payload
         neg_map = rest[0] if len(rest) > 0 else None
         excluded = rest[1] if len(rest) > 1 else None
+        req_map = rest[2] if len(rest) > 2 else None
         budget = _DecodeBudget(decode_cache_bytes)
         groups: dict[int, _TermBlocks] = {}
         for tid, sub in seg_pdf.groupby("term_id", sort=False):
@@ -624,7 +667,7 @@ def make_filtered_kernel(
         allowed = allowed_pdf["doc_id"].to_numpy(np.int64)
         out_q, out_d, out_s = _score_batch_dense(
             groups, batch, k, k1, b, avgdl, allowed=allowed,
-            neg_map=neg_map, excluded=excluded,
+            neg_map=neg_map, excluded=excluded, req_map=req_map,
         )
         if not out_q:
             return _EMPTY
@@ -668,6 +711,7 @@ def make_masked_kernel(
         payload = query_batch.value if hasattr(query_batch, "value") else query_batch
         batch, idf_map, *rest = payload
         neg_map = rest[0] if len(rest) > 0 else None
+        req_map = rest[1] if len(rest) > 1 else None
         budget = _DecodeBudget(decode_cache_bytes)
         groups: dict[int, _TermBlocks] = {}
         for tid, sub in seg_pdf.groupby("term_id", sort=False):
@@ -681,7 +725,7 @@ def make_masked_kernel(
         )
         out_q, out_d, out_s = _score_batch_dense(
             groups, batch, k, k1, b, avgdl, min_match=min_match,
-            neg_map=neg_map, excluded=excluded,
+            neg_map=neg_map, excluded=excluded, req_map=req_map,
         )
         if not out_q:
             return _EMPTY
@@ -1049,14 +1093,19 @@ class IndexSearcher:
                 self._prefix_cache.popitem(last=False)
         return out[:k]
 
-    def _resolve_batch_distributed(self, queries: DataFrame, has_exclude: bool):
+    def _resolve_batch_distributed(
+        self, queries: DataFrame, has_exclude: bool, has_require: bool = False
+    ):
         """Large-batch resolution (the pre-point-path shape): tokenize in
         the JVM (codegen, distributed), count per-qid grammar tokens with a
         partial-agg groupBy, join the dictionary with an AQE-planned join,
-        and collect ONLY the slim (qid, term, term_id, qtf, df[, neg]) rows
-        plus a |Q|-row token-count table — never the question strings. A
-        cross-shard df override (`_df_over`, sharded federation) is applied
-        driver-side to the collected slim rows by term."""
+        and collect ONLY the slim (qid, term, term_id, qtf, df[, neg, gidx])
+        rows plus a |Q|-row token-count table — never the question strings.
+        A cross-shard df override (`_df_over`, sharded federation) is
+        applied driver-side to the collected slim rows by term. `require`
+        groups ride the same dictionary join keyed by (qid, group index);
+        group-count reconciliation (a dead fully-OOV group drops its query)
+        happens driver-side against a |groups|-row expected-count table."""
         from colbert_spark.functions.analyzer import analyze_terms_col
         from colbert_spark.functions.tokenizer import tokens_col
 
@@ -1073,7 +1122,9 @@ class IndexSearcher:
             pos.groupBy("qid").agg(F.count(F.lit(1)).alias("n")).collect()
         )
         n_tokens = {r["qid"]: int(r["n"]) for r in ntok_rows}
-        qt = pos.withColumn("neg", F.lit(False))
+        qt = pos.withColumn("neg", F.lit(False)).withColumn(
+            "gidx", F.lit(-1)
+        )
         if has_exclude:
             negs = (
                 queries.filter(F.col("exclude").isNotNull())
@@ -1085,12 +1136,60 @@ class IndexSearcher:
                     ).alias("term"),
                 )
                 .distinct()
-                .select("qid", "term", F.lit(1).alias("qtf"), F.lit(True).alias("neg"))
+                .select(
+                    "qid", "term", F.lit(1).alias("qtf"),
+                    F.lit(True).alias("neg"), F.lit(-1).alias("gidx"),
+                )
             )
             qt = qt.unionByName(negs)
+        req_expected: dict[int, int] = {}
+        if has_require:
+            # one row per (qid, group, analyzed term): groups are the
+            # whitespace-split atoms of `require`, commas separating
+            # OR-alternatives within a group (same rule as the driver path)
+            req_tok = (
+                queries.filter(F.col("require").isNotNull())
+                .select(
+                    "qid",
+                    F.posexplode(
+                        F.split(F.col("require"), r"\s+")
+                    ).alias("gidx", "atom"),
+                )
+                .select(
+                    "qid",
+                    "gidx",
+                    tokens_col(
+                        F.regexp_replace(F.col("atom"), ",", " ")
+                    ).alias("toks"),
+                )
+                .select(
+                    "qid",
+                    "gidx",
+                    F.explode(
+                        analyze_terms_col("toks", self._analyzer)
+                    ).alias("term"),
+                )
+                .distinct()
+            )
+            # expected group count per qid BEFORE the dictionary join: the
+            # reconciliation below turns a fully-OOV group into a dead query
+            exp_rows = (
+                req_tok.select("qid", "gidx")
+                .distinct()
+                .groupBy("qid")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            req_expected = {r["qid"]: int(r["n"]) for r in exp_rows}
+            qt = qt.unionByName(
+                req_tok.select(
+                    "qid", "term", F.lit(1).alias("qtf"),
+                    F.lit(False).alias("neg"), F.col("gidx"),
+                )
+            )
         rows = (
             self.term_dict.join(qt, "term")
-            .select("qid", "term", "term_id", "qtf", "df", "neg")
+            .select("qid", "term", "term_id", "qtf", "df", "neg", "gidx")
             .collect()
         )
         if not rows:
@@ -1099,6 +1198,7 @@ class IndexSearcher:
         idf_map: dict[int, float] = {}
         by_qid: dict[int, list[tuple[int, int]]] = {}
         neg_sets: dict[int, set] = {}
+        req_sets: dict[int, dict[int, set]] = {}  # qid → gidx → tids
         for r in rows:
             tid = int(r["term_id"])
             if tid not in idf_map:
@@ -1108,7 +1208,11 @@ class IndexSearcher:
                 idf_map[tid] = float(
                     np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
                 )
-            if r["neg"]:
+            if int(r["gidx"]) >= 0:
+                req_sets.setdefault(r["qid"], {}).setdefault(
+                    int(r["gidx"]), set()
+                ).add(tid)
+            elif r["neg"]:
                 neg_sets.setdefault(r["qid"], set()).add(tid)
             else:
                 by_qid.setdefault(r["qid"], []).append((tid, int(r["qtf"])))
@@ -1128,7 +1232,25 @@ class IndexSearcher:
             qid: np.array(sorted(ts), dtype=np.int64)
             for qid, ts in neg_sets.items()
         }
-        return Resolved(batch, idf_map, sorted(idf_map), neg_map, n_tokens)
+        req_map: dict[int, list[np.ndarray]] = {}
+        dead: set[int] = set()
+        for qid, want in req_expected.items():
+            got = req_sets.get(qid, {})
+            if len(got) < want:
+                # ≥1 required group resolved to nothing: no doc can match
+                dead.add(qid)
+                continue
+            req_map[qid] = [
+                np.array(sorted(got[g]), dtype=np.int64)
+                for g in sorted(got)
+            ]
+        if dead:
+            batch = [bq for bq in batch if bq[0] not in dead]
+            if not batch:
+                return None
+        return Resolved(
+            batch, idf_map, sorted(idf_map), neg_map, n_tokens, req_map
+        )
 
     def _resolve_batch(self, queries: DataFrame):
         """Resolved(batch, idf_map, all_tids, neg_map, n_tokens) for a query
@@ -1145,9 +1267,21 @@ class IndexSearcher:
         must_not (`exclude` column) terms resolve in the SAME lookup.
 
         `n_tokens` maps qid → distinct in-grammar token count (OOV included)
-        so MATCH_ALL can enforce strict-AND without another job."""
+        so MATCH_ALL can enforce strict-AND without another job.
+
+        An optional `require` column (boolean MUST, filter context) holds a
+        conjunction of whitespace-separated groups; commas inside a group
+        separate OR-alternatives ("rock jazz,blues" = rock AND (jazz OR
+        blues)). A group whose every token is out-of-vocabulary can match
+        no document, so its query resolves to zero rows (dropped from the
+        batch here — no kernel work)."""
         has_exclude = "exclude" in queries.columns
-        cols = ["qid", "question"] + (["exclude"] if has_exclude else [])
+        has_require = "require" in queries.columns
+        cols = (
+            ["qid", "question"]
+            + (["exclude"] if has_exclude else [])
+            + (["require"] if has_require else [])
+        )
         # cap driver materialization of QUESTION STRINGS: a serving batch
         # collects whole (tiny) and tokenizes driver-side (zero jobs when
         # the term LRU is hot); a LARGE offline batch (> resolve_collect_max
@@ -1159,11 +1293,14 @@ class IndexSearcher:
         if not qrows:
             return None
         if len(qrows) > self.resolve_collect_max:
-            return self._resolve_batch_distributed(queries, has_exclude)
+            return self._resolve_batch_distributed(
+                queries, has_exclude, has_require
+            )
         from collections import Counter
 
         pos_tf: dict[int, Counter] = {}
         neg_terms: dict[int, set] = {}
+        req_groups: dict[int, list[list[str]]] = {}
         from colbert_spark.functions.analyzer import py_analyze
 
         for r in qrows:
@@ -1175,9 +1312,20 @@ class IndexSearcher:
                 neg_terms.setdefault(qid, set()).update(
                     py_analyze(py_tokenize(r["exclude"]), self._analyzer)
                 )
+            if has_require and r["require"]:
+                groups = []
+                for atom in r["require"].split():
+                    toks = py_analyze(
+                        py_tokenize(atom.replace(",", " ")), self._analyzer
+                    )
+                    if toks:  # tokenless atom imposes no constraint
+                        groups.append(sorted(set(toks)))
+                if groups:
+                    req_groups[qid] = groups
         all_terms = sorted(
             {t for c in pos_tf.values() for t in c}
             | {t for s in neg_terms.values() for t in s}
+            | {t for gs in req_groups.values() for g in gs for t in g}
         )
         resolved = self._lookup_terms(all_terms)
         # live_docs (written only by an expunging compaction) is the Lucene
@@ -1221,7 +1369,29 @@ class IndexSearcher:
             )
             if tids:  # OOV negated terms exclude nothing (no postings)
                 neg_map[qid] = np.array(tids, dtype=np.int64)
-        return Resolved(batch, idf_map, sorted(idf_map), neg_map, n_tokens)
+        req_map: dict[int, list[np.ndarray]] = {}
+        dead: set[int] = set()
+        for qid, gs in req_groups.items():
+            arrs = []
+            for g in gs:
+                gtids = sorted(
+                    resolved[t][0] for t in g if resolved.get(t) is not None
+                )
+                if not gtids:
+                    # a fully-OOV required group matches no document
+                    dead.add(qid)
+                    break
+                arrs.append(np.array(gtids, dtype=np.int64))
+            else:
+                if arrs:
+                    req_map[qid] = arrs
+        if dead:
+            batch = [bq for bq in batch if bq[0] not in dead]
+            if not batch:
+                return None
+        return Resolved(
+            batch, idf_map, sorted(idf_map), neg_map, n_tokens, req_map
+        )
 
     def search(
         self,
@@ -1246,6 +1416,14 @@ class IndexSearcher:
         with only excluded terms (no in-vocabulary positives) yields no
         rows.
 
+        Boolean MUST (filter context): an optional `require` string column
+        keeps only docs containing ≥1 term of EVERY whitespace-separated
+        group (commas separate OR-alternatives within a group — a required
+        wildcard expansion is one comma-joined group). Required terms
+        constrain but do not score (ES bool-`filter`); repeat them in
+        `question` for Lucene's scored-MUST. A fully out-of-vocabulary
+        required group yields no rows for its query.
+
         `offset` (deep paging / searchAfter): skip the first `offset` ranks
         and return ranks offset+1 … offset+k (renumbered 1…k). Exact: the
         kernel keeps offset+k per bucket, so the global page is a strict
@@ -1256,6 +1434,7 @@ class IndexSearcher:
         if resolved is None:
             return spark.createDataFrame([], TOPK_SCHEMA)
         batch, idf_map, all_tids, neg_map = resolved[:4]
+        req_map = resolved.req_map
         if min_match == MATCH_ALL:
             # strict AND counts OOV tokens too: drop any qid whose resolved
             # term count falls short of its distinct-token count (already
@@ -1265,11 +1444,18 @@ class IndexSearcher:
             if not batch:
                 return spark.createDataFrame([], TOPK_SCHEMA)
             all_tids = sorted({int(t) for b in batch for t in b[1]})
-        if neg_map:
-            # negated terms' blocks must reach the kernel too: join the scan
-            # set AFTER any MATCH_ALL re-derivation of the positive tids
+        if neg_map or req_map:
+            # negated/required terms' blocks must reach the kernel too: join
+            # the scan set AFTER any MATCH_ALL re-derivation of the positives
             all_tids = sorted(
-                set(all_tids) | {int(t) for ts in neg_map.values() for t in ts}
+                set(all_tids)
+                | {int(t) for ts in neg_map.values() for t in ts}
+                | {
+                    int(t)
+                    for gs in req_map.values()
+                    for g in gs
+                    for t in g
+                }
             )
 
         if self._warm is not None:
@@ -1307,7 +1493,9 @@ class IndexSearcher:
                 .alias("bucket"),
                 F.col("doc_id").cast("long").alias("doc_id"),
             )
-            bc = spark.sparkContext.broadcast((batch, idf_map, neg_map))
+            bc = spark.sparkContext.broadcast(
+                (batch, idf_map, neg_map, req_map)
+            )
             mkernel = make_masked_kernel(
                 bc,
                 k + offset,
@@ -1326,7 +1514,7 @@ class IndexSearcher:
             )
         else:
             bc = spark.sparkContext.broadcast(
-                (batch, idf_map, neg_map, self._tomb)
+                (batch, idf_map, neg_map, self._tomb, req_map)
             )
             kernel = make_batch_kernel(
                 bc,
@@ -1417,7 +1605,8 @@ class IndexSearcher:
         return True
 
     def search_point(self, question: str, k: int = 10,
-                     exclude: str | None = None) -> pd.DataFrame:
+                     exclude: str | None = None,
+                     require: str | None = None) -> pd.DataFrame:
         """Sub-second SINGLE-query serving — the reference's resident point
         server (``dense_server_client.py:21-66``: query in, top-k out, no
         per-query job scheduling), realized driver-side: tokenize with the
@@ -1444,15 +1633,18 @@ class IndexSearcher:
             # exact degrade path: one distributed search() — used when the
             # mask must stay distributed (large tombstone set) or a head
             # term's postings are too big to collect (`_fetch_blocks` bound)
+            fields = [("qid", 0), ("question", question)]
             if exclude:
-                qdf = self.spark.createDataFrame(
-                    [(0, question, exclude)],
-                    "qid long, question string, exclude string",
-                )
-            else:
-                qdf = self.spark.createDataFrame(
-                    [(0, question)], "qid long, question string"
-                )
+                fields.append(("exclude", exclude))
+            if require:
+                fields.append(("require", require))
+            schema = ", ".join(
+                f"{n} {'long' if n == 'qid' else 'string'}"
+                for n, _ in fields
+            )
+            qdf = self.spark.createDataFrame(
+                [tuple(v for _, v in fields)], schema
+            )
             rows = self.search(qdf, k=k).collect()
             if not rows:
                 return empty
@@ -1477,9 +1669,23 @@ class IndexSearcher:
             if exclude
             else set()
         )
+        req_tok_groups: list[list[str]] = []
+        if require:
+            for atom in require.split():
+                toks = py_analyze(
+                    py_tokenize(atom.replace(",", " ")), self._analyzer
+                )
+                if toks:
+                    req_tok_groups.append(sorted(set(toks)))
         if not counts:
             return empty
-        resolved = self._lookup_terms(sorted(set(counts) | neg))
+        resolved = self._lookup_terms(
+            sorted(
+                set(counts)
+                | neg
+                | {t for g in req_tok_groups for t in g}
+            )
+        )
         n_docs = self.stats.get("live_docs", self.stats["N"])
         pairs = sorted(
             (resolved[t][0], float(qtf))
@@ -1493,6 +1699,14 @@ class IndexSearcher:
         neg_tids = sorted(
             resolved[t][0] for t in neg if resolved.get(t) is not None
         )
+        req_groups: list[np.ndarray] = []
+        for g in req_tok_groups:
+            gtids = sorted(
+                resolved[t][0] for t in g if resolved.get(t) is not None
+            )
+            if not gtids:
+                return empty  # fully-OOV required group: nothing can match
+            req_groups.append(np.array(gtids, dtype=np.int64))
         idf_map = {}
         df_by_tid: dict[int, int] = {}
         for t, hit in resolved.items():
@@ -1504,7 +1718,11 @@ class IndexSearcher:
                 idf_map[tid] = float(
                     np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
                 )
-        all_ids = sorted(set(tids.tolist()) | set(neg_tids))
+        all_ids = sorted(
+            set(tids.tolist())
+            | set(neg_tids)
+            | {int(t) for g in req_groups for t in g}
+        )
         # one lock spans fetch → decode-cache build → scoring: concurrent
         # clients see consistent LRUs and a shared _DecodeBudget (driver
         # numpy is GIL-bound anyway; the win of threads is overlapping the
@@ -1515,12 +1733,14 @@ class IndexSearcher:
                 pass  # head term too big to collect — degrade below
             else:
                 return self._score_point_locked(
-                    all_ids, tids, qtfs, neg_tids, idf_map, k, empty
+                    all_ids, tids, qtfs, neg_tids, idf_map, k, empty,
+                    req_groups=req_groups,
                 )
         return _distributed_fallback()
 
     def _score_point_locked(
-        self, all_ids, tids, qtfs, neg_tids, idf_map, k, empty
+        self, all_ids, tids, qtfs, neg_tids, idf_map, k, empty,
+        req_groups: list | None = None,
     ) -> pd.DataFrame:
         """Driver-numpy scoring over the resident block cache (lock held by
         caller): identical kernels to the distributed dense pass."""
@@ -1553,6 +1773,7 @@ class IndexSearcher:
         neg_map = (
             {0: np.array(neg_tids, dtype=np.int64)} if neg_tids else None
         )
+        req_map = {0: req_groups} if req_groups else None
         out_d, out_s = [], []
         # always the dense pass: exact for any mask, and its whole-term
         # full() decodes are what the budgeted cache retains across queries
@@ -1566,7 +1787,7 @@ class IndexSearcher:
                 continue
             _, d, s = _score_batch_dense(
                 groups, batch, k, k1, b, avgdl,
-                neg_map=neg_map, excluded=self._tomb,
+                neg_map=neg_map, excluded=self._tomb, req_map=req_map,
             )
             out_d.extend(d)
             out_s.extend(s)
@@ -1607,7 +1828,9 @@ class IndexSearcher:
             shuffled = self.pruned_scan(all_tids).repartition(
                 p, "bucket"
             ).sortWithinPartitions("bucket", "term_id", "first_doc")
-        bc = spark.sparkContext.broadcast((batch, idf_map, neg_map, self._tomb))
+        bc = spark.sparkContext.broadcast(
+            (batch, idf_map, neg_map, self._tomb, resolved.req_map)
+        )
         kernel = make_batch_kernel(
             bc, None, self.stats["k1"], self.stats["b"], self.stats["avgdl"],
             dense_min=0,
@@ -1824,10 +2047,13 @@ class IndexSearcher:
             .alias("bucket"),
             F.col("doc_id").cast("long").alias("doc_id"),
         )
-        # must_not terms (the `exclude` query column) apply under filters
-        # too: their blocks already ride the pruned scan via all_tids, and
-        # the dense pass zeroes matching docs post-accumulation
-        bc = spark.sparkContext.broadcast((batch, idf_map, neg_map, self._tomb))
+        # must_not / require terms (the `exclude` / `require` query columns)
+        # apply under filters too: their blocks already ride the pruned scan
+        # via all_tids (resolution's idf_map covers them), and the dense
+        # pass applies both masks post-accumulation
+        bc = spark.sparkContext.broadcast(
+            (batch, idf_map, neg_map, self._tomb, resolved.req_map)
+        )
         kernel = make_filtered_kernel(
             bc,
             k,
@@ -2023,7 +2249,8 @@ class ShardedSearcher:
         )
 
     def search_point(
-        self, question: str, k: int = 10, exclude: str | None = None
+        self, question: str, k: int = 10, exclude: str | None = None,
+        require: str | None = None,
     ) -> pd.DataFrame:
         """Point-serving federation: fan a single query out over the
         resident shard searchers' driver-side point paths CONCURRENTLY and
@@ -2039,7 +2266,7 @@ class ShardedSearcher:
         if terms:
             self._ensure_global_df(sorted(terms))
         futs = [
-            self._pool.submit(s.search_point, question, k, exclude)
+            self._pool.submit(s.search_point, question, k, exclude, require)
             for s in self.searchers
         ]
         parts = []
