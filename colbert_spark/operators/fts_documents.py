@@ -3974,3 +3974,222 @@ ORACLES["fts_complete"] = f"""
 ORACLES["fts_complete_index"] = ORACLES["fts_complete"]
 QUERIES["fts_complete"] = fts_complete
 QUERIES["fts_complete_index"] = fts_complete_index
+
+
+# ---------------------------------------------------------------------------
+# Query-string search (the Lucene classic subset, query/parser.py +
+# query/qstring.py): one STRING per query, exercising the whole language —
+# plain SHOULD, +MUST/-MUST_NOT, AND promotion, ^boost-as-qtf, scored
+# wildcard expansion, required-wildcard OR-groups, [lo TO hi] ranges,
+# excluded wildcards, and a required wildcard with no expansion (matches
+# nothing). The reference exposes retrieval programmatically
+# (awutils/search_utils.py); a query language is the engine-surface analog
+# every production FTS ships (ES `query_string`). The DuckDB oracle encodes
+# the DOCUMENTED compilation of each string (parsing is deterministic and
+# covered by pure pytest), so the value-hash compare proves expansion +
+# boolean algebra + weighted BM25 end-to-end across engines.
+QS_QUERIES = [
+    (0, "hash join"),          # plain disjunctive BM25
+    (1, "hash +join -slow"),   # MUST + MUST_NOT
+    (2, "merge AND sort"),     # AND promotes both operands to MUST
+    (3, "data^3 stream"),      # integer boost = query-side tf
+    (4, "b*"),                 # scored wildcard (batch, big)
+    (5, "stream +c*"),         # required wildcard = one OR-group
+    (6, "[merge TO query]"),   # inclusive dictionary range
+    (7, "window -s*"),         # excluded wildcard (every s… term)
+    (8, "vector +zz*"),        # required wildcard, zero expansions → dead
+]
+
+
+def fts_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/wildcard query strings answered from the SEGMENT INDEX via
+    the compiled structured channels (`IndexSearcher.search_compiled`):
+    driver-side parse + LRU'd range-pruned dictionary expansion, then ONE
+    pruned-scan kernel plan for the whole batch. Over-fetch k+5 and re-rank
+    the oracle's way (round-9 score), same as `fts_bm25_index`."""
+    from colbert_spark.query.qstring import search_query_strings
+    from colbert_spark.query.wand import IndexSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    s = IndexSearcher(spark, idx)
+    hits = search_query_strings(s, QS_QUERIES, k=TOPK + 5)
+    mapped = _map_index_docs(
+        spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
+    )
+    return _rank_topk(mapped)
+
+
+# phrase-clause query strings: a PURE phrase scores as Lucene PhraseQuery
+# (tf = occurrence count, idf = Σ idf(tokenᵢ)); in MIXED queries a phrase
+# (or two-token ~slop NEAR) is a FILTER — scoring comes from the scored
+# clauses, the match set stays distributed through the cogrouped filtered
+# kernel.
+QSP_QUERIES = [
+    (0, '"hash join"'),             # pure phrase → PhraseQuery scoring
+    (1, 'window "hash join"'),      # phrase as filter, scored term ranks
+    (2, 'filter "data stream"~4'),  # NEAR/4 filter (unordered, |Δpos| ≤ 4)
+]
+
+
+def fts_query_string_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-clause query strings from the POSITIONAL SEGMENT INDEX: one
+    positional scan resolves every phrase/NEAR filter in the batch into
+    per-qid allowed sets (never collected), one cogrouped filtered kernel
+    ranks the scored clauses, and the pure-phrase query batches through
+    `phrase_bm25`."""
+    from colbert_spark.query.phrase import PositionalSearcher
+    from colbert_spark.query.qstring import search_query_strings
+    from colbert_spark.query.wand import IndexSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    s = IndexSearcher(spark, idx)
+    pos = PositionalSearcher(spark, idx)
+    hits = search_query_strings(s, QSP_QUERIES, k=TOPK + 5, positional=pos)
+    mapped = _map_index_docs(
+        spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
+    )
+    return _rank_topk(mapped)
+
+
+# The oracle encodes each string's documented compilation: sq = static
+# scored terms (weight = boost), swc/sr = scored wildcard/range patterns
+# expanded against the corpus vocabulary IN SQL, rt/rp = require groups
+# (≥1 term of EVERY group, no score contribution beyond the scored list),
+# xt/xp = must_not. A require group with zero expansions (qid 8) matches no
+# document — its qid never satisfies count(groups) and drops out.
+ORACLES["fts_query_string"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    vocab AS (SELECT term FROM df),
+    sq(qid, term, w) AS (VALUES
+      (0,'hash',1),(0,'join',1),(1,'hash',1),(1,'join',1),
+      (2,'merge',1),(2,'sort',1),(3,'data',3),(3,'stream',1),
+      (5,'stream',1),(7,'window',1),(8,'vector',1)),
+    swc(qid, pat, w) AS (VALUES (4,'b%',1),(5,'c%',1)),
+    sr(qid, lo, hi, w) AS (VALUES (6,'merge','query',1)),
+    qtf AS (
+      SELECT qid, term, sum(w) AS qtf FROM (
+        SELECT qid, term, w FROM sq
+        UNION ALL
+        SELECT s.qid, v.term, s.w FROM swc s JOIN vocab v ON v.term LIKE s.pat
+        UNION ALL
+        SELECT s.qid, v.term, s.w FROM sr s
+        JOIN vocab v ON v.term BETWEEN s.lo AND s.hi
+      ) GROUP BY qid, term),
+    rt(qid, gidx, term) AS (VALUES (1,0,'join'),(2,0,'merge'),(2,1,'sort')),
+    rp(qid, gidx, pat) AS (VALUES (5,0,'c%'),(8,0,'zz%')),
+    rg_terms AS (
+      SELECT qid, gidx, term FROM rt
+      UNION ALL
+      SELECT r.qid, r.gidx, v.term FROM rp r JOIN vocab v ON v.term LIKE r.pat),
+    ngroups AS (
+      SELECT qid, count(DISTINCT gidx) AS n
+      FROM (SELECT qid, gidx FROM rt UNION ALL SELECT qid, gidx FROM rp)
+      GROUP BY qid),
+    doc_groups AS (
+      SELECT DISTINCT g.qid, g.gidx, p.doc_id
+      FROM rg_terms g JOIN tf p USING (term)),
+    req_ok AS (
+      SELECT d.qid, d.doc_id FROM doc_groups d JOIN ngroups n USING (qid)
+      GROUP BY d.qid, d.doc_id, n.n
+      HAVING count(DISTINCT d.gidx) = n.n),
+    xt(qid, term) AS (VALUES (1,'slow')),
+    xp(qid, pat) AS (VALUES (7,'s%')),
+    x_terms AS (
+      SELECT qid, term FROM xt
+      UNION ALL
+      SELECT x.qid, v.term FROM xp x JOIN vocab v ON v.term LIKE x.pat),
+    banned AS (
+      SELECT DISTINCT x.qid, p.doc_id FROM x_terms x JOIN tf p USING (term)),
+    scored AS (
+      SELECT qtf.qid::BIGINT AS qid, tf.doc_id,
+             sum(qtf.qtf * ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl))
+             ) AS score
+      FROM qtf
+      JOIN df USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY qtf.qid, tf.doc_id),
+    filtered AS (
+      SELECT s.qid, s.doc_id, s.score FROM scored s
+      LEFT JOIN ngroups g ON s.qid = g.qid
+      LEFT JOIN req_ok r ON s.qid = r.qid AND s.doc_id = r.doc_id
+      LEFT JOIN banned b ON s.qid = b.qid AND s.doc_id = b.doc_id
+      WHERE b.doc_id IS NULL AND (g.qid IS NULL OR r.doc_id IS NOT NULL)),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM filtered)
+    SELECT qid, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+# per-qid branches: q0 = PhraseQuery scoring over exact-bigram occurrences,
+# q1 = BM25('window') restricted to phrase docs, q2 = BM25('filter')
+# restricted to NEAR(data, stream, 4) docs (unordered window on positions)
+ORACLES["fts_query_string_phrase"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    toks AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    pos AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(tok)),
+                    i -> {{'p': i, 'term': tok[i]}}), recursive := true)
+      FROM toks),
+    phr AS (
+      SELECT a.doc_id, count(*) AS n_occ
+      FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      WHERE a.term = 'hash' AND b.term = 'join'
+      GROUP BY a.doc_id),
+    idf0 AS (
+      SELECT sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))) AS idf_sum
+      FROM df CROSS JOIN stats WHERE df.term IN ('hash', 'join')),
+    s0 AS (
+      SELECT 0::BIGINT AS qid, phr.doc_id,
+             idf0.idf_sum * phr.n_occ * ({K1_DEFAULT} + 1.0)
+               / (phr.n_occ + {K1_DEFAULT}
+                  * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl)) AS score
+      FROM phr JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN idf0),
+    s1 AS (
+      SELECT 1::BIGINT AS qid, tf.doc_id,
+             ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({K1_DEFAULT} + 1.0)
+               / (tf.tf + {K1_DEFAULT}
+                  * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl)) AS score
+      FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      WHERE tf.term = 'window' AND tf.doc_id IN (SELECT doc_id FROM phr)),
+    near2 AS (
+      SELECT DISTINCT a.doc_id
+      FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND abs(a.p - b.p) <= 4
+      WHERE a.term = 'data' AND b.term = 'stream'),
+    s2 AS (
+      SELECT 2::BIGINT AS qid, tf.doc_id,
+             ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({K1_DEFAULT} + 1.0)
+               / (tf.tf + {K1_DEFAULT}
+                  * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl)) AS score
+      FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      WHERE tf.term = 'filter' AND tf.doc_id IN (SELECT doc_id FROM near2)),
+    all_s AS (
+      SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM all_s)
+    SELECT qid, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+QUERIES["fts_query_string"] = fts_query_string
+QUERIES["fts_query_string_phrase"] = fts_query_string_phrase

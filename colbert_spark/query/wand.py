@@ -336,6 +336,25 @@ DENSE_BATCH_MIN = 4
 MATCH_ALL = -1
 
 
+def _like_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix of a SQL-LIKE pattern (backslash escapes) —
+    the sortable range bound that lets `expand_like` prune the range-sorted
+    dictionary's parquet row groups. Empty for leading-wildcard patterns."""
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(pattern[i + 1])
+            i += 2
+            continue
+        if c in "%_":
+            break
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _score_batch_dense(
     groups: dict[int, _TermBlocks],
     batch,
@@ -348,6 +367,7 @@ def _score_batch_dense(
     neg_map: dict | None = None,
     excluded: np.ndarray | None = None,
     req_map: dict | None = None,
+    allowed_map: dict | None = None,
 ) -> tuple[list, list, list]:
     """Shared-decode exhaustive scoring of a whole query batch against one
     bucket. Docs inside a bucket span a contiguous id range (bucket =
@@ -384,7 +404,14 @@ def _score_batch_dense(
     postings all live in its own bucket, so a group with no postings here
     eliminates every doc of this bucket for that query. Required terms do
     NOT add score (ES bool-`filter`); list them in the positives too for
-    Lucene's scored-MUST."""
+    Lucene's scored-MUST.
+
+    `allowed_map` (PER-QUERY filtered retrieval): qid → sorted global
+    doc_ids permitted for THAT query only; qids absent from the map are
+    unconstrained. The per-query analog of `allowed` — used by the
+    query-string path, where a phrase clause in a mixed query filters only
+    its own query's candidates. Composes with `allowed` (both masks
+    apply)."""
     lo = min(int(tb.firsts.min()) for tb in groups.values())
     hi = max(int(tb.lasts.max()) for tb in groups.values())
     acc = np.zeros(hi - lo + 1, dtype=np.float64)
@@ -407,6 +434,14 @@ def _score_batch_dense(
         ]
         if not present or len(present) < thr:
             continue
+        amask = None
+        if allowed_map is not None and qid in allowed_map:
+            qa = allowed_map[qid]
+            qa = qa[(qa >= lo) & (qa <= hi)]
+            if not qa.size:
+                continue  # this query's allowed set misses the bucket
+            amask = np.zeros(hi - lo + 1, dtype=bool)
+            amask[qa - lo] = True
         rmask = None
         if req_map is not None and qid in req_map:
             dead = False
@@ -437,6 +472,8 @@ def _score_batch_dense(
                 cnt[docs - lo] += 1
         if mask is not None:
             acc[~mask] = 0.0
+        if amask is not None:
+            acc[~amask] = 0.0
         if rmask is not None:
             acc[~rmask] = 0.0
         if cnt is not None:
@@ -649,13 +686,20 @@ def make_filtered_kernel(
     any mask."""
 
     def kernel(seg_pdf: pd.DataFrame, allowed_pdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(seg_pdf) or not len(allowed_pdf):
+        if not len(seg_pdf):
             return _EMPTY
         payload = query_batch.value if hasattr(query_batch, "value") else query_batch
         batch, idf_map, *rest = payload
         neg_map = rest[0] if len(rest) > 0 else None
         excluded = rest[1] if len(rest) > 1 else None
         req_map = rest[2] if len(rest) > 2 else None
+        # PER-QUERY filtering: rest[3] is the GLOBAL set of filtered qids —
+        # a bucket must know a qid is filtered even when that qid's allowed
+        # docs all live in OTHER buckets (its local slice is empty ⇒ it
+        # matches nothing here, while unfiltered qids still score)
+        filtered_qids = rest[3] if len(rest) > 3 else None
+        if not len(allowed_pdf) and not filtered_qids:
+            return _EMPTY  # classic global-allowed: empty slice = no docs
         budget = _DecodeBudget(decode_cache_bytes)
         groups: dict[int, _TermBlocks] = {}
         for tid, sub in seg_pdf.groupby("term_id", sort=False):
@@ -664,10 +708,26 @@ def make_filtered_kernel(
                 sub.sort_values("first_doc"), idf_map[tid], prefixed, max_scale,
                 budget=budget,
             )
-        allowed = allowed_pdf["doc_id"].to_numpy(np.int64)
+        # an allowed side carrying a `qid` column is PER-QUERY: each qid's
+        # rows constrain only that query; qids absent stay unfiltered
+        # (the query-string path's phrase-clause filters). Without `qid`
+        # the set constrains every query (classic filtered retrieval).
+        allowed = None
+        allowed_map = None
+        if filtered_qids is not None:
+            allowed_map = {
+                int(q): np.sort(sub["doc_id"].to_numpy(np.int64))
+                for q, sub in allowed_pdf.groupby("qid", sort=False)
+            }
+            for q in filtered_qids:  # empty local slice still constrains
+                if q not in allowed_map:
+                    allowed_map[q] = np.empty(0, dtype=np.int64)
+        else:
+            allowed = allowed_pdf["doc_id"].to_numpy(np.int64)
         out_q, out_d, out_s = _score_batch_dense(
             groups, batch, k, k1, b, avgdl, allowed=allowed,
             neg_map=neg_map, excluded=excluded, req_map=req_map,
+            allowed_map=allowed_map,
         )
         if not out_q:
             return _EMPTY
@@ -888,6 +948,15 @@ class IndexSearcher:
             str, tuple[list[tuple[str, int]], int, bool]
         ] = OrderedDict()
         self.prefix_cache_max: int = 1 << 16
+        # LIKE-pattern / range → expansion-list LRU for the query-string
+        # path's wildcard and [lo TO hi] clauses (sound for the searcher's
+        # lifetime: one immutable dictionary snapshot, same argument as
+        # `_term_cache`)
+        self._expand_cache: OrderedDict[tuple, list[str]] = OrderedDict()
+        self.expand_cache_max: int = 1 << 12
+        # Lucene BooleanQuery.maxClauseCount: a wildcard/range expanding to
+        # more dictionary terms than this raises instead of scanning
+        self.max_expansions: int = 1024
         # guards every driver-resident cache (_term_cache, _block_cache,
         # _point_tbs, _point_budget, _url_cache) so a resident server can
         # answer overlapping clients from threads — the reference's Listener
@@ -1393,6 +1462,172 @@ class IndexSearcher:
             batch, idf_map, sorted(idf_map), neg_map, n_tokens, req_map
         )
 
+    def expand_like(self, pattern: str) -> list[str]:
+        """Dictionary terms matching a SQL-LIKE `pattern` (the query-string
+        path's wildcard clause: `str*` → `str%`, `te?t` → `te_t`), sorted.
+
+        Scale shape: ONE dictionary scan per novel pattern. A pattern with a
+        literal prefix additionally pushes the sortable range predicate
+        `term >= p AND term < p||'\\uffff'` — on the range-sorted dictionary
+        layout that prunes parquet row groups by min/max stats, so `str%`
+        touches only the `str…` neighborhood of a 10^9-term vocabulary
+        (same pruning as `complete_point`). A leading-wildcard pattern
+        (`%ing`) is the documented full-scan case, exactly as Lucene warns.
+        Results ride an LRU keyed by pattern (`_expand_cache` — sound for
+        the searcher's immutable snapshot). Raises ValueError above
+        `max_expansions` (Lucene BooleanQuery.maxClauseCount)."""
+        return self._expand(("like", pattern))
+
+    def expand_term_range(self, lo: str, hi: str) -> list[str]:
+        """Dictionary terms in the INCLUSIVE range [lo, hi] (the `[lo TO
+        hi]` clause), sorted. Pure range predicates — always min/max
+        prunable on the range-sorted dictionary. Same expansion cap and LRU
+        as `expand_like`."""
+        return self._expand(("range", lo, hi))
+
+    def _expand(self, key: tuple) -> list[str]:
+        with self._point_lock:
+            hit = self._expand_cache.get(key)
+            if hit is not None:
+                self._expand_cache.move_to_end(key)
+                return hit
+        if key[0] == "like":
+            pred = F.col("term").like(key[1])
+            prefix = _like_literal_prefix(key[1])
+            if prefix:
+                pred = (
+                    pred
+                    & (F.col("term") >= prefix)
+                    & (F.col("term") < prefix + "￿")
+                )
+        else:
+            pred = (F.col("term") >= key[1]) & (F.col("term") <= key[2])
+        rows = (
+            self.term_dict.filter(pred)
+            .select("term")
+            .limit(self.max_expansions + 1)
+            .collect()
+        )
+        if len(rows) > self.max_expansions:
+            raise ValueError(
+                f"pattern {key!r} expands to more than "
+                f"max_expansions={self.max_expansions} dictionary terms "
+                "(Lucene BooleanQuery.maxClauseCount); narrow the pattern"
+            )
+        terms = sorted(r["term"] for r in rows)
+        with self._point_lock:
+            self._expand_cache[key] = terms
+            self._expand_cache.move_to_end(key)
+            if len(self._expand_cache) > self.expand_cache_max:
+                self._expand_cache.popitem(last=False)
+        return terms
+
+    def _resolve_compiled(self, compiled: list) -> "Resolved | None":
+        """`Resolved` from STRUCTURED clause lists — the query-string
+        compiler's channel (`query/qstring.py`), bypassing the string
+        columns so terms arrive FINAL (already tokenized/analyzed, wildcard
+        expansions already enumerated) and are never re-analyzed (analyzer
+        chains need not be idempotent).
+
+        `compiled`: list of (qid, scored, require_groups, exclude_terms) —
+        scored = [(term, weight)] with float weights (Lucene ^boost as
+        query-side tf), require_groups = [[term, …], …] (≥1 of every group,
+        filter context), exclude_terms = [term, …] (must_not). Resolution is
+        driver-side through the searcher-lifetime term LRU (`_lookup_terms`
+        — cache-hot compiled batches schedule zero dictionary jobs); a
+        query whose every scored term is OOV, or with a fully-OOV required
+        group, resolves to no rows."""
+        all_terms: set[str] = set()
+        for _, scored, reqs, excl in compiled:
+            all_terms.update(t for t, _ in scored)
+            for g in reqs:
+                all_terms.update(g)
+            all_terms.update(excl)
+        if not all_terms:
+            return None
+        resolved = self._lookup_terms(sorted(all_terms))
+        n_docs = self.stats.get("live_docs", self.stats["N"])
+        idf_map: dict[int, float] = {}
+
+        def tid_of(t: str) -> int | None:
+            hit = resolved.get(t)
+            if hit is None:
+                return None
+            tid, df = hit
+            if self._df_over is not None:
+                df = self._df_over.get(t, df)
+            if tid not in idf_map:
+                idf_map[tid] = float(
+                    np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                )
+            return tid
+        batch = []
+        neg_map: dict[int, np.ndarray] = {}
+        req_map: dict[int, list[np.ndarray]] = {}
+        n_tokens: dict[int, int] = {}
+        for qid, scored, reqs, excl in compiled:
+            n_tokens[qid] = len({t for t, _ in scored})
+            pairs: dict[int, float] = {}
+            for t, w in scored:
+                tid = tid_of(t)
+                if tid is not None:
+                    pairs[tid] = pairs.get(tid, 0.0) + float(w)
+            if not pairs:
+                continue
+            arrs: list[np.ndarray] = []
+            dead = False
+            for g in reqs:
+                gtids = sorted({tid_of(t) for t in g} - {None})
+                if not gtids:
+                    dead = True  # fully-OOV required group: nothing matches
+                    break
+                arrs.append(np.array(gtids, dtype=np.int64))
+            if dead:
+                continue
+            ntids = sorted({tid_of(t) for t in excl} - {None})
+            tids = sorted(pairs)
+            batch.append((
+                qid,
+                np.array(tids, dtype=np.int64),
+                np.array([pairs[t] for t in tids], dtype=np.float64),
+            ))
+            if arrs:
+                req_map[qid] = arrs
+            if ntids:
+                neg_map[qid] = np.array(ntids, dtype=np.int64)
+        if not batch:
+            return None
+        return Resolved(
+            batch, idf_map, sorted(idf_map), neg_map, n_tokens, req_map
+        )
+
+    def search_compiled(
+        self,
+        compiled: list,
+        k: int = 10,
+        allowed: DataFrame | None = None,
+        filtered_qids: frozenset | None = None,
+        min_match: int = 1,
+        offset: int = 0,
+    ) -> DataFrame:
+        """Top-k over STRUCTURED clause lists (see `_resolve_compiled`) —
+        the execution entry the query-string path uses. Without `allowed`
+        this is exactly `search`'s plan (θ-pruned or dense, warm cache,
+        tombstone paths); with `allowed` (+ `filtered_qids` for per-query
+        sets — phrase clauses) it is `search_filtered`'s cogroup plan."""
+        if allowed is not None and (offset or min_match != 1):
+            raise ValueError(
+                "offset/min_match compose with the unfiltered path only"
+            )
+        resolved = self._resolve_compiled(compiled)
+        if allowed is not None:
+            return self._execute_filtered(
+                resolved, allowed, k, filtered_qids=filtered_qids
+            )
+        return self._execute_resolved(
+            resolved, k, min_match=min_match, offset=offset
+        )
+
     def search(
         self,
         queries: DataFrame,
@@ -1429,8 +1664,25 @@ class IndexSearcher:
         kernel keeps offset+k per bucket, so the global page is a strict
         slice of the full ranking — page boundaries never disagree with a
         one-shot search at depth offset+k."""
-        spark = self.spark
         resolved = self._resolve_batch(queries)
+        return self._execute_resolved(
+            resolved, k, dense_min=dense_min, min_match=min_match,
+            offset=offset,
+        )
+
+    def _execute_resolved(
+        self,
+        resolved,
+        k: int,
+        dense_min: int = DENSE_BATCH_MIN,
+        min_match: int = 1,
+        offset: int = 0,
+    ) -> DataFrame:
+        """Execution half of `search`: one pruned scan → per-bucket kernel →
+        global rank window, given an already-built `Resolved` (from the
+        string channels via `_resolve_batch`, or from structured clause
+        lists via `_resolve_compiled` — the query-string path)."""
+        spark = self.spark
         if resolved is None:
             return spark.createDataFrame([], TOPK_SCHEMA)
         batch, idf_map, all_tids, neg_map = resolved[:4]
@@ -2025,8 +2277,22 @@ class IndexSearcher:
         filter is never broadcast or collected, so the predicate set can be
         any size. Always scores through the exhaustive dense pass (θ pruning
         is unsound under a filter, see `make_filtered_kernel`)."""
-        spark = self.spark
         resolved = self._resolve_batch(queries)
+        return self._execute_filtered(resolved, allowed, k)
+
+    def _execute_filtered(
+        self,
+        resolved,
+        allowed: DataFrame,
+        k: int,
+        filtered_qids: frozenset | None = None,
+    ) -> DataFrame:
+        """Execution half of `search_filtered`. `allowed` with only a
+        `doc_id` column constrains EVERY query; with `filtered_qids` set the
+        allowed side must also carry `qid` and each qid's rows constrain
+        only that query (qids outside the set stay unfiltered) — the
+        query-string path's per-query phrase-clause filters."""
+        spark = self.spark
         if resolved is None:
             return spark.createDataFrame([], TOPK_SCHEMA)
         batch, idf_map, all_tids, neg_map = resolved[:4]
@@ -2041,18 +2307,22 @@ class IndexSearcher:
         # sides hash-partition on their own key type, and int32(v)/int64(v)
         # hash differently (see the masked-kernel branch in `search`)
         bucket_type = dict(self.segments.dtypes)["bucket"]
-        allowed_b = allowed.select(
+        acols = [
             F.expr(f"doc_id DIV {bucket_size}")
             .cast(bucket_type)
             .alias("bucket"),
             F.col("doc_id").cast("long").alias("doc_id"),
-        )
+        ]
+        if filtered_qids is not None:
+            acols.append(F.col("qid").cast("long").alias("qid"))
+        allowed_b = allowed.select(*acols)
         # must_not / require terms (the `exclude` / `require` query columns)
         # apply under filters too: their blocks already ride the pruned scan
         # via all_tids (resolution's idf_map covers them), and the dense
         # pass applies both masks post-accumulation
         bc = spark.sparkContext.broadcast(
-            (batch, idf_map, neg_map, self._tomb, resolved.req_map)
+            (batch, idf_map, neg_map, self._tomb, resolved.req_map,
+             filtered_qids)
         )
         kernel = make_filtered_kernel(
             bc,

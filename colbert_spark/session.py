@@ -76,6 +76,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # ops knobs for scratch-constrained hosts: relocate shuffle/spill scratch
+    # (SPARK_GRAFT_LOCAL_DIR) and trade shuffle CPU for bytes
+    # (SPARK_GRAFT_IO_CODEC=zstd ≈ 1.5-2× smaller than the lz4 default —
+    # the difference between fitting and ENOSPC for a 10M-doc build's
+    # exchange on a small scratch volume; on a real cluster this is
+    # spark.io.compression.codec in spark-defaults)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    io_codec = os.environ.get("SPARK_GRAFT_IO_CODEC")
+    if io_codec:
+        builder = builder.config("spark.io.compression.codec", io_codec)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -1,0 +1,268 @@
+"""Query-string search end-to-end: every clause type of the documented
+Lucene-classic subset, rank/score-identical to pure-Python oracles built
+from the same corpus (BM25 scoring via OracleIndex; phrase/NEAR match sets
+recomputed from tokenized document text)."""
+
+import math
+
+import pytest
+
+from colbert_spark.functions.tokenizer import py_tokenize
+from colbert_spark.index.build import build_index
+from colbert_spark.oracle import OracleIndex
+from colbert_spark.query.phrase import PositionalSearcher
+from colbert_spark.query.qstring import compile_query, search_query_strings
+from colbert_spark.query.wand import IndexSearcher
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def qidx(spark, tiny_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_qs"))
+    build_index(
+        spark, spark.createDataFrame(tiny_corpus), d,
+        bucket_size=127, positions=True,
+    )
+    ordered = tiny_corpus.sort_values("url").reset_index(drop=True)
+    oracle = OracleIndex.build(list(zip(range(len(ordered)), ordered["text"])))
+    toks = {i: py_tokenize(t) for i, t in zip(range(len(ordered)), ordered["text"])}
+    s = IndexSearcher(spark, d)
+    pos = PositionalSearcher(spark, d)
+    return s, pos, oracle, toks
+
+
+def _phrase_docs(toks, phrase):
+    want = py_tokenize(phrase)
+    n = len(want)
+    return {
+        d
+        for d, ts in toks.items()
+        if any(ts[i : i + n] == want for i in range(len(ts) - n + 1))
+    }
+
+
+def _near_docs(toks, t1, t2, w):
+    out = set()
+    for d, ts in toks.items():
+        p1 = [i for i, t in enumerate(ts) if t == t1]
+        p2 = [i for i, t in enumerate(ts) if t == t2]
+        if any(abs(a - b) <= w for a in p1 for b in p2):
+            out.add(d)
+    return out
+
+
+def _expect(oracle, weighted, require=None, exclude=None, allowed=None, k=K):
+    """Oracle ranking for weighted terms (int weights via repetition) under
+    boolean constraints and an optional allowed doc set."""
+    q = " ".join(t for t, w in weighted for _ in range(int(w)))
+    scores = oracle.score_all(q)
+    if require:
+        for grp in require:
+            members = set()
+            for t in grp:
+                members.update(d for d, _ in oracle.postings.get(t, ()))
+            if not members:
+                return []
+            scores = {d: s for d, s in scores.items() if d in members}
+    if exclude:
+        banned = set()
+        for t in exclude:
+            banned.update(d for d, _ in oracle.postings.get(t, ()))
+        scores = {d: s for d, s in scores.items() if d not in banned}
+    if allowed is not None:
+        scores = {d: s for d, s in scores.items() if d in allowed}
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def _run(spark, s, pos, qstrings, k=K):
+    res = search_query_strings(
+        s, list(enumerate(qstrings)), k=k, positional=pos
+    ).collect()
+    got = {}
+    for r in res:
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    return {q: sorted(v) for q, v in got.items()}
+
+
+def _check(have, want):
+    assert len(have) == len(want), (have, want)
+    for (rank, doc, sc), (odoc, osc) in zip(have, want):
+        assert doc == odoc, (rank, doc, odoc)
+        assert math.isclose(sc, osc, rel_tol=1e-9), (rank, sc, osc)
+
+
+def test_free_terms_match_plain_search(spark, qidx):
+    s, pos, oracle, _ = qidx
+    got = _run(spark, s, pos, ["term00000 term00003"])
+    _check(got[0], _expect(oracle, [("term00000", 1), ("term00003", 1)]))
+
+
+def test_must_and_must_not(spark, qidx):
+    s, pos, oracle, _ = qidx
+    got = _run(spark, s, pos, ["term00000 +term00003 -term00009"])
+    want = _expect(
+        oracle,
+        [("term00000", 1), ("term00003", 1)],
+        require=[["term00003"]],
+        exclude=["term00009"],
+    )
+    _check(got[0], want)
+
+
+def test_and_keyword_promotes_both(spark, qidx):
+    s, pos, oracle, _ = qidx
+    got = _run(spark, s, pos, ["term00002 AND term00005"])
+    want = _expect(
+        oracle,
+        [("term00002", 1), ("term00005", 1)],
+        require=[["term00002"], ["term00005"]],
+    )
+    _check(got[0], want)
+
+
+def test_boost_is_qtf(spark, qidx):
+    s, pos, oracle, _ = qidx
+    got = _run(spark, s, pos, ["term00000^3 term00007"])
+    _check(got[0], _expect(oracle, [("term00000", 3), ("term00007", 1)]))
+
+
+def test_wildcard_scored_expansion(spark, qidx):
+    s, pos, oracle, _ = qidx
+    exps = sorted(t for t in oracle.postings if t.startswith("term0000"))
+    assert s.expand_like("term0000%") == exps  # engine expansion agrees
+    got = _run(spark, s, pos, ["term0000*"])
+    _check(got[0], _expect(oracle, [(t, 1) for t in exps]))
+
+
+def test_required_wildcard_is_one_group(spark, qidx):
+    s, pos, oracle, _ = qidx
+    exps = sorted(t for t in oracle.postings if t.startswith("term0000"))
+    got = _run(spark, s, pos, ["term00020 +term0000*"])
+    want = _expect(
+        oracle,
+        [("term00020", 1)] + [(t, 1) for t in exps],
+        require=[exps],
+    )
+    _check(got[0], want)
+
+
+def test_required_wildcard_no_expansion_kills_query(spark, qidx):
+    s, pos, oracle, _ = qidx
+    got = _run(spark, s, pos, ["term00000 +zzz*"])
+    assert got.get(0) is None
+
+
+def test_range_clause(spark, qidx):
+    s, pos, oracle, _ = qidx
+    exps = sorted(
+        t for t in oracle.postings if "term00003" <= t <= "term00007"
+    )
+    assert s.expand_term_range("term00003", "term00007") == exps
+    got = _run(spark, s, pos, ["[term00003 TO term00007]"])
+    _check(got[0], _expect(oracle, [(t, 1) for t in exps]))
+
+
+def test_excluded_wildcard(spark, qidx):
+    s, pos, oracle, _ = qidx
+    exps = sorted(t for t in oracle.postings if t.startswith("term0001"))
+    got = _run(spark, s, pos, ["term00000 -term0001*"])
+    _check(got[0], _expect(oracle, [("term00000", 1)], exclude=exps))
+
+
+def test_mixed_phrase_filters_candidates(spark, qidx):
+    s, pos, oracle, toks = qidx
+    phrase = "term00000 term00001"
+    allowed = _phrase_docs(toks, phrase)
+    assert allowed  # fixture sanity: the phrase occurs at this scale
+    got = _run(spark, s, pos, [f'term00005 "{phrase}"'])
+    want = _expect(oracle, [("term00005", 1)], allowed=allowed)
+    _check(got.get(0, []), want)
+
+
+def test_pure_phrase_scores_like_phrase_bm25(spark, qidx):
+    s, pos, oracle, toks = qidx
+    phrase = "term00000 term00001"
+    got = _run(spark, s, pos, [f'"{phrase}"'])
+    ref = {
+        (r["rank"], r["doc_id"], r["score"])
+        for r in pos.phrase_bm25(
+            spark.createDataFrame(
+                [(0, phrase)], "phrase_id long, phrase string"
+            ),
+            k=K,
+        ).collect()
+    }
+    assert set(got.get(0, [])) == ref
+    assert ref  # matched something
+
+
+def test_near_slop_filter(spark, qidx):
+    s, pos, oracle, toks = qidx
+    allowed = _near_docs(toks, "term00000", "term00002", 3)
+    got = _run(spark, s, pos, ['term00004 "term00000 term00002"~3'])
+    want = _expect(oracle, [("term00004", 1)], allowed=allowed)
+    _check(got.get(0, []), want)
+
+
+def test_filter_only_query_scores_phrase_tokens(spark, qidx):
+    s, pos, oracle, toks = qidx
+    phrase = "term00000 term00001"
+    allowed = _phrase_docs(toks, phrase)
+    got = _run(spark, s, pos, [f'"{phrase}" -term00015'])
+    want = _expect(
+        oracle,
+        [("term00000", 1), ("term00001", 1)],
+        exclude=["term00015"],
+        allowed=allowed,
+    )
+    _check(got.get(0, []), want)
+
+
+def test_heterogeneous_batch_one_call(spark, qidx):
+    """All clause families in ONE batch: each qid's results are identical
+    to its solo run (the batch plans must not cross-contaminate)."""
+    s, pos, oracle, toks = qidx
+    qs = [
+        "term00000 term00003",
+        "term00002 AND term00005",
+        "term0000*",
+        'term00005 "term00000 term00001"',
+        '"term00000 term00001"',
+        "term00000 +zzz*",
+        "term00020 -term00001",
+    ]
+    batch = _run(spark, s, pos, qs)
+    for i, q in enumerate(qs):
+        solo = _run(spark, s, pos, [q])
+        assert batch.get(i) == solo.get(0), (i, q)
+
+
+def test_fielded_clause_rejected(spark, qidx):
+    s, pos, _, _ = qidx
+    with pytest.raises(ValueError, match="fielded"):
+        compile_query(s, 0, "title:hash")
+
+
+def test_long_slop_phrase_rejected(spark, qidx):
+    s, pos, _, _ = qidx
+    with pytest.raises(ValueError, match="slop"):
+        compile_query(s, 0, '"term00000 term00001 term00002"~2')
+
+
+def test_expansion_cap(spark, qidx):
+    s, pos, _, _ = qidx
+    s2 = IndexSearcher(spark, s.index_dir)
+    s2.max_expansions = 3
+    with pytest.raises(ValueError, match="max_expansions"):
+        s2.expand_like("term%")
+
+
+def test_expansion_lru_schedules_no_second_job(spark, qidx):
+    s, pos, _, _ = qidx
+    s2 = IndexSearcher(spark, s.index_dir)
+    first = s2.expand_like("term0000%")
+    jobs_after_first = s2._dict_lookup_jobs  # noqa: F841 (expansion isn't a dict lookup)
+    again = s2.expand_like("term0000%")
+    assert first == again
+    assert ("like", "term0000%") in s2._expand_cache
