@@ -84,6 +84,7 @@ from colbert_spark.query.bm25 import query_terms_df  # noqa: F401 (re-export)
 
 KERNEL_OUT_SCHEMA = "qid long, doc_id long, score double"
 TOPK_SCHEMA = "qid long, rank int, doc_id long, score double"
+SHARDED_TOPK_SCHEMA = "qid long, rank long, url string, score double"
 
 
 class Resolved(NamedTuple):
@@ -2364,6 +2365,32 @@ def bm25_topk_segments(
     return IndexSearcher(spark, index_dir, as_of_epoch=as_of_epoch).search(queries, k)
 
 
+class _UnionExpander:
+    """Dictionary-expansion facade over a `ShardedSearcher`: wildcard/range
+    clauses expand against the UNION of the shard dictionaries (concurrent
+    per-shard LRU'd expansions). Quacks like an `IndexSearcher` for
+    `qstring.compile_query` (`_analyzer`, `expand_like`,
+    `expand_term_range`)."""
+
+    def __init__(self, sharded: "ShardedSearcher"):
+        self._sh = sharded
+        self._analyzer = sharded._analyzer
+
+    def _union(self, fn_name: str, *args) -> list[str]:
+        out: set[str] = set()
+        for exp in self._sh._pool.map(
+            lambda s: getattr(s, fn_name)(*args), self._sh.searchers
+        ):
+            out.update(exp)
+        return sorted(out)
+
+    def expand_like(self, pattern: str) -> list[str]:
+        return self._union("expand_like", pattern)
+
+    def expand_term_range(self, lo: str, hi: str) -> list[str]:
+        return self._union("expand_term_range", lo, hi)
+
+
 class ShardedSearcher:
     """Resident scatter-gather service across INDEPENDENT shard indexes with
     GLOBAL statistics — serving's dual of `index/merge.py` (which fuses the
@@ -2507,6 +2534,72 @@ class ShardedSearcher:
 
         # concurrent scatter: each shard's eager resolution jobs overlap;
         # the union below executes the per-shard plans in one gather action
+        parts = list(self._pool.map(one, range(len(self.searchers))))
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
+        return (
+            merged.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "url", "score")
+        )
+
+    def search_strings(self, queries, k: int = 10) -> DataFrame:
+        """Query-string federation → (qid, rank, url, score): the Lucene
+        classic subset (`query/qstring.py`) served scatter-gather with
+        GLOBAL statistics. `queries` is a list of (qid, qstring) pairs or a
+        DataFrame with (qid, query) columns.
+
+        Exactness across shards: wildcards/ranges expand against the UNION
+        of the shard dictionaries (concurrent LRU'd per-shard expansions —
+        a doc's terms always live in its own shard's dictionary, so the
+        union expansion filters each shard exactly; a require group whose
+        every member is absent from one shard correctly matches nothing
+        THERE while other shards still answer). Scoring prices every
+        expanded/scored term with the summed global df before the scatter.
+        Phrase clauses are single-index surface for now — compile raises,
+        callers route them to `search_query_strings` on a merged index."""
+        from colbert_spark.query.qstring import compile_query
+
+        if isinstance(queries, DataFrame):
+            rows = [
+                (r[0], r[1])
+                for r in queries.select("qid", "query").collect()
+            ]
+        else:
+            rows = list(queries)
+        exp = _UnionExpander(self)
+        compiled = [compile_query(exp, int(qid), q) for qid, q in rows]
+        live = []
+        terms: set[str] = set()
+        for cq in compiled:
+            if cq.dead:
+                continue
+            if cq.pure_phrase is not None or cq.phrases or cq.nears:
+                raise ValueError(
+                    "phrase clauses are not federated; use "
+                    "search_query_strings on a (merged) single index"
+                )
+            if not cq.scored:
+                continue
+            live.append(cq)
+            terms.update(t for t, _ in cq.scored)
+            for g in cq.require:
+                terms.update(g)
+            terms.update(cq.exclude)
+        if not live:
+            return self.spark.createDataFrame([], SHARDED_TOPK_SCHEMA)
+        self._ensure_global_df(sorted(terms))
+        payload = [(c.qid, c.scored, c.require, c.exclude) for c in live]
+
+        def one(i: int) -> DataFrame:
+            s, d = self.searchers[i], self.index_dirs[i]
+            hits = s.search_compiled(payload, k)
+            docs_dir = os.path.join(d, s.stats.get("docs_dir", "docs"))
+            urls = self.spark.read.parquet(docs_dir).select("doc_id", "url")
+            return hits.join(urls, "doc_id").select("qid", "url", "score")
+
         parts = list(self._pool.map(one, range(len(self.searchers))))
         merged = parts[0]
         for p in parts[1:]:

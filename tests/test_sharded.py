@@ -186,3 +186,59 @@ def test_sharded_point_concurrent_storm(spark, uneven_shards, tiny_queries):
         assert not errors, errors[:1]
     finally:
         svc.close()
+
+
+def test_sharded_query_strings_match_single_index(spark, uneven_shards):
+    """Query-string federation (`ShardedSearcher.search_strings`): boolean,
+    boost, wildcard and range clauses priced with global statistics must
+    reproduce the single-whole-index `search_query_strings` ranking exactly
+    — including a wildcard whose expansions differ per shard dictionary and
+    a required group present on only one shard."""
+    from colbert_spark.query.qstring import search_query_strings
+    from colbert_spark.query.wand import IndexSearcher, ShardedSearcher
+
+    a, b_, whole = uneven_shards
+    qs = [
+        (0, "term00000 term00003"),
+        (1, "term00000 +term00002 -term00009"),
+        (2, "term00001^2 term0000*"),
+        (3, "[term00003 TO term00006]"),
+        (4, "term00000 +zzz*"),  # dead on every shard
+    ]
+    sh = ShardedSearcher(spark, [a, b_])
+    got = sh.search_strings(qs, k=10).collect()
+    s1 = IndexSearcher(spark, whole)
+    want = search_query_strings(s1, qs, k=10).collect()
+    wurl = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(whole + "/docs").collect()
+    }
+    g, w = {}, {}
+    for r in got:
+        g.setdefault(r["qid"], []).append((r["rank"], r["url"], r["score"]))
+    for r in want:
+        w.setdefault(r["qid"], []).append(
+            (r["rank"], wurl[r["doc_id"]], r["score"])
+        )
+    assert 4 not in g and 4 not in w  # dead required wildcard: no rows
+    assert g.keys() == w.keys() and g
+    import math
+
+    for qid in w:
+        gs, ws = sorted(g[qid]), sorted(w[qid])
+        assert [u for _, u, _ in gs] == [u for _, u, _ in ws], qid
+        for (_, _, a_s), (_, _, b_s) in zip(gs, ws):
+            assert math.isclose(a_s, b_s, rel_tol=1e-9), qid
+    sh.close()
+
+
+def test_sharded_query_strings_reject_phrases(spark, uneven_shards):
+    from colbert_spark.query.wand import ShardedSearcher
+
+    a, b_, _ = uneven_shards
+    sh = ShardedSearcher(spark, [a, b_])
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="phrase"):
+        sh.search_strings([(0, '"term00000 term00001"')], k=5)
+    sh.close()
