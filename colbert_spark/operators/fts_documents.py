@@ -4193,3 +4193,109 @@ ORACLES["fts_query_string_phrase"] = f"""
 
 QUERIES["fts_query_string"] = fts_query_string
 QUERIES["fts_query_string_phrase"] = fts_query_string_phrase
+
+
+# fuzzy query strings (Lucene FuzzyQuery, `term~N` in the classic syntax —
+# parser.py `_FUZZ`, wand.py `expand_fuzzy`): each fuzzy clause expands
+# against the dictionary by threshold-bounded Levenshtein (length-band +
+# `levenshtein(term, q, n)` pushed into ONE dictionary scan), then flows
+# through the same scored/require/exclude compilation as wildcards. The
+# set exercises: misspelling rescue (hsah~ → hash), multi-term expansion
+# scored individually (hash~2 → {fast, hash}), a REQUIRED fuzzy as one
+# OR-group (+merg~1), an excluded fuzzy (-sorrt~1), ^boost-as-qtf on the
+# expansions, and a required fuzzy with no expansion (dead query).
+QSF_QUERIES = [
+    (0, "hsah~"),            # misspelling, default distance 2 → {hash}
+    (1, "hash~2 stream"),    # fuzzy multi-expansion {fast, hash} + term
+    (2, "+merg~1 data"),     # required fuzzy group {merge}; data scored
+    (3, "window -sorrt~1"),  # excluded fuzzy {sort}
+    (4, "strem~2^3"),        # boosted fuzzy: {stream} at weight 3
+    (5, "+cache~2 row"),     # required fuzzy, zero expansions → dead
+]
+
+
+def fts_query_string_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy query strings answered from the SEGMENT INDEX: driver-side
+    parse, one LRU'd length-banded Levenshtein dictionary scan per novel
+    (term, n), one `search_compiled` plan for the batch (same re-rank
+    protocol as `fts_query_string`)."""
+    from colbert_spark.query.qstring import search_query_strings
+    from colbert_spark.query.wand import IndexSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    s = IndexSearcher(spark, idx)
+    hits = search_query_strings(s, QSF_QUERIES, k=TOPK + 5)
+    mapped = _map_index_docs(
+        spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
+    )
+    return _rank_topk(mapped)
+
+
+# the oracle expands each fuzzy clause with DuckDB's levenshtein over the
+# corpus vocabulary — the engine's documented compilation, independently
+# computed: fz = scored fuzzy clauses, rf = require groups (all expansions
+# of a MUST fuzzy), xf = excluded. qid 5's require group expands to zero
+# terms, so no document satisfies it and the qid drops out.
+ORACLES["fts_query_string_fuzzy"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    vocab AS (SELECT term FROM df),
+    sq(qid, term, w) AS (VALUES
+      (1,'stream',1),(2,'data',1),(3,'window',1),(5,'row',1)),
+    fz(qid, q, n, w) AS (VALUES
+      (0,'hsah',2,1),(1,'hash',2,1),(2,'merg',1,1),(4,'strem',2,3)),
+    qtf AS (
+      SELECT qid, term, sum(w) AS qtf FROM (
+        SELECT qid, term, w FROM sq
+        UNION ALL
+        SELECT f.qid, v.term, f.w FROM fz f
+        JOIN vocab v ON levenshtein(v.term, f.q) <= f.n
+      ) GROUP BY qid, term),
+    rf(qid, gidx, q, n) AS (VALUES (2,0,'merg',1),(5,0,'cache',2)),
+    rg_terms AS (
+      SELECT r.qid, r.gidx, v.term FROM rf r
+      JOIN vocab v ON levenshtein(v.term, r.q) <= r.n),
+    ngroups AS (SELECT qid, count(DISTINCT gidx) AS n FROM rf GROUP BY qid),
+    doc_groups AS (
+      SELECT DISTINCT g.qid, g.gidx, p.doc_id
+      FROM rg_terms g JOIN tf p USING (term)),
+    req_ok AS (
+      SELECT d.qid, d.doc_id FROM doc_groups d JOIN ngroups n USING (qid)
+      GROUP BY d.qid, d.doc_id, n.n
+      HAVING count(DISTINCT d.gidx) = n.n),
+    xf(qid, q, n) AS (VALUES (3,'sorrt',1)),
+    x_terms AS (
+      SELECT x.qid, v.term FROM xf x
+      JOIN vocab v ON levenshtein(v.term, x.q) <= x.n),
+    banned AS (
+      SELECT DISTINCT x.qid, p.doc_id FROM x_terms x JOIN tf p USING (term)),
+    scored AS (
+      SELECT qtf.qid::BIGINT AS qid, tf.doc_id,
+             sum(qtf.qtf * ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({K1_DEFAULT} + 1.0)
+                 / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.doclen / stats.avgdl))
+             ) AS score
+      FROM qtf
+      JOIN df USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY qtf.qid, tf.doc_id),
+    filtered AS (
+      SELECT s.qid, s.doc_id, s.score FROM scored s
+      LEFT JOIN ngroups g ON s.qid = g.qid
+      LEFT JOIN req_ok r ON s.qid = r.qid AND s.doc_id = r.doc_id
+      LEFT JOIN banned b ON s.qid = b.qid AND s.doc_id = b.doc_id
+      WHERE b.doc_id IS NULL AND (g.qid IS NULL OR r.doc_id IS NOT NULL)),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM filtered)
+    SELECT qid, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+QUERIES["fts_query_string_fuzzy"] = fts_query_string_fuzzy

@@ -12,6 +12,10 @@ flat, documented subset of Lucene classic syntax:
   merge AND sort       AND marks both operands required; OR is a no-op
   NOT loop             ≡ -loop
   str*  te?t           wildcard terms (expand against the term dictionary)
+  term~  term~1        fuzzy terms (Lucene FuzzyQuery): expand against the
+                       dictionary by Levenshtein distance ≤ N (default 2,
+                       Lucene's LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE;
+                       `~0` is the plain term); boost follows fuzz (`term~1^3`)
   [merge TO sort]      inclusive dictionary range (expands like wildcard)
   title:hash           fielded term (single-index BM25F builds key postings
                        as "field\\x1fterm", index/build.py:FIELD_SEP)
@@ -53,6 +57,7 @@ _LEX = re.compile(
 )
 
 _BOOST = re.compile(r"\^(\d+)$")
+_FUZZ = re.compile(r"~(\d*)$")
 
 
 @dataclass
@@ -69,6 +74,7 @@ class Clause:
     slop: int = 0
     boost: int = 1
     field: str | None = None
+    fuzz: int = 0  # kind == "fuzzy": max Levenshtein edits (1 or 2)
 
     def dict_pattern(self) -> str:
         """SQL LIKE pattern for wildcard expansion (* → %, ? → _)."""
@@ -181,6 +187,18 @@ def parse_query(q: str) -> ParsedQuery:
         bm = _BOOST.search(w)
         if bm:
             boost, w = int(bm.group(1)), w[: bm.start()]
+        fuzz = 0
+        fm = _FUZZ.search(w)
+        if fm:
+            # Lucene classic: `term~` (default 2), `term~N` with N ≤ 2
+            # (LevenshteinAutomata's max); `~0` degrades to the plain term
+            fuzz = int(fm.group(1)) if fm.group(1) else 2
+            w = w[: fm.start()]
+            if fuzz > 2:
+                raise ValueError(
+                    f"fuzzy distance {fuzz} exceeds the supported maximum "
+                    "of 2 edits (Lucene LevenshteinAutomata)"
+                )
         fld = None
         if ":" in w:
             fld, w = w.split(":", 1)
@@ -194,7 +212,16 @@ def parse_query(q: str) -> ParsedQuery:
         if not w:
             continue
         kind = "wildcard" if ("*" in w or "?" in w) else "term"
+        if fuzz:
+            if kind == "wildcard":
+                raise ValueError(
+                    f"{w!r}: a clause cannot be both wildcard and fuzzy"
+                )
+            kind = "fuzzy"
         clauses.append(
-            Clause(kind=kind, occur=occ, text=w, boost=boost, field=fld)
+            Clause(
+                kind=kind, occur=occ, text=w, boost=boost, field=fld,
+                fuzz=fuzz,
+            )
         )
     return ParsedQuery(clauses)

@@ -14,8 +14,13 @@ an engine-surface addition, mirrored on Lucene classic / ES `query_string`):
   MUST term (+x, AND)    → scored AND a singleton require group (Lucene's
                            scored-MUST: constrains and contributes)
   MUST_NOT term (-x,NOT) → exclude
-  wildcard / [lo TO hi]  → dictionary expansion (`expand_like` /
-                           `expand_term_range`, range-pruned scan, capped at
+  wildcard / [lo TO hi] / term~N
+                         → dictionary expansion (`expand_like` /
+                           `expand_term_range` / `expand_fuzzy`: LIKE with a
+                           pushed prefix range, inclusive range, or
+                           threshold-bounded Levenshtein ≤ N — Lucene
+                           FuzzyQuery — over a length band), pruned scan,
+                           capped at
                            `max_expansions`); SHOULD expansions score
                            individually (the engine's scored-PrefixQuery
                            precedent, `fts_prefix_bm25`); a MUST expansion
@@ -135,10 +140,18 @@ def compile_query(searcher, qid: int, qstring: str) -> CompiledQuery:
                     if c.occur == "must":
                         cq.require.append([t])
             continue
-        # wildcard / range: expand against the dictionary (LRU'd,
-        # range-pruned scan, ValueError above max_expansions)
+        # wildcard / range / fuzzy: expand against the dictionary (LRU'd,
+        # predicate-pruned scan, ValueError above max_expansions)
         if c.kind == "wildcard":
             exps = searcher.expand_like(c.dict_pattern().lower())
+        elif c.kind == "fuzzy":
+            toks = _analyze(c.text, analyzer)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"{c.text!r}~{c.fuzz}: a fuzzy clause must analyze to "
+                    "exactly one token"
+                )
+            exps = searcher.expand_fuzzy(toks[0], c.fuzz)
         else:
             exps = searcher.expand_term_range(c.lo.lower(), c.hi.lower())
         if c.occur == "must_not":

@@ -1486,6 +1486,26 @@ class IndexSearcher:
         as `expand_like`."""
         return self._expand(("range", lo, hi))
 
+    def expand_fuzzy(self, term: str, max_edits: int = 2) -> list[str]:
+        """Dictionary terms within Levenshtein distance `max_edits` of
+        `term` (Lucene FuzzyQuery; the query-string `term~N` clause),
+        sorted. The exact term, if present, is its own distance-0 match.
+
+        Scale shape: ONE dictionary scan per novel (term, n). Lucene
+        intersects a Levenshtein automaton with the term FST; the engine
+        analog is a JVM-side scan with two pushed predicates — a length
+        band `len(term)±n` (column-stats prunable) and Spark's native
+        `levenshtein(_, _, threshold)` which early-exits the DP row once
+        the band exceeds n, so per-term cost is O(n·|term|) not
+        O(|term|²). No driver-side candidate enumeration (a distance-2
+        automaton over a 10^9-term vocabulary is exactly what must NOT be
+        materialized). Same expansion cap and LRU as `expand_like`."""
+        if not 0 <= max_edits <= 2:
+            raise ValueError("fuzzy distance must be 0, 1, or 2")
+        if max_edits == 0:
+            return [term]
+        return self._expand(("fuzzy", term, max_edits))
+
     def _expand(self, key: tuple) -> list[str]:
         with self._point_lock:
             hit = self._expand_cache.get(key)
@@ -1501,6 +1521,14 @@ class IndexSearcher:
                     & (F.col("term") >= prefix)
                     & (F.col("term") < prefix + "￿")
                 )
+        elif key[0] == "fuzzy":
+            q, n = key[1], int(key[2])
+            # length band first (column-stats prunable), then the
+            # threshold-bounded Levenshtein (early-exits rows whose DP band
+            # already exceeds n — returns -1 above the threshold)
+            pred = F.length("term").between(len(q) - n, len(q) + n) & (
+                F.levenshtein(F.col("term"), F.lit(q), n) >= 0
+            )
         else:
             pred = (F.col("term") >= key[1]) & (F.col("term") <= key[2])
         rows = (

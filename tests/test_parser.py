@@ -127,3 +127,27 @@ def test_properties_partition_clauses():
     assert [c.text for c in p.prohibited] == ["c"]
     assert [c.text for c in p.scored] == ["a", "b", "str*"]
     assert [c.text for c in p.phrases] == ["p q"]
+
+
+def test_fuzzy_suffix():
+    p = parse_query("hsah~ joni~1 data~1^2 exact~0")
+    assert [(c.kind, c.text, c.fuzz, c.boost) for c in p.clauses] == [
+        ("fuzzy", "hsah", 2, 1),
+        ("fuzzy", "joni", 1, 1),
+        ("fuzzy", "data", 1, 2),
+        ("term", "exact", 0, 1),
+    ]
+
+
+def test_fuzzy_occur_signs():
+    p = parse_query("+merg~1 -sorrt~1 NOT worng~")
+    assert [(c.occur, c.fuzz) for c in p.clauses] == [
+        ("must", 1), ("must_not", 1), ("must_not", 2),
+    ]
+
+
+def test_fuzzy_distance_cap_and_wildcard_conflict():
+    with pytest.raises(ValueError):
+        parse_query("term~3")
+    with pytest.raises(ValueError):
+        parse_query("te*t~1")

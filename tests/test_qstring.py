@@ -266,3 +266,76 @@ def test_expansion_lru_schedules_no_second_job(spark, qidx):
     again = s2.expand_like("term0000%")
     assert first == again
     assert ("like", "term0000%") in s2._expand_cache
+
+
+# --- fuzzy clauses (Lucene FuzzyQuery, `term~N`) -------------------------
+
+
+def _lev(a, b):
+    """Plain Levenshtein — the test's independent model of expand_fuzzy."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _fuzzy_vocab(oracle, q, n):
+    return sorted(t for t in oracle.postings if _lev(q, t) <= n)
+
+
+def test_expand_fuzzy_matches_pure_levenshtein(spark, qidx):
+    s, _, oracle, _ = qidx
+    got = s.expand_fuzzy("term00042", 1)
+    assert got == _fuzzy_vocab(oracle, "term00042", 1)
+    assert "term00042" in got  # the exact term is its own distance-0 match
+    assert s.expand_fuzzy("term00042", 0) == ["term00042"]
+    with pytest.raises(ValueError):
+        s.expand_fuzzy("term00042", 3)
+
+
+def test_fuzzy_scored_expansion(spark, qidx):
+    s, pos, oracle, _ = qidx
+    exps = _fuzzy_vocab(oracle, "term00042", 1)
+    assert len(exps) > 1  # the digit grid guarantees real neighbors
+    have = _run(spark, s, pos, ["term00042~1"])
+    _check(have[0], _expect(oracle, [(t, 1) for t in exps]))
+
+
+def test_required_fuzzy_is_one_group(spark, qidx):
+    s, pos, oracle, _ = qidx
+    exps = _fuzzy_vocab(oracle, "term00042", 1)
+    have = _run(spark, s, pos, ["+term00042~1 term00007"])
+    want = _expect(
+        oracle,
+        [(t, 1) for t in exps] + [("term00007", 1)],
+        require=[exps],
+    )
+    _check(have[0], want)
+
+
+def test_excluded_fuzzy(spark, qidx):
+    s, pos, oracle, _ = qidx
+    exps = _fuzzy_vocab(oracle, "term00042", 1)
+    have = _run(spark, s, pos, ["term00007 -term00042~1"])
+    _check(have[0], _expect(oracle, [("term00007", 1)], exclude=exps))
+
+
+def test_required_fuzzy_no_expansion_kills_query(spark, qidx):
+    s, pos, oracle, _ = qidx
+    have = _run(spark, s, pos, ["+zzzzzzzzzzzz~1 term00007"])
+    assert have == {}
+
+
+def test_fuzzy_boost_is_qtf(spark, qidx):
+    s, pos, oracle, _ = qidx
+    exps = _fuzzy_vocab(oracle, "term00042", 1)
+    have = _run(spark, s, pos, ["term00042~1^3 term00007"])
+    want = _expect(
+        oracle, [(t, 3) for t in exps] + [("term00007", 1)]
+    )
+    _check(have[0], want)
