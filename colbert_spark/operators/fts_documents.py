@@ -684,6 +684,105 @@ def fts_near_point_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# k-term unordered proximity (INQUERY #uwN; the k>2 generalization of
+# NEAR/w): all the group's terms within WITHIN_WINDOW consecutive
+# positions, reporting the minimal cover span. Group 3 carries an OOV term
+# and must match nothing.
+WITHIN_GROUPS = [
+    (0, "hash join filter"),
+    (1, "customer order data"),
+    (2, "stream window"),
+    (3, "hash zzznot here"),
+]
+WITHIN_WINDOW = 6
+
+
+def fts_within_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered k-term proximity by corpus scan: for each group, the docs
+    where some window of WITHIN_WINDOW consecutive token positions contains
+    every group term, with the minimal such span (max−min+1 over one-
+    occurrence-per-term choices). Exact-semantics oracle for the
+    positional-index path (`fts_within_index`). The scan ships only the
+    groups' matched positions (broadcast semi-join before the shuffle);
+    the per-(group, doc) minimal-window sweep runs in an Arrow-batched
+    mapInPandas kernel over position lists that are tf-sized."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("p", "term")
+    )
+    rows = []
+    for gid, terms in WITHIN_GROUPS:
+        seen: list[str] = []
+        for t in terms.split():
+            if t not in seen:
+                seen.append(t)
+        for j, t in enumerate(seen):
+            rows.append((gid, t, j, len(seen)))
+    gdf = spark.createDataFrame(rows, "group_id long, term string, j int, k int")
+    matched = pos.join(F.broadcast(gdf), "term").select(
+        "group_id", "doc_id", "p", "j", "k"
+    )
+
+    def min_cover(batches):
+        for pdf in batches:
+            gs, ds, ss = [], [], []
+            for row in pdf.itertuples(index=False):
+                ps = sorted((int(o["p"]), int(o["j"])) for o in row.occ)
+                counts: dict[int, int] = {}
+                missing, left = int(row.k), 0
+                best = -1
+                for right in range(len(ps)):
+                    c = ps[right][1]
+                    if not counts.get(c):
+                        missing -= 1
+                    counts[c] = counts.get(c, 0) + 1
+                    while missing == 0:  # shrink to the minimal cover
+                        span = ps[right][0] - ps[left][0] + 1
+                        if best < 0 or span < best:
+                            best = span
+                        cl = ps[left][1]
+                        counts[cl] -= 1
+                        if counts[cl] == 0:
+                            missing += 1
+                        left += 1
+                if 0 < best <= WITHIN_WINDOW:
+                    gs.append(row.group_id)
+                    ds.append(row.doc_id)
+                    ss.append(best)
+            yield pd.DataFrame(
+                {"group_id": gs, "doc_id": ds, "min_span": ss}
+            ).astype("int64")
+
+    spans = (
+        matched.groupBy("group_id", "doc_id")
+        .agg(
+            F.collect_list(F.struct("p", "j")).alias("occ"),
+            F.first("k").alias("k"),
+        )
+        .mapInPandas(min_cover, "group_id long, doc_id long, min_span long")
+    )
+    return spans.orderBy("group_id", "doc_id")
+
+
+def fts_within_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_within_match` answered from the positional segment index
+    (`query/phrase.py:within_match_segments`): candidate docs from the
+    k-way posting doc-set intersection, minimal-window sweep over merged
+    posting positions — no corpus scan. Shares the corpus-scan oracle."""
+    from colbert_spark.query.phrase import within_match_segments
+
+    idx = _positional_index_dir(spark, sf_dir)
+    groups = spark.createDataFrame(
+        WITHIN_GROUPS, "group_id long, terms string"
+    )
+    hits = within_match_segments(spark, idx, groups, window=WITHIN_WINDOW)
+    return _map_index_docs(spark, idx, hits, "group_id", "min_span").orderBy(
+        "group_id", "doc_id"
+    )
+
+
 def fts_snippet_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`fts_snippet` with the highlighting positions answered from the
     POSITIONAL INDEX (`query/phrase.py:first_hit_segments`) instead of
@@ -2292,6 +2391,43 @@ ORACLES["fts_near_match"] = f"""
     FROM anch GROUP BY pair_id, doc_id ORDER BY pair_id, doc_id
 """
 
+# unordered k-term proximity: per group, min over one-occurrence-per-term
+# combos of (max−min+1) — the k-way position join IS the brute-force
+# minimal-window definition the engine's sweep must reproduce. Group 3's
+# OOV term makes its join empty.
+ORACLES["fts_within_match"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    pos AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(tok)),
+                    i -> {{'p': i, 'term': tok[i]}}), recursive := true)
+      FROM toks),
+    g0 AS (
+      SELECT 0 AS group_id, a.doc_id,
+             min(greatest(a.p, b.p, c.p) - least(a.p, b.p, c.p) + 1) AS min_span
+      FROM pos a JOIN pos b USING (doc_id) JOIN pos c USING (doc_id)
+      WHERE a.term = 'hash' AND b.term = 'join' AND c.term = 'filter'
+      GROUP BY a.doc_id),
+    g1 AS (
+      SELECT 1 AS group_id, a.doc_id,
+             min(greatest(a.p, b.p, c.p) - least(a.p, b.p, c.p) + 1) AS min_span
+      FROM pos a JOIN pos b USING (doc_id) JOIN pos c USING (doc_id)
+      WHERE a.term = 'customer' AND b.term = 'order' AND c.term = 'data'
+      GROUP BY a.doc_id),
+    g2 AS (
+      SELECT 2 AS group_id, a.doc_id,
+             min(greatest(a.p, b.p) - least(a.p, b.p) + 1) AS min_span
+      FROM pos a JOIN pos b USING (doc_id)
+      WHERE a.term = 'stream' AND b.term = 'window'
+      GROUP BY a.doc_id),
+    all_g AS (
+      SELECT * FROM g0 UNION ALL SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+    SELECT group_id::BIGINT AS group_id, doc_id, min_span::BIGINT AS min_span
+    FROM all_g WHERE min_span <= {WITHIN_WINDOW}
+    ORDER BY group_id, doc_id
+"""
+ORACLES["fts_within_index"] = ORACLES["fts_within_match"]
+
 # index path ≡ corpus scan, same oracle (see fts_phrase_index)
 ORACLES["fts_near_index"] = ORACLES["fts_near_match"]
 ORACLES["fts_phrase_point_index"] = ORACLES["fts_phrase_match"]
@@ -2801,6 +2937,8 @@ QUERIES = {
     "fts_phrase_bm25_index": fts_phrase_bm25_index,
     "fts_near_match": fts_near_match,
     "fts_near_index": fts_near_index,
+    "fts_within_match": fts_within_match,
+    "fts_within_index": fts_within_index,
     "fts_phrase_point_index": fts_phrase_point_index,
     "fts_near_point_index": fts_near_point_index,
     "fts_bm25_index": fts_bm25_index,

@@ -618,6 +618,63 @@ class PositionalSearcher:
             NEAR_OUT_SCHEMA, _NEAR_EMPTY, warm=self._warm,
         ))
 
+    def within(self, groups: DataFrame, window: int = 8) -> DataFrame:
+        """groups(group_id, terms) → (group_id, doc_id, min_span): k-term
+        UNORDERED proximity (INQUERY's #uwN; the unordered side of Lucene's
+        sloppy phrase, which NEAR/w covers only for k = 2). `terms` is a
+        space-separated string; tokens analyze under the index grammar and
+        DEDUPLICATE (set semantics — "a b a" ≡ "a b"). A doc matches when
+        some window of `window` consecutive positions contains ≥1 occurrence
+        of EVERY group term; min_span is the smallest such cover
+        (max−min+1 over one-occurrence-per-term choices). A group with any
+        out-of-vocabulary term matches nothing.
+
+        Scale shape: same as `phrase`/`near` — one broadcast join resolves
+        the batch, the segment scan prunes to the group terms' blocks, ONE
+        bucket-keyed shuffle. Kernel work per group is bounded by the
+        RAREST term's per-bucket df (candidate docs = the k-way doc-set
+        intersection, walked once per candidate with the classic minimal-
+        window sweep over its few merged occurrences)."""
+        spark = self.spark
+        from colbert_spark.functions.analyzer import analyze_terms_col
+
+        gtoks = groups.select(
+            "group_id", tokens_col("terms").alias("toks")
+        ).select(
+            "group_id",
+            F.explode(
+                F.array_distinct(analyze_terms_col("toks", self._analyzer))
+            ).alias("term"),
+        )
+        n_terms = {
+            r["group_id"]: r["n"]
+            for r in gtoks.groupBy("group_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        resolved = (
+            self.term_dict.join(F.broadcast(gtoks), "term")
+            .select("group_id", "term_id")
+            .collect()
+        )
+        by_gid: dict[int, list[int]] = {}
+        for r in resolved:
+            by_gid.setdefault(r["group_id"], []).append(int(r["term_id"]))
+        group_list = [
+            (gid, sorted(tids), int(window))
+            for gid, tids in by_gid.items()
+            if len(tids) == n_terms.get(gid, -1)  # any OOV ⇒ no match
+        ]
+        if not group_list:
+            return spark.createDataFrame([], WITHIN_OUT_SCHEMA)
+        all_tids = sorted({t for _, tids, _ in group_list for t in tids})
+        bc = spark.sparkContext.broadcast(group_list)
+        kernel = _make_within_kernel(bc, int(self.stats["bucket_size"]))
+        return self._mask(_positional_scan(
+            spark, self.segments, self.stats, all_tids, kernel,
+            WITHIN_OUT_SCHEMA, _WITHIN_EMPTY, warm=self._warm,
+        ))
+
     def first_hit(self, queries: DataFrame, candidates: DataFrame) -> DataFrame:
         """(qid, doc_id, first_pos) for each candidate pair: the 0-BASED
         position of the EARLIEST occurrence of any of the query's distinct
@@ -808,6 +865,105 @@ def _make_near_kernel(pair_map, bucket_size: int, window: int):
         )
 
     return kernel
+
+
+WITHIN_OUT_SCHEMA = "group_id long, doc_id long, min_span long"
+
+_WITHIN_EMPTY = pd.DataFrame(
+    {
+        "group_id": pd.Series([], dtype="int64"),
+        "doc_id": pd.Series([], dtype="int64"),
+        "min_span": pd.Series([], dtype="int64"),
+    }
+)
+
+
+def _make_within_kernel(group_map, bucket_size: int):
+    """Kernel for one bucket frame: decode each needed term's occurrences
+    once; for every group, candidate docs are the k-way sorted-unique doc
+    intersection, and each candidate is scanned with the classic minimal-
+    window sweep (two pointers over the merged labelled occurrence stream,
+    O(total occurrences of the group's terms in that doc))."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        groups = group_map.value if hasattr(group_map, "value") else group_map
+        cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for tid, sub in pdf.groupby("term_id", sort=False):
+            cache[int(tid)] = _term_occurrences(sub)
+        out_g, out_d, out_s = [], [], []
+        for gid, tids, window in groups:
+            if any(t not in cache for t in tids):
+                continue
+            k = len(tids)
+            cand: np.ndarray | None = None
+            for t in tids:
+                u = np.unique(cache[t][0])
+                cand = (
+                    u
+                    if cand is None
+                    else np.intersect1d(cand, u, assume_unique=True)
+                )
+                if not cand.size:
+                    break
+            if cand is None or not cand.size:
+                continue
+            for d in cand:
+                ps_l, lb_l = [], []
+                for j, t in enumerate(tids):
+                    od, op = cache[t]
+                    lo = np.searchsorted(od, d, side="left")
+                    hi = np.searchsorted(od, d, side="right")
+                    ps_l.append(op[lo:hi])
+                    lb_l.append(np.full(hi - lo, j, dtype=np.int64))
+                ps = np.concatenate(ps_l)
+                lb = np.concatenate(lb_l)
+                order = np.argsort(ps, kind="stable")
+                ps, lb = ps[order], lb[order]
+                counts = np.zeros(k, dtype=np.int64)
+                missing, left = k, 0
+                best = np.int64(1) << np.int64(60)
+                for right in range(len(ps)):
+                    c = lb[right]
+                    if counts[c] == 0:
+                        missing -= 1
+                    counts[c] += 1
+                    while missing == 0:  # shrink to the minimal cover
+                        span = ps[right] - ps[left] + 1
+                        if span < best:
+                            best = span
+                        cl = lb[left]
+                        counts[cl] -= 1
+                        if counts[cl] == 0:
+                            missing += 1
+                        left += 1
+                if best <= window:
+                    out_g.append(gid)
+                    out_d.append(int(d))
+                    out_s.append(int(best))
+        if not out_g:
+            return _WITHIN_EMPTY
+        return pd.DataFrame(
+            {
+                "group_id": np.array(out_g, dtype=np.int64),
+                "doc_id": np.array(out_d, dtype=np.int64),
+                "min_span": np.array(out_s, dtype=np.int64),
+            }
+        )
+
+    return kernel
+
+
+def within_match_segments(
+    spark: SparkSession,
+    index_dir: str,
+    groups: DataFrame,
+    window: int = 8,
+    as_of_epoch: int | None = None,
+) -> DataFrame:
+    """One-shot convenience wrapper over `PositionalSearcher.within`."""
+    return PositionalSearcher(spark, index_dir, as_of_epoch).within(
+        groups, window
+    )
 
 
 def near_match_segments(

@@ -36,9 +36,13 @@ an engine-surface addition, mirrored on Lucene classic / ES `query_string`):
                            one exact phrase instead delegates to
                            `phrase_bm25` — true Lucene PhraseQuery scoring
                            (tf = occurrence count, idf = Σ idf(tokenᵢ)).
-  "a b"~N (slop)         → NEAR/w filter (|Δpos| ≤ N, unordered) — exactly
-                           two analyzed tokens supported, the positional
-                           kernel's pair primitive.
+  "a b"~N (slop)         → NEAR/w filter (|Δpos| ≤ N, unordered) for two
+                           analyzed tokens (the positional kernel's pair
+                           primitive); for k > 2 tokens, an unordered
+                           WITHIN filter — all k terms inside a window of
+                           k + N consecutive positions (Indri #uwN; the
+                           unordered reading of ES sloppy phrase), via
+                           `PositionalSearcher.within`.
   no scored clause       → phrase/filter-only queries score by the BM25 of
                            their phrase tokens over the filtered set (so a
                            bare "hash join" + filters still ranks sensibly).
@@ -73,7 +77,7 @@ class CompiledQuery:
     (a MUST wildcard with zero expansions)."""
 
     __slots__ = ("qid", "scored", "require", "exclude", "phrases", "nears",
-                 "dead", "pure_phrase")
+                 "withins", "dead", "pure_phrase")
 
     def __init__(self, qid: int):
         self.qid = qid
@@ -82,6 +86,7 @@ class CompiledQuery:
         self.exclude: list[str] = []
         self.phrases: list[str] = []  # exact-phrase filter texts
         self.nears: list[tuple[str, str, int]] = []  # (t1, t2, slop)
+        self.withins: list[tuple[list[str], int]] = []  # (tokens, window)
         self.dead = False
         self.pure_phrase: str | None = None  # delegate to phrase_bm25
 
@@ -125,10 +130,11 @@ def compile_query(searcher, qid: int, qstring: str) -> CompiledQuery:
             elif len(toks) == 2:
                 cq.nears.append((toks[0], toks[1], c.slop))
             else:
-                raise ValueError(
-                    f'"{c.text}"~{c.slop}: slop is the two-token NEAR/w '
-                    "primitive; exact phrases may have any length"
-                )
+                # k-token sloppy phrase → unordered WITHIN filter: all k
+                # terms inside a window of k + slop consecutive positions
+                # (the Indri #uwN reading of ES unordered sloppy-phrase;
+                # min_span ≤ k means adjacency, each slop unit widens by 1)
+                cq.withins.append((toks, len(toks) + c.slop))
             continue
         if c.kind == "term":
             toks = _analyze(c.text, analyzer)
@@ -165,13 +171,15 @@ def compile_query(searcher, qid: int, qstring: str) -> CompiledQuery:
             else:
                 cq.require.append(list(exps))
 
-    if not cq.scored and (cq.phrases or cq.nears):
+    if not cq.scored and (cq.phrases or cq.nears or cq.withins):
         # filter-only query: rank the filtered set by its phrase tokens
         for p in cq.phrases:
             for t in _analyze(p, analyzer):
                 cq.scored.append((t, 1.0))
         for t1, t2, _ in cq.nears:
             cq.scored.extend([(t1, 1.0), (t2, 1.0)])
+        for toks, _ in cq.withins:
+            cq.scored.extend((t, 1.0) for t in toks)
     return cq
 
 
@@ -211,7 +219,7 @@ def search_query_strings(
             continue
         if cq.pure_phrase is not None:
             pure.append((cq.qid, cq.pure_phrase))
-        elif cq.phrases or cq.nears:
+        elif cq.phrases or cq.nears or cq.withins:
             filtered.append(cq)
         elif cq.scored:
             plain.append(cq)
@@ -249,6 +257,7 @@ def search_query_strings(
         specs: list[tuple[int, int]] = []  # (fid, qid)
         phr_rows, near_rows = [], []
         by_slop: dict[int, list] = {}
+        by_window: dict[int, list] = {}  # k-token WITHIN filters
         fid = 0
         for cq in filtered:
             for p in cq.phrases:
@@ -258,6 +267,12 @@ def search_query_strings(
             for t1, t2, slop in cq.nears:
                 specs.append((fid, cq.qid))
                 by_slop.setdefault(slop, []).append((fid, t1, t2))
+                fid += 1
+            for toks, window in cq.withins:
+                specs.append((fid, cq.qid))
+                by_window.setdefault(window, []).append(
+                    (fid, " ".join(toks))
+                )
                 fid += 1
         hit_parts = []
         if phr_rows:
@@ -276,6 +291,15 @@ def search_query_strings(
                     ),
                     window=slop,
                 ).select(F.col("pair_id").alias("fid"), "doc_id")
+            )
+        for window, grs in by_window.items():  # k-token unordered WITHIN
+            hit_parts.append(
+                positional.within(
+                    spark.createDataFrame(
+                        grs, "group_id long, terms string"
+                    ),
+                    window=window,
+                ).select(F.col("group_id").alias("fid"), "doc_id")
             )
         hits = hit_parts[0]
         for h in hit_parts[1:]:

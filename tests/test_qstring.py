@@ -244,10 +244,13 @@ def test_fielded_clause_rejected(spark, qidx):
         compile_query(s, 0, "title:hash")
 
 
-def test_long_slop_phrase_rejected(spark, qidx):
+def test_long_slop_phrase_compiles_to_within(spark, qidx):
+    # k > 2 sloppy phrases are no longer rejected: they compile to an
+    # unordered WITHIN filter of window k + slop
     s, pos, _, _ = qidx
-    with pytest.raises(ValueError, match="slop"):
-        compile_query(s, 0, '"term00000 term00001 term00002"~2')
+    cq = compile_query(s, 0, '"term00000 term00001 term00002"~2')
+    assert cq.withins == [(["term00000", "term00001", "term00002"], 5)]
+    assert not cq.nears and not cq.phrases
 
 
 def test_expansion_cap(spark, qidx):
@@ -339,3 +342,96 @@ def test_fuzzy_boost_is_qtf(spark, qidx):
         oracle, [(t, 3) for t in exps] + [("term00007", 1)]
     )
     _check(have[0], want)
+
+
+# --- k-token sloppy phrases → unordered WITHIN filters -------------------
+
+
+def _within_docs(toks, terms, window):
+    """Independent model of the WITHIN filter: docs where some window of
+    `window` consecutive positions contains every term in `terms`."""
+    out = set()
+    want = list(dict.fromkeys(terms))
+    k = len(want)
+    for d, ts in toks.items():
+        occ = sorted(
+            (p, want.index(t)) for p, t in enumerate(ts) if t in want
+        )
+        counts = [0] * k
+        missing, left = k, 0
+        best = None
+        for right in range(len(occ)):
+            c = occ[right][1]
+            if counts[c] == 0:
+                missing -= 1
+            counts[c] += 1
+            while missing == 0:
+                span = occ[right][0] - occ[left][0] + 1
+                if best is None or span < best:
+                    best = span
+                cl = occ[left][1]
+                counts[cl] -= 1
+                if counts[cl] == 0:
+                    missing += 1
+                left += 1
+        if best is not None and best <= window:
+            out.add(d)
+    return out
+
+
+def _three_cooccurring_terms(toks):
+    """Three distinct terms adjacent in some document — guaranteed to have
+    a non-empty WITHIN match set at small windows."""
+    for d, ts in toks.items():
+        for i in range(len(ts) - 2):
+            tri = ts[i : i + 3]
+            if len(set(tri)) == 3:
+                return tri
+    raise AssertionError("corpus has no 3 distinct adjacent tokens")
+
+
+def test_multi_token_sloppy_phrase_is_within_filter(spark, qidx):
+    s, pos, oracle, toks = qidx
+    t1, t2, t3 = _three_cooccurring_terms(toks)
+    slop = 2
+    window = 3 + slop
+    allowed = _within_docs(toks, [t1, t2, t3], window)
+    assert allowed
+    q = f'term00007 "{t1} {t2} {t3}"~{slop}'
+    have = _run(spark, s, pos, [q])
+    want = _expect(oracle, [("term00007", 1)], allowed=allowed)
+    _check(have.get(0, []), want)
+
+
+def test_filter_only_within_scores_its_tokens(spark, qidx):
+    s, pos, oracle, toks = qidx
+    t1, t2, t3 = _three_cooccurring_terms(toks)
+    window = 3 + 1
+    allowed = _within_docs(toks, [t1, t2, t3], window)
+    have = _run(spark, s, pos, [f'"{t1} {t2} {t3}"~1'])
+    want = _expect(
+        oracle, [(t1, 1), (t2, 1), (t3, 1)], allowed=allowed
+    )
+    _check(have.get(0, []), want)
+
+
+def test_within_direct_matches_model(spark, qidx):
+    s, pos, oracle, toks = qidx
+    t1, t2, t3 = _three_cooccurring_terms(toks)
+    for window in (3, 5, 8):
+        groups = spark.createDataFrame(
+            [(0, f"{t1} {t2} {t3}")], "group_id long, terms string"
+        )
+        got = {
+            r["doc_id"] for r in pos.within(groups, window=window).collect()
+        }
+        assert got == _within_docs(toks, [t1, t2, t3], window), window
+
+
+def test_within_oov_term_matches_nothing(spark, qidx):
+    s, pos, oracle, toks = qidx
+    t1, t2, _ = _three_cooccurring_terms(toks)
+    groups = spark.createDataFrame(
+        [(0, f"{t1} {t2} zzzznotaterm")], "group_id long, terms string"
+    )
+    assert pos.within(groups, window=50).count() == 0
