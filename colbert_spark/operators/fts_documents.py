@@ -783,6 +783,30 @@ def fts_within_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fts_within_point_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_within_match` answered by the driver-resident proximity point
+    path (`PositionalSearcher.within_point`), sharing the corpus-scan
+    oracle."""
+    from colbert_spark.query.phrase import PositionalSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    searcher = PositionalSearcher(spark, idx)
+    rows = []
+    for gid, terms in WITHIN_GROUPS:
+        pt = searcher.within_point(terms, window=WITHIN_WINDOW)
+        rows.extend(
+            (int(gid), int(r.doc_id), int(r.min_span)) for r in pt.itertuples()
+        )
+    hits = spark.createDataFrame(
+        rows, "group_id long, doc_id long, min_span long"
+    ) if rows else spark.createDataFrame(
+        [], "group_id long, doc_id long, min_span long"
+    )
+    return _map_index_docs(spark, idx, hits, "group_id", "min_span").orderBy(
+        "group_id", "doc_id"
+    )
+
+
 def fts_snippet_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`fts_snippet` with the highlighting positions answered from the
     POSITIONAL INDEX (`query/phrase.py:first_hit_segments`) instead of
@@ -2427,6 +2451,7 @@ ORACLES["fts_within_match"] = f"""
     ORDER BY group_id, doc_id
 """
 ORACLES["fts_within_index"] = ORACLES["fts_within_match"]
+ORACLES["fts_within_point_index"] = ORACLES["fts_within_match"]
 
 # index path ≡ corpus scan, same oracle (see fts_phrase_index)
 ORACLES["fts_near_index"] = ORACLES["fts_near_match"]
@@ -2939,6 +2964,7 @@ QUERIES = {
     "fts_near_index": fts_near_index,
     "fts_within_match": fts_within_match,
     "fts_within_index": fts_within_index,
+    "fts_within_point_index": fts_within_point_index,
     "fts_phrase_point_index": fts_phrase_point_index,
     "fts_near_point_index": fts_near_point_index,
     "fts_bm25_index": fts_bm25_index,

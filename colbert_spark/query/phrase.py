@@ -446,6 +446,71 @@ class PositionalSearcher:
             .reset_index(drop=True)
         )
 
+    def within_point(self, terms: str, window: int = 8) -> pd.DataFrame:
+        """(doc_id, min_span) for ONE unordered k-term proximity group (all
+        analyzed tokens of `terms` within `window` consecutive positions),
+        answered driver-side through the same term/block LRUs as
+        `phrase_point` and the IDENTICAL `_make_within_kernel` sweep. Any
+        OOV term ⇒ empty; pending-delete indexes fall back to the
+        distributed masked path."""
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "min_span": pd.Series([], dtype="int64"),
+            }
+        )
+        _require_positions(self.stats)
+        if self._tomb_df is not None:
+            qdf = self.spark.createDataFrame(
+                [(0, terms)], "group_id long, terms string"
+            )
+            rows = self.within(qdf, window=window).collect()
+            return (
+                pd.DataFrame(
+                    {
+                        "doc_id": [r["doc_id"] for r in rows],
+                        "min_span": [r["min_span"] for r in rows],
+                    }
+                ).sort_values("doc_id").reset_index(drop=True)
+                if rows
+                else empty
+            )
+        from colbert_spark.functions.analyzer import py_analyze
+
+        toks = list(dict.fromkeys(py_analyze(py_tokenize(terms or ""), self._analyzer)))
+        if not toks:
+            return empty
+        resolved = self._lookup_terms_point(sorted(set(toks)))
+        if any(resolved.get(t) is None for t in toks):
+            return empty
+        tids = sorted({resolved[t][0] for t in toks})
+        self._fetch_pblocks(tids)
+        frames = [
+            self._pblock_cache[t][0]
+            for t in tids
+            if len(self._pblock_cache[t][0])
+        ]
+        if len(frames) < len(tids):
+            return empty
+        pdf = pd.concat(frames, ignore_index=True)
+        kernel = _make_within_kernel(
+            [(0, tids, int(window))], int(self.stats["bucket_size"])
+        )
+        outs = []
+        for _, sub in pdf.groupby("bucket", sort=False):
+            res = kernel(sub.reset_index(drop=True))
+            if len(res):
+                outs.append(res)
+        if not outs:
+            return empty
+        allr = pd.concat(outs, ignore_index=True)
+        return (
+            allr[["doc_id", "min_span"]]
+            .astype({"doc_id": "int64", "min_span": "int64"})
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
     def _resolve_phrases(self, phrases: DataFrame):
         """phrases(phrase_id, phrase) → (phrase_list, df_map) or None.
         phrase_list is [(pid, [term_id, …] in token order)] for phrases whose

@@ -312,3 +312,59 @@ def test_near_point_parity(spark, pos_index):
         assert {int(r.doc_id): int(r.n_anchor) for r in pt.itertuples()} == want
     finally:
         s.close()
+
+
+def test_within_point_parity(spark, pos_index):
+    """within_point must agree with the distributed within() and with a
+    brute-force minimal-window sweep over the corpus tokens."""
+    from colbert_spark.query.phrase import PositionalSearcher
+
+    d, _, toks = pos_index
+    s = PositionalSearcher(spark, d).warm()
+    try:
+        groups = [
+            "term00000 term00001 term00003",
+            "term00000 term00002",
+            "term00000 zzznotindexed term00001",
+        ]
+        qdf = spark.createDataFrame(
+            [(i, g) for i, g in enumerate(groups)],
+            "group_id long, terms string",
+        )
+        dist = {}
+        for r in s.within(qdf, window=7).collect():
+            dist.setdefault(r["group_id"], {})[r["doc_id"]] = r["min_span"]
+        assert dist.get(0) or dist.get(1)  # fixture yields real matches
+        for i, g in enumerate(groups):
+            pt = s.within_point(g, window=7)
+            got = {int(r.doc_id): int(r.min_span) for r in pt.itertuples()}
+            assert got == dist.get(i, {}), g
+        # brute force one group: true minimal span over combos
+        want = {}
+        terms = groups[0].split()
+        for did, tk in enumerate(toks):
+            occ = sorted(
+                (p, terms.index(t)) for p, t in enumerate(tk) if t in terms
+            )
+            counts = [0] * 3
+            missing, left, best = 3, 0, None
+            for right in range(len(occ)):
+                c = occ[right][1]
+                if counts[c] == 0:
+                    missing -= 1
+                counts[c] += 1
+                while missing == 0:
+                    span = occ[right][0] - occ[left][0] + 1
+                    if best is None or span < best:
+                        best = span
+                    cl = occ[left][1]
+                    counts[cl] -= 1
+                    if counts[cl] == 0:
+                        missing += 1
+                    left += 1
+            if best is not None and best <= 7:
+                want[did] = best
+        pt = s.within_point(groups[0], window=7)
+        assert {int(r.doc_id): int(r.min_span) for r in pt.itertuples()} == want
+    finally:
+        s.close()
