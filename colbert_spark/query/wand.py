@@ -2418,6 +2418,9 @@ class _UnionExpander:
     def expand_term_range(self, lo: str, hi: str) -> list[str]:
         return self._union("expand_term_range", lo, hi)
 
+    def expand_fuzzy(self, term: str, max_edits: int = 2) -> list[str]:
+        return self._union("expand_fuzzy", term, max_edits)
+
 
 class ShardedSearcher:
     """Resident scatter-gather service across INDEPENDENT shard indexes with

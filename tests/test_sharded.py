@@ -232,6 +232,44 @@ def test_sharded_query_strings_match_single_index(spark, uneven_shards):
     sh.close()
 
 
+def test_sharded_query_strings_fuzzy_match_single_index(spark, uneven_shards):
+    """Fuzzy clauses federate exactly: each `term~N` expands against the
+    UNION of the shard dictionaries and prices with global df, so the
+    2-shard ranking equals the single-whole-index ranking."""
+    import math
+
+    from colbert_spark.query.qstring import search_query_strings
+    from colbert_spark.query.wand import IndexSearcher, ShardedSearcher
+
+    a, b_, whole = uneven_shards
+    qs = [
+        (0, "term00042~1"),                # scored fuzzy expansion
+        (1, "term00007 +term00042~1"),     # required fuzzy group
+        (2, "term00007 -term00042~1"),     # excluded fuzzy
+    ]
+    sh = ShardedSearcher(spark, [a, b_])
+    got = sh.search_strings(qs, k=10).collect()
+    s1 = IndexSearcher(spark, whole)
+    want = search_query_strings(s1, qs, k=10).collect()
+    wurl = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(whole + "/docs").collect()
+    }
+    g, w = {}, {}
+    for r in got:
+        g.setdefault(r["qid"], []).append((r["rank"], r["url"], r["score"]))
+    for r in want:
+        w.setdefault(r["qid"], []).append(
+            (r["rank"], wurl[r["doc_id"]], r["score"])
+        )
+    assert g.keys() == w.keys() and g
+    for qid in w:
+        gs, ws = sorted(g[qid]), sorted(w[qid])
+        assert [u for _, u, _ in gs] == [u for _, u, _ in ws], qid
+        for (_, _, a_s), (_, _, b_s) in zip(gs, ws):
+            assert math.isclose(a_s, b_s, rel_tol=1e-9), qid
+
+
 def test_sharded_query_strings_reject_phrases(spark, uneven_shards):
     from colbert_spark.query.wand import ShardedSearcher
 
