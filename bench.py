@@ -101,6 +101,32 @@ def main() -> None:
                 nq / timings[name], 2
             )
 
+        # query-string language batch on the warm service: 100 Lucene-classic
+        # strings mixing boolean MUST, fuzzy (~1) and wildcard/exclude — one
+        # parse+expand (driver, LRU'd) + ONE compiled kernel plan per batch.
+        # Rep 2 is the service steady state (expansion LRU hot).
+        from colbert_spark.query.qstring import search_query_strings
+
+        qstrings = []
+        for i, q in enumerate(synth_queries(100)["question"]):
+            ts = q.split()
+            t0, t1 = ts[0], ts[1 % len(ts)]
+            if i % 3 == 0:
+                qstrings.append((i, f"{t0} +{t1}"))
+            elif i % 3 == 1:
+                qstrings.append((i, f"{t0}~1 {t1}"))
+            else:
+                # 7-char prefix (term000…) keeps expansions ≪ the 1024
+                # maxClauseCount cap at every bench sf
+                qstrings.append((i, f"{t0[:7]}* -{t1}"))
+        qs_reps = []
+        for _ in range(2):
+            t0_ = time.perf_counter()
+            assert search_query_strings(searcher, qstrings, k=100).count() > 0
+            qs_reps.append(time.perf_counter() - t0_)
+        timings["qstring_100q"] = min(qs_reps)
+        extra["qstring_qps"] = round(100 / timings["qstring_100q"], 2)
+
         # single-query latency distribution on the warm service (BASELINE.md
         # protocol: median & p95 sec/query, BM25 top-100)
         lat = []
