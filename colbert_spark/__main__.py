@@ -164,6 +164,51 @@ def _cmd_query(args) -> int:
     return 0
 
 
+def _cmd_qsearch(args) -> int:
+    """Query-string search (the Lucene classic subset, query/parser.py):
+    one string per input line. One --index serves the full language
+    (phrases need a positional build); several --index flags serve the
+    boolean/expansion fragment scatter-gather with global statistics."""
+    from colbert_spark.session import get_spark
+
+    spark = get_spark("colbert-qsearch")
+    if args.queries == "-":
+        qstrings = [q.strip() for q in sys.stdin if q.strip()]
+    else:
+        with open(args.queries) as f:
+            qstrings = [q.strip() for q in f if q.strip()]
+    rows = list(enumerate(qstrings))
+    if len(args.index) > 1:
+        from colbert_spark.query.wand import ShardedSearcher
+
+        svc = ShardedSearcher(spark, args.index)
+        for r in svc.search_strings(rows, k=args.k).collect():
+            print(json.dumps(
+                {"qid": r["qid"], "rank": r["rank"], "url": r["url"],
+                 "score": r["score"]}
+            ))
+        svc.close()
+        return 0
+    from colbert_spark.query.qstring import search_query_strings
+    from colbert_spark.query.wand import IndexSearcher
+
+    s = IndexSearcher(spark, args.index[0], as_of_epoch=args.as_of_epoch)
+    positional = None
+    if s.stats.get("positions"):
+        from colbert_spark.query.phrase import PositionalSearcher
+
+        positional = PositionalSearcher(
+            spark, args.index[0], as_of_epoch=args.as_of_epoch
+        )
+    res = search_query_strings(s, rows, k=args.k, positional=positional)
+    for r in res.collect():
+        print(json.dumps(
+            {"qid": r["qid"], "rank": r["rank"], "doc_id": r["doc_id"],
+             "score": r["score"]}
+        ))
+    return 0
+
+
 def _cmd_stats(args) -> int:
     from colbert_spark.index.inspect import index_stats
     from colbert_spark.session import get_spark
@@ -337,6 +382,27 @@ def main(argv: list[str] | None = None) -> int:
         help="query the index's time-travel snapshot of this epoch (0 = base build)",
     )
     pp.set_defaults(fn=_cmd_phrase)
+
+    qs = sub.add_parser(
+        "qsearch",
+        help="Lucene query-string search (+/-/AND/NOT, ^boost, wildcards, "
+        "term~N fuzzy, [lo TO hi], phrases with ~slop)",
+    )
+    qs.add_argument(
+        "--index", action="append", required=True,
+        help="index directory; repeat for scatter-gather federation "
+        "(boolean/expansion fragment only)",
+    )
+    qs.add_argument(
+        "--queries", required=True,
+        help="text file of query strings, or - for stdin",
+    )
+    qs.add_argument("--k", type=int, default=10)
+    qs.add_argument(
+        "--as-of-epoch", type=int, default=None, dest="as_of_epoch",
+        help="single-index only: query this epoch's snapshot",
+    )
+    qs.set_defaults(fn=_cmd_qsearch)
 
     st = sub.add_parser("stats", help="index tree statistics (blocks, fill, bytes)")
     st.add_argument("--index", required=True)

@@ -138,3 +138,47 @@ def test_cli_merge_and_analyzer(spark, tmp_path):
     ]) == 0
     with open(s_idx + "/stats.json") as f:
         assert json.load(f)["analyzer"] == "s_stem"
+
+
+def test_cli_qsearch_single_and_federated(cli_index, tmp_path, spark):
+    """`qsearch` serves the query language from the CLI: boolean + fuzzy +
+    wildcard strings against one index, and the boolean fragment against a
+    2-shard federation (repeat --index)."""
+    import contextlib
+    import io
+
+    qfile = tmp_path / "qs.txt"
+    qfile.write_text(
+        "term00001 +term00008\nterm00012~1\nterm0006* -term00001\n"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["qsearch", "--index", cli_index, "--queries", str(qfile), "--k", "5"])
+    assert rc == 0
+    rows = [json.loads(x) for x in buf.getvalue().splitlines() if x.strip()]
+    assert rows and {r["qid"] for r in rows} >= {0, 1}
+    for r in rows:
+        assert set(r) == {"qid", "rank", "doc_id", "score"}
+
+    # federation: split the same corpus into two shard indexes
+    root = tmp_path
+    a_pages, b_pages = str(root / "qa_pages"), str(root / "qb_pages")
+    a_idx, b_idx = str(root / "qa_idx"), str(root / "qb_idx")
+    assert main(["synth", "--output", a_pages, "--docs", "200", "--partitions", "2"]) == 0
+    from colbert_spark.sources.synth import synth_web_pages
+
+    pages = synth_web_pages(400).iloc[200:]
+    spark.createDataFrame(pages).write.mode("overwrite").parquet(b_pages)
+    assert main(["index", "--input", a_pages, "--output", a_idx, "--bucket-size", "100"]) == 0
+    assert main(["index", "--input", b_pages, "--output", b_idx, "--bucket-size", "100"]) == 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([
+            "qsearch", "--index", a_idx, "--index", b_idx,
+            "--queries", str(qfile), "--k", "5",
+        ])
+    assert rc == 0
+    rows = [json.loads(x) for x in buf.getvalue().splitlines() if x.strip()]
+    assert rows
+    for r in rows:
+        assert set(r) == {"qid", "rank", "url", "score"}
