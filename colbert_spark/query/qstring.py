@@ -204,13 +204,23 @@ def search_query_strings(
     filtered plan; pure single-phrase queries batch into one `phrase_bm25`.
     Compilation itself is driver-side (expansion LRUs; a cache-hot batch
     schedules no dictionary job)."""
-    spark: SparkSession = searcher.spark
     if isinstance(queries, DataFrame):
         rows = [(r[0], r[1]) for r in queries.select("qid", "query").collect()]
     else:
         rows = list(queries)
-
     compiled = [compile_query(searcher, int(qid), q) for qid, q in rows]
+    return execute_compiled(searcher, compiled, k, positional)
+
+
+def execute_compiled(
+    searcher, compiled: list, k: int = 10, positional=None
+) -> DataFrame:
+    """Run already-compiled queries (`CompiledQuery` list) against one
+    searcher — the execution half of `search_query_strings`, split out so
+    a federation can compile ONCE (union-dictionary expansion) and execute
+    the same structured payload per shard (phrase/NEAR/WITHIN filters are
+    per-shard-exact: a doc's positions live in its own shard)."""
+    spark: SparkSession = searcher.spark
     plain: list = []  # no phrase filters → the standard single-scan plan
     filtered: list = []  # phrase/NEAR filters → cogrouped filtered plan
     pure: list[tuple[int, str]] = []

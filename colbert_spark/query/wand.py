@@ -2483,6 +2483,25 @@ class ShardedSearcher:
         self._pool.shutdown(wait=True)
         for s in self.searchers:
             s.close()
+        for p in getattr(self, "_pos", None) or []:
+            p.close()
+
+    def _positionals(self):
+        """Lazy per-shard `PositionalSearcher`s for federated phrase/NEAR/
+        WITHIN filters; every shard must be a positional build."""
+        if getattr(self, "_pos", None) is None:
+            for d, s in zip(self.index_dirs, self.searchers):
+                if not s.stats.get("positions"):
+                    raise ValueError(
+                        f"{d}: phrase-filtered federation needs positional "
+                        "shard indexes (build with positions=True)"
+                    )
+            from colbert_spark.query.phrase import PositionalSearcher
+
+            self._pos = [
+                PositionalSearcher(self.spark, d) for d in self.index_dirs
+            ]
+        return self._pos
 
     def _batch_terms(self, queries: DataFrame) -> list[str]:
         """Distinct analyzed terms of the batch (positives + must_nots).
@@ -2582,16 +2601,22 @@ class ShardedSearcher:
         GLOBAL statistics. `queries` is a list of (qid, qstring) pairs or a
         DataFrame with (qid, query) columns.
 
-        Exactness across shards: wildcards/ranges expand against the UNION
-        of the shard dictionaries (concurrent LRU'd per-shard expansions —
-        a doc's terms always live in its own shard's dictionary, so the
-        union expansion filters each shard exactly; a require group whose
-        every member is absent from one shard correctly matches nothing
-        THERE while other shards still answer). Scoring prices every
-        expanded/scored term with the summed global df before the scatter.
-        Phrase clauses are single-index surface for now — compile raises,
-        callers route them to `search_query_strings` on a merged index."""
-        from colbert_spark.query.qstring import compile_query
+        Exactness across shards: wildcards/ranges/fuzzies expand against
+        the UNION of the shard dictionaries (concurrent LRU'd per-shard
+        expansions — a doc's terms always live in its own shard's
+        dictionary, so the union expansion filters each shard exactly; a
+        require group whose every member is absent from one shard correctly
+        matches nothing THERE while other shards still answer). Scoring
+        prices every expanded/scored term with the summed global df before
+        the scatter. Phrase/NEAR/WITHIN FILTER clauses federate too: each
+        shard resolves its own match sets from its positional blocks (a
+        doc's positions live in its own shard — per-shard filters are
+        globally exact) and runs the cogrouped filtered kernel; requires
+        every shard be built with positions=True. Only a PURE single-phrase
+        query stays single-index surface (PhraseQuery scoring needs global
+        phrase-tf statistics no shard owns) — compile raises, callers route
+        it to `search_query_strings` on a merged index."""
+        from colbert_spark.query.qstring import compile_query, execute_compiled
 
         if isinstance(queries, DataFrame):
             rows = [
@@ -2604,16 +2629,20 @@ class ShardedSearcher:
         compiled = [compile_query(exp, int(qid), q) for qid, q in rows]
         live = []
         terms: set[str] = set()
+        has_filters = False
         for cq in compiled:
             if cq.dead:
                 continue
-            if cq.pure_phrase is not None or cq.phrases or cq.nears:
+            if cq.pure_phrase is not None:
                 raise ValueError(
-                    "phrase clauses are not federated; use "
-                    "search_query_strings on a (merged) single index"
+                    "a pure single-phrase query is not federated (Lucene "
+                    "PhraseQuery scoring needs global phrase statistics); "
+                    "use search_query_strings on a (merged) single index"
                 )
             if not cq.scored:
                 continue
+            if cq.phrases or cq.nears or cq.withins:
+                has_filters = True
             live.append(cq)
             terms.update(t for t, _ in cq.scored)
             for g in cq.require:
@@ -2623,10 +2652,14 @@ class ShardedSearcher:
             return self.spark.createDataFrame([], SHARDED_TOPK_SCHEMA)
         self._ensure_global_df(sorted(terms))
         payload = [(c.qid, c.scored, c.require, c.exclude) for c in live]
+        positionals = self._positionals() if has_filters else None
 
         def one(i: int) -> DataFrame:
             s, d = self.searchers[i], self.index_dirs[i]
-            hits = s.search_compiled(payload, k)
+            if positionals is not None:
+                hits = execute_compiled(s, live, k, positional=positionals[i])
+            else:
+                hits = s.search_compiled(payload, k)
             docs_dir = os.path.join(d, s.stats.get("docs_dir", "docs"))
             urls = self.spark.read.parquet(docs_dir).select("doc_id", "url")
             return hits.join(urls, "doc_id").select("qid", "url", "score")

@@ -280,3 +280,90 @@ def test_sharded_query_strings_reject_phrases(spark, uneven_shards):
     with _pt.raises(ValueError, match="phrase"):
         sh.search_strings([(0, '"term00000 term00001"')], k=5)
     sh.close()
+
+
+@pytest.fixture(scope="module")
+def pos_shards(spark, tiny_corpus, tmp_path_factory):
+    """Positional 1:4 shard split + positional whole index, for federated
+    phrase/NEAR/WITHIN filters."""
+    base = tmp_path_factory.mktemp("sharded_pos")
+    pdf = tiny_corpus
+    cut = len(pdf) // 5
+    a, b_, whole = str(base / "a"), str(base / "b"), str(base / "whole")
+    build_index(
+        spark, spark.createDataFrame(pdf.iloc[:cut]), a,
+        bucket_size=53, positions=True,
+    )
+    build_index(
+        spark, spark.createDataFrame(pdf.iloc[cut:]), b_,
+        bucket_size=97, positions=True,
+    )
+    build_index(
+        spark, spark.createDataFrame(pdf), whole,
+        bucket_size=97, positions=True,
+    )
+    return a, b_, whole
+
+
+def test_sharded_query_strings_phrase_filters_match_single_index(
+    spark, pos_shards
+):
+    """Mixed queries with phrase / NEAR / WITHIN FILTER clauses federate
+    exactly: each shard resolves its own positional match sets, scoring is
+    global — ranking equals the single-whole-index language path."""
+    import math
+
+    from colbert_spark.query.phrase import PositionalSearcher
+    from colbert_spark.query.qstring import search_query_strings
+    from colbert_spark.query.wand import IndexSearcher, ShardedSearcher
+
+    a, b_, whole = pos_shards
+    qs = [
+        (0, 'term00007 "term00000 term00001"'),        # exact-phrase filter
+        (1, 'term00003 "term00000 term00001"~4'),      # NEAR filter
+        (2, 'term00002 "term00000 term00001 term00003"~3'),  # WITHIN filter
+        (3, '"term00000 term00001"~4'),                # filter-only query
+    ]
+    sh = ShardedSearcher(spark, [a, b_])
+    got = sh.search_strings(qs, k=10).collect()
+    s1 = IndexSearcher(spark, whole)
+    p1 = PositionalSearcher(spark, whole)
+    want = search_query_strings(s1, qs, k=10, positional=p1).collect()
+    wurl = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(whole + "/docs").collect()
+    }
+    g, w = {}, {}
+    for r in got:
+        g.setdefault(r["qid"], []).append((r["rank"], r["url"], r["score"]))
+    for r in want:
+        w.setdefault(r["qid"], []).append(
+            (r["rank"], wurl[r["doc_id"]], r["score"])
+        )
+    assert g.keys() == w.keys() and g
+    for qid in w:
+        gs, ws = sorted(g[qid]), sorted(w[qid])
+        assert [u for _, u, _ in gs] == [u for _, u, _ in ws], qid
+        for (_, _, a_s), (_, _, b_s) in zip(gs, ws):
+            assert math.isclose(a_s, b_s, rel_tol=1e-9), qid
+    sh.close()
+
+
+def test_sharded_pure_phrase_still_rejected(spark, pos_shards):
+    from colbert_spark.query.wand import ShardedSearcher
+
+    a, b_, _ = pos_shards
+    sh = ShardedSearcher(spark, [a, b_])
+    with pytest.raises(ValueError, match="pure single-phrase"):
+        sh.search_strings([(0, '"term00000 term00001"')], k=5)
+    sh.close()
+
+
+def test_sharded_phrase_filter_needs_positional_shards(spark, uneven_shards):
+    from colbert_spark.query.wand import ShardedSearcher
+
+    a, b_, _ = uneven_shards
+    sh = ShardedSearcher(spark, [a, b_])
+    with pytest.raises(ValueError, match="positional"):
+        sh.search_strings([(0, 'term00007 "term00000 term00001"')], k=5)
+    sh.close()
