@@ -212,6 +212,13 @@ class PositionalSearcher:
                 os.path.join(index_dir, self.stats["tomb_dir"])
             )
         self._warm: DataFrame | None = None
+        # federation overrides (ShardedSearcher): global N/avgdl and a
+        # term-string→summed-df map so per-shard phrase scoring prices
+        # with cross-shard statistics (phrase tf and doclen are per-doc,
+        # hence per-shard exact)
+        self._n_global: int | None = None
+        self._avgdl_global: float | None = None
+        self._df_global: dict[str, int] | None = None
         # phrase_point driver caches (same contracts as IndexSearcher's
         # point path: immutable-snapshot LRUs, byte-capped block rows)
         self._pterm_cache: OrderedDict = OrderedDict()
@@ -511,12 +518,27 @@ class PositionalSearcher:
             .reset_index(drop=True)
         )
 
+    def with_global_stats(
+        self, n_docs: int, avgdl: float, df_map: dict[str, int]
+    ) -> "PositionalSearcher":
+        """Price phrase scoring with FEDERATION-global statistics: N and
+        avgdl from the shard sums, df per token from the summed per-shard
+        dictionaries (term-string keyed — shard term_ids are local). Match
+        sets, phrase tf and doclen stay per-shard (exact). Mirror of
+        `IndexSearcher.with_global_stats`."""
+        self._n_global = int(n_docs)
+        self._avgdl_global = float(avgdl)
+        self._df_global = dict(df_map)
+        return self
+
     def _resolve_phrases(self, phrases: DataFrame):
-        """phrases(phrase_id, phrase) → (phrase_list, df_map) or None.
-        phrase_list is [(pid, [term_id, …] in token order)] for phrases whose
-        EVERY token is in the vocabulary (one OOV token ⇒ the phrase cannot
-        match and is dropped); df_map carries each resolved term's df for
-        query-time idf (blocks are idf-free, same contract as wand.py)."""
+        """phrases(phrase_id, phrase) → (phrase_list, df_map, tid2term) or
+        None. phrase_list is [(pid, [term_id, …] in token order)] for
+        phrases whose EVERY token is in the vocabulary (one OOV token ⇒ the
+        phrase cannot match and is dropped); df_map carries each resolved
+        term's df for query-time idf (blocks are idf-free, same contract as
+        wand.py); tid2term maps the shard-local ids back to term strings
+        for the federation's global-df override."""
         from colbert_spark.functions.analyzer import analyze_terms_col
 
         ptoks = phrases.select(
@@ -535,14 +557,16 @@ class PositionalSearcher:
         # scan prunes via the join and is never collected
         resolved = (
             self.term_dict.join(F.broadcast(ptoks), "term")
-            .select("phrase_id", "j", "term_id", "df")
+            .select("phrase_id", "j", "term_id", "df", "term")
             .collect()
         )
         by_pid: dict[int, list[tuple[int, int]]] = {}
         df_map: dict[int, int] = {}
+        tid2term: dict[int, str] = {}
         for r in resolved:
             by_pid.setdefault(r["phrase_id"], []).append((r["j"], r["term_id"]))
             df_map[int(r["term_id"])] = int(r["df"])
+            tid2term[int(r["term_id"])] = r["term"]
         phrase_list = []
         for pid, pairs in by_pid.items():
             if len(pairs) != n_toks.get(pid, -1):
@@ -551,7 +575,7 @@ class PositionalSearcher:
             phrase_list.append((pid, [tid for _, tid in pairs]))
         if not phrase_list:
             return None
-        return phrase_list, df_map
+        return phrase_list, df_map, tid2term
 
     def _phrase_hits(self, phrase_list) -> DataFrame:
         """(phrase_id, doc_id, n_occ) for a resolved phrase batch — the
@@ -590,12 +614,23 @@ class PositionalSearcher:
         resolved = self._resolve_phrases(phrases)
         if resolved is None:
             return self.spark.createDataFrame([], PHRASE_TOPK_SCHEMA)
-        phrase_list, df_map = resolved
+        phrase_list, df_map, tid2term = resolved
         hits = self._phrase_hits(phrase_list)
         st = self.stats
         # live_docs appears only after an expunging compaction; between a
-        # delete and its expunge, statistics deliberately stay encode-time
-        n_docs = st.get("live_docs", st["N"])
+        # delete and its expunge, statistics deliberately stay encode-time.
+        # Under federation overrides, N/avgdl/df price globally instead.
+        n_docs = (
+            self._n_global
+            if self._n_global is not None
+            else st.get("live_docs", st["N"])
+        )
+
+        def _df(t: int) -> int:
+            if self._df_global is not None:
+                return int(self._df_global.get(tid2term[t], df_map[t]))
+            return df_map[t]
+
         idf_rows = [
             (
                 int(pid),
@@ -603,7 +638,7 @@ class PositionalSearcher:
                     sum(
                         np.log(
                             1.0
-                            + (n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5)
+                            + (n_docs - _df(t) + 0.5) / (_df(t) + 0.5)
                         )
                         for t in tids
                     )
@@ -618,7 +653,11 @@ class PositionalSearcher:
             "doc_id", "doclen"
         )
         k1, b = float(st["k1"]), float(st["b"])
-        avgdl = float(st["avgdl"])
+        avgdl = (
+            self._avgdl_global
+            if self._avgdl_global is not None
+            else float(st["avgdl"])
+        )
         tf = F.col("n_occ").cast("double")
         score = (
             F.col("idf_sum")

@@ -2612,10 +2612,13 @@ class ShardedSearcher:
         shard resolves its own match sets from its positional blocks (a
         doc's positions live in its own shard — per-shard filters are
         globally exact) and runs the cogrouped filtered kernel; requires
-        every shard be built with positions=True. Only a PURE single-phrase
-        query stays single-index surface (PhraseQuery scoring needs global
-        phrase-tf statistics no shard owns) — compile raises, callers route
-        it to `search_query_strings` on a merged index."""
+        every shard be built with positions=True. PURE single-phrase
+        queries federate as well: phrase tf and doclen are per-doc
+        (per-shard exact), and each shard's `phrase_bm25` prices with the
+        federation's global N/avgdl/token-df via
+        `PositionalSearcher.with_global_stats` — so N-shard PhraseQuery
+        scoring equals the single-whole-index run."""
+        from colbert_spark.functions.analyzer import py_analyze
         from colbert_spark.query.qstring import compile_query, execute_compiled
 
         if isinstance(queries, DataFrame):
@@ -2628,17 +2631,18 @@ class ShardedSearcher:
         exp = _UnionExpander(self)
         compiled = [compile_query(exp, int(qid), q) for qid, q in rows]
         live = []
+        pures: list[tuple[int, str]] = []
         terms: set[str] = set()
         has_filters = False
         for cq in compiled:
             if cq.dead:
                 continue
             if cq.pure_phrase is not None:
-                raise ValueError(
-                    "a pure single-phrase query is not federated (Lucene "
-                    "PhraseQuery scoring needs global phrase statistics); "
-                    "use search_query_strings on a (merged) single index"
+                pures.append((cq.qid, cq.pure_phrase))
+                terms.update(
+                    py_analyze(py_tokenize(cq.pure_phrase), self._analyzer)
                 )
+                continue
             if not cq.scored:
                 continue
             if cq.phrases or cq.nears or cq.withins:
@@ -2648,18 +2652,39 @@ class ShardedSearcher:
             for g in cq.require:
                 terms.update(g)
             terms.update(cq.exclude)
-        if not live:
+        if not live and not pures:
             return self.spark.createDataFrame([], SHARDED_TOPK_SCHEMA)
         self._ensure_global_df(sorted(terms))
         payload = [(c.qid, c.scored, c.require, c.exclude) for c in live]
-        positionals = self._positionals() if has_filters else None
+        positionals = (
+            self._positionals() if (has_filters or pures) else None
+        )
+        if pures:
+            for p in positionals:
+                p.with_global_stats(
+                    self.n_global, self.avgdl_global, self._df_g
+                )
+            pure_df = self.spark.createDataFrame(
+                pures, "phrase_id long, phrase string"
+            )
 
         def one(i: int) -> DataFrame:
             s, d = self.searchers[i], self.index_dirs[i]
-            if positionals is not None:
-                hits = execute_compiled(s, live, k, positional=positionals[i])
+            if live:
+                if has_filters:
+                    hits = execute_compiled(
+                        s, live, k, positional=positionals[i]
+                    )
+                else:
+                    hits = s.search_compiled(payload, k)
             else:
-                hits = s.search_compiled(payload, k)
+                hits = None
+            if pures:
+                ph = positionals[i].phrase_bm25(pure_df, k=k).select(
+                    F.col("phrase_id").alias("qid"), "rank", "doc_id",
+                    "score",
+                )
+                hits = ph if hits is None else hits.unionByName(ph)
             docs_dir = os.path.join(d, s.stats.get("docs_dir", "docs"))
             urls = self.spark.read.parquet(docs_dir).select("doc_id", "url")
             return hits.join(urls, "doc_id").select("qid", "url", "score")

@@ -349,13 +349,40 @@ def test_sharded_query_strings_phrase_filters_match_single_index(
     sh.close()
 
 
-def test_sharded_pure_phrase_still_rejected(spark, pos_shards):
-    from colbert_spark.query.wand import ShardedSearcher
+def test_sharded_pure_phrase_matches_single_index(spark, pos_shards):
+    """Pure single-phrase queries federate with exact PhraseQuery scoring:
+    per-shard phrase tf/doclen + global N/avgdl/token-df must equal the
+    whole-index `phrase_bm25` ranking."""
+    import math
 
-    a, b_, _ = pos_shards
+    from colbert_spark.query.phrase import PositionalSearcher
+    from colbert_spark.query.qstring import search_query_strings
+    from colbert_spark.query.wand import IndexSearcher, ShardedSearcher
+
+    a, b_, whole = pos_shards
+    qs = [(0, '"term00000 term00001"'), (1, '"term00003 term00000"')]
     sh = ShardedSearcher(spark, [a, b_])
-    with pytest.raises(ValueError, match="pure single-phrase"):
-        sh.search_strings([(0, '"term00000 term00001"')], k=5)
+    got = sh.search_strings(qs, k=10).collect()
+    s1 = IndexSearcher(spark, whole)
+    p1 = PositionalSearcher(spark, whole)
+    want = search_query_strings(s1, qs, k=10, positional=p1).collect()
+    wurl = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(whole + "/docs").collect()
+    }
+    g, w = {}, {}
+    for r in got:
+        g.setdefault(r["qid"], []).append((r["rank"], r["url"], r["score"]))
+    for r in want:
+        w.setdefault(r["qid"], []).append(
+            (r["rank"], wurl[r["doc_id"]], r["score"])
+        )
+    assert g.keys() == w.keys() and g
+    for qid in w:
+        gs, ws = sorted(g[qid]), sorted(w[qid])
+        assert [u for _, u, _ in gs] == [u for _, u, _ in ws], qid
+        for (_, _, a_s), (_, _, b_s) in zip(gs, ws):
+            assert math.isclose(a_s, b_s, rel_tol=1e-9), qid
     sh.close()
 
 
