@@ -4463,3 +4463,25 @@ ORACLES["fts_query_string_fuzzy"] = f"""
 """
 
 QUERIES["fts_query_string_fuzzy"] = fts_query_string_fuzzy
+
+
+def fts_sharded_qstring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boolean/wildcard/range query-string set (QS_QUERIES) answered by
+    the 2-shard FEDERATION (`ShardedSearcher.search_strings`): clauses
+    expand against the union of the shard dictionaries, scoring prices with
+    global statistics, require/exclude algebra runs per shard. Shares
+    `fts_query_string`'s oracle — the value-hash compare proves the full
+    query language federates exactly."""
+    from colbert_spark.query.wand import ShardedSearcher
+
+    a, b_ = _shard_index_dirs(spark, sf_dir)
+    svc = ShardedSearcher(spark, [a, b_])
+    hits = svc.search_strings(QS_QUERIES, k=TOPK + 5)
+    mapped = hits.select(
+        "qid", F.col("url").cast("long").alias("doc_id"), "score"
+    )
+    return _rank_topk(mapped)
+
+
+ORACLES["fts_sharded_qstring"] = ORACLES["fts_query_string"]
+QUERIES["fts_sharded_qstring"] = fts_sharded_qstring
