@@ -16,6 +16,13 @@ Set SOAK_SHARDS=N to build N disjoint shard indexes and fuse them with the
 block-copy merge instead of one monolithic build — the production shape
 past ~5M docs on scratch/RAM-bounded hosts (per-shard walls and the merge
 wall are reported separately).
+Set SOAK_RESUME=1 to SKIP the build when a completed index (stats.json +
+.soak_build.json timing sidecar) already exists — the post-build legs then
+run in a FRESH process, which also resets the long-lived Python workers'
+resident memory between the build and the decode-heavy fsck (at 10M docs
+the 32 reused workers otherwise carry build-leg RSS into fsck and can trip
+the host OOM killer). After every leg the partial result dict is dumped to
+/tmp/soak_<n>_partial.json, so a crash loses at most one leg.
 Corpus and index live under /tmp and are reused across runs if present
 (delete /tmp/soak_<n>_corpus to regenerate).
 """
@@ -52,6 +59,27 @@ def main() -> None:
     }
 
     spark = get_spark("soak", cpus=cpus, shuffle_partitions=2 * cpus)
+    sidecar = os.path.join(index_dir, ".soak_build.json")
+    partial = f"/tmp/soak_{n_docs}_partial.json"
+
+    def checkpoint() -> None:
+        with open(partial, "w") as f:
+            json.dump(out, f)
+
+    resume = (
+        os.environ.get("SOAK_RESUME") == "1"
+        and os.path.exists(os.path.join(index_dir, "stats.json"))
+        and os.path.exists(sidecar)
+    )
+    if resume:
+        with open(sidecar) as f:
+            out.update(json.load(f))
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            stats = json.load(f)
+        out["resumed"] = True
+        return _post_build_legs(
+            spark, out, stats, index_dir, n_docs, bucket_size, checkpoint
+        )
 
     t0 = time.perf_counter()
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
@@ -111,13 +139,30 @@ def main() -> None:
     out["n_terms"] = stats.get("n_terms")
     out["total_cf"] = stats.get("total_cf")
     out["build_phases"] = stats.get("phases")
+    with open(sidecar, "w") as f:  # timings survive for SOAK_RESUME=1
+        json.dump(out, f)
+    checkpoint()
+    if os.environ.get("SOAK_BUILD_ONLY") == "1":
+        print(json.dumps(out))
+        return
+    _post_build_legs(
+        spark, out, stats, index_dir, n_docs, bucket_size, checkpoint
+    )
 
+
+def _post_build_legs(
+    spark, out, stats, index_dir, n_docs, bucket_size, checkpoint
+) -> None:
+    """fsck → layout stats → warm queries → point sweep → phrase batch →
+    compaction (+identity) — every leg checkpoints `out` so a crash loses
+    at most the running leg."""
     t0 = time.perf_counter()
     fsck = index_fsck(spark, index_dir, deep=True)
     out["fsck_sec"] = round(time.perf_counter() - t0, 1)
     out["fsck_ok"] = fsck["ok"]
     out["fsck_errors"] = fsck.get("errors", [])[:5]
     out["blocks_decoded"] = fsck.get("blocks_decoded")
+    checkpoint()
 
     istats = index_stats(spark, index_dir)
     out["n_blocks"] = istats["blocks"]
@@ -147,6 +192,7 @@ def main() -> None:
     out["segment_bytes"] = seg_bytes
     if out["n_postings"]:
         out["bytes_per_posting"] = round(seg_bytes / out["n_postings"], 2)
+    checkpoint()
 
     # warm BM25: 1000-query batch throughput + single-query latency
     searcher = IndexSearcher(spark, index_dir)
@@ -168,6 +214,7 @@ def main() -> None:
     lat.sort()
     out["warm_latency_p50"] = round(lat[len(lat) // 2], 3)
     out["warm_latency_p95"] = round(lat[int(len(lat) * 0.95)], 3)
+    checkpoint()
 
     # point sweep: driver-resident path, cold pass (block fetches) then hot
     plat_cold, plat_hot = [], []
@@ -180,6 +227,7 @@ def main() -> None:
     out["point_p50_cold"] = round(plat_cold[len(plat_cold) // 2], 4)
     out["point_p50_hot"] = round(plat_hot[len(plat_hot) // 2], 4)
     out["point_p95_hot"] = round(plat_hot[int(len(plat_hot) * 0.95)], 4)
+    checkpoint()
     # pre-compaction answers for the identity check across the swap
     pre_compact = [searcher.search_point(q, k=20) for q in single["question"][:10]]
     searcher.close()
@@ -197,6 +245,7 @@ def main() -> None:
     out["phrase_batch_sec"] = round(time.perf_counter() - t0, 2)
     out["phrase_hits"] = n_hits
     psearch.close()
+    checkpoint()
 
     if os.environ.get("SOAK_COMPACT", "1") != "0":
         from colbert_spark.index.compact import compact_index
@@ -206,6 +255,7 @@ def main() -> None:
         out["compact_sec"] = round(time.perf_counter() - t0, 1)
         out["compact_blocks_before"] = cstats.get("n_blocks_before")
         out["compact_blocks_after"] = cstats.get("n_blocks_after")
+        checkpoint()
 
         t0 = time.perf_counter()
         fsck2 = index_fsck(spark, index_dir, deep=True)
@@ -238,6 +288,7 @@ def main() -> None:
                 break
         out["compact_identity_ok"] = ident
         s2.close()
+        checkpoint()
 
     print(json.dumps(out))
 
