@@ -25,6 +25,13 @@ import tempfile
 import time
 
 
+def _require(n: int, what: str) -> None:
+    """Explicit result check: workloads must run (and be verified) even
+    under `python -O`, which strips bare asserts."""
+    if n <= 0:
+        raise RuntimeError(f"{what}: expected rows, got {n}")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -80,7 +87,7 @@ def main() -> None:
         n = bm25_topk_segments(spark, os.path.join(work, "index"), queries, k=100).count()
         timings["bm25_segments_100q"] = time.perf_counter() - t0
         extra["bm25_qps"] = round(100 / timings["bm25_segments_100q"], 2)
-        assert n > 0
+        _require(n, "bm25_segments_100q")
 
         # warm service path: index stays persisted across batches (the
         # resident-server analog); 1000q throughput must meet/beat 100q —
@@ -94,7 +101,7 @@ def main() -> None:
             reps = []  # best of 2 — same host-noise defense as the build
             for _ in range(2):
                 t0 = time.perf_counter()
-                assert searcher.search(qdf, k=100).count() > 0
+                _require(searcher.search(qdf, k=100).count(), name)
                 reps.append(time.perf_counter() - t0)
             timings[name] = min(reps)
             extra[f"{name.replace('bm25_warm', 'bm25_warm_qps')}"] = round(
@@ -122,7 +129,10 @@ def main() -> None:
         qs_reps = []
         for _ in range(2):
             t0_ = time.perf_counter()
-            assert search_query_strings(searcher, qstrings, k=100).count() > 0
+            _require(
+                search_query_strings(searcher, qstrings, k=100).count(),
+                "qstring_100q",
+            )
             qs_reps.append(time.perf_counter() - t0_)
         timings["qstring_100q"] = min(qs_reps)
         extra["qstring_qps"] = round(100 / timings["qstring_100q"], 2)
@@ -225,14 +235,20 @@ def main() -> None:
             merge_reps.append(time.perf_counter() - t0)
             # block-copy merge pads doc bases to bucket boundaries: N is the
             # id bound, live_docs the real count
-            assert st.get("live_docs", st["N"]) == n_corpus
+            if st.get("live_docs", st["N"]) != n_corpus:
+                raise RuntimeError(
+                    f"index_merge: live_docs {st.get('live_docs')} != {n_corpus}"
+                )
         timings["index_merge"] = min(merge_reps)
         extra["merge_docs_per_sec"] = round(n_corpus / timings["index_merge"], 1)
 
         sharded_reps = []
         for _ in range(2):
             t0 = time.perf_counter()
-            assert sharded_bm25_topk(spark, [shard_a, shard_b], queries, k=100).count() > 0
+            _require(
+                sharded_bm25_topk(spark, [shard_a, shard_b], queries, k=100).count(),
+                "bm25_sharded_100q",
+            )
             sharded_reps.append(time.perf_counter() - t0)
         timings["bm25_sharded_100q"] = min(sharded_reps)
 
@@ -249,7 +265,10 @@ def main() -> None:
         sharded4_reps = []
         for _ in range(2):
             t0 = time.perf_counter()
-            assert sharded_bm25_topk(spark, quads, queries, k=100).count() > 0
+            _require(
+                sharded_bm25_topk(spark, quads, queries, k=100).count(),
+                "bm25_sharded4_100q",
+            )
             sharded4_reps.append(time.perf_counter() - t0)
         timings["bm25_sharded4_100q"] = min(sharded4_reps)
 

@@ -179,6 +179,17 @@ def _cmd_qsearch(args) -> int:
             qstrings = [q.strip() for q in f if q.strip()]
     rows = list(enumerate(qstrings))
     if len(args.index) > 1:
+        if args.as_of_epoch is not None:
+            # enforce the help text: epoch pinning is single-index only —
+            # shards append independently, so one epoch number is
+            # meaningless across a federation. Fail loudly rather than
+            # silently serving current-epoch results.
+            print(
+                "error: --as-of-epoch is single-index only (shard epochs "
+                "are independent); pass one --index",
+                file=sys.stderr,
+            )
+            return 2
         from colbert_spark.query.wand import ShardedSearcher
 
         svc = ShardedSearcher(spark, args.index)

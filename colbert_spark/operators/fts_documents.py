@@ -4191,7 +4191,8 @@ def fts_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 QSP_QUERIES = [
     (0, '"hash join"'),             # pure phrase → PhraseQuery scoring
     (1, 'window "hash join"'),      # phrase as filter, scored term ranks
-    (2, 'filter "data stream"~4'),  # NEAR/4 filter (unordered, |Δpos| ≤ 4)
+    (2, 'filter "data stream"~4'),  # sloppy pair: 2 distinct tokens within
+    #  2+4 consecutive positions (uniform k+slop rule ⇒ NEAR |Δpos| ≤ 5)
 ]
 
 
@@ -4296,7 +4297,8 @@ ORACLES["fts_query_string"] = f"""
 
 # per-qid branches: q0 = PhraseQuery scoring over exact-bigram occurrences,
 # q1 = BM25('window') restricted to phrase docs, q2 = BM25('filter')
-# restricted to NEAR(data, stream, 4) docs (unordered window on positions)
+# restricted to the ~4 sloppy-pair docs (uniform k+slop convention:
+# span ≤ 2+4 ⇔ |Δpos| ≤ 5 on positions)
 ORACLES["fts_query_string_phrase"] = f"""
     WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
     dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
@@ -4334,7 +4336,7 @@ ORACLES["fts_query_string_phrase"] = f"""
       WHERE tf.term = 'window' AND tf.doc_id IN (SELECT doc_id FROM phr)),
     near2 AS (
       SELECT DISTINCT a.doc_id
-      FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND abs(a.p - b.p) <= 4
+      FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND abs(a.p - b.p) <= 5
       WHERE a.term = 'data' AND b.term = 'stream'),
     s2 AS (
       SELECT 2::BIGINT AS qid, tf.doc_id,

@@ -500,9 +500,7 @@ class PositionalSearcher:
         if len(frames) < len(tids):
             return empty
         pdf = pd.concat(frames, ignore_index=True)
-        kernel = _make_within_kernel(
-            [(0, tids, int(window))], int(self.stats["bucket_size"])
-        )
+        kernel = _make_within_kernel([(0, tids, int(window))])
         outs = []
         for _, sub in pdf.groupby("bucket", sort=False):
             res = kernel(sub.reset_index(drop=True))
@@ -773,7 +771,7 @@ class PositionalSearcher:
             return spark.createDataFrame([], WITHIN_OUT_SCHEMA)
         all_tids = sorted({t for _, tids, _ in group_list for t in tids})
         bc = spark.sparkContext.broadcast(group_list)
-        kernel = _make_within_kernel(bc, int(self.stats["bucket_size"]))
+        kernel = _make_within_kernel(bc)
         return self._mask(_positional_scan(
             spark, self.segments, self.stats, all_tids, kernel,
             WITHIN_OUT_SCHEMA, _WITHIN_EMPTY, warm=self._warm,
@@ -982,12 +980,14 @@ _WITHIN_EMPTY = pd.DataFrame(
 )
 
 
-def _make_within_kernel(group_map, bucket_size: int):
+def _make_within_kernel(group_map):
     """Kernel for one bucket frame: decode each needed term's occurrences
     once; for every group, candidate docs are the k-way sorted-unique doc
     intersection, and each candidate is scanned with the classic minimal-
     window sweep (two pointers over the merged labelled occurrence stream,
-    O(total occurrences of the group's terms in that doc))."""
+    O(total occurrences of the group's terms in that doc)). Unlike the
+    phrase/NEAR kernels it needs no bucket offset: the sweep works on
+    global doc ids directly (no packed bucket-relative keys)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         groups = group_map.value if hasattr(group_map, "value") else group_map

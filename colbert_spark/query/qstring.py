@@ -36,12 +36,16 @@ an engine-surface addition, mirrored on Lucene classic / ES `query_string`):
                            one exact phrase instead delegates to
                            `phrase_bm25` — true Lucene PhraseQuery scoring
                            (tf = occurrence count, idf = Σ idf(tokenᵢ)).
-  "a b"~N (slop)         → NEAR/w filter (|Δpos| ≤ N, unordered) for two
-                           analyzed tokens (the positional kernel's pair
-                           primitive); for k > 2 tokens, an unordered
-                           WITHIN filter — all k terms inside a window of
-                           k + N consecutive positions (Indri #uwN; the
-                           unordered reading of ES sloppy phrase), via
+  "a b"~N (slop)         → unordered proximity filter with ONE convention
+                           for every k: the k DISTINCT analyzed tokens
+                           (within()'s documented set semantics — "a b a"
+                           ≡ "a b") must fit inside a window of k + N
+                           consecutive positions, so slop 0 = adjacency
+                           and each slop unit widens the window by 1
+                           (Indri #uwN; the unordered reading of ES
+                           sloppy phrase). k = 2 routes through the
+                           pair-optimized NEAR kernel (span ≤ 2 + N ⇔
+                           |Δpos| ≤ N + 1); k ≠ 2 through
                            `PositionalSearcher.within`.
   no scored clause       → phrase/filter-only queries score by the BM25 of
                            their phrase tokens over the filtered set (so a
@@ -85,7 +89,7 @@ class CompiledQuery:
         self.require: list[list[str]] = []
         self.exclude: list[str] = []
         self.phrases: list[str] = []  # exact-phrase filter texts
-        self.nears: list[tuple[str, str, int]] = []  # (t1, t2, slop)
+        self.nears: list[tuple[str, str, int]] = []  # (t1, t2, |Δpos| bound)
         self.withins: list[tuple[list[str], int]] = []  # (tokens, window)
         self.dead = False
         self.pure_phrase: str | None = None  # delegate to phrase_bm25
@@ -127,14 +131,21 @@ def compile_query(searcher, qid: int, qstring: str) -> CompiledQuery:
                 continue  # tokenless phrase constrains nothing
             if c.slop == 0:
                 cq.phrases.append(c.text)
-            elif len(toks) == 2:
-                cq.nears.append((toks[0], toks[1], c.slop))
             else:
-                # k-token sloppy phrase → unordered WITHIN filter: all k
-                # terms inside a window of k + slop consecutive positions
-                # (the Indri #uwN reading of ES unordered sloppy-phrase;
-                # min_span ≤ k means adjacency, each slop unit widens by 1)
-                cq.withins.append((toks, len(toks) + c.slop))
+                # sloppy phrase → unordered proximity filter, ONE
+                # convention for every k (module docstring): the k
+                # DISTINCT tokens within k + slop consecutive positions
+                # — slop 0 = adjacency, each slop unit widens by 1.
+                # Dedup FIRST (within()'s set semantics) so duplicates
+                # never inflate the window; the k = 2 case rides the
+                # pair-optimized NEAR kernel (span ≤ 2 + slop ⇔
+                # |Δpos| ≤ slop + 1), k = 1 degenerates to term
+                # presence (window 1 + slop ≥ min_span 1 always).
+                uniq = list(dict.fromkeys(toks))
+                if len(uniq) == 2:
+                    cq.nears.append((uniq[0], uniq[1], c.slop + 1))
+                else:
+                    cq.withins.append((uniq, len(uniq) + c.slop))
             continue
         if c.kind == "term":
             toks = _analyze(c.text, analyzer)
@@ -274,9 +285,9 @@ def execute_compiled(
                 specs.append((fid, cq.qid))
                 phr_rows.append((fid, p))
                 fid += 1
-            for t1, t2, slop in cq.nears:
+            for t1, t2, win in cq.nears:
                 specs.append((fid, cq.qid))
-                by_slop.setdefault(slop, []).append((fid, t1, t2))
+                by_slop.setdefault(win, []).append((fid, t1, t2))
                 fid += 1
             for toks, window in cq.withins:
                 specs.append((fid, cq.qid))
@@ -293,13 +304,13 @@ def execute_compiled(
                     )
                 ).select(F.col("phrase_id").alias("fid"), "doc_id")
             )
-        for slop, prs in by_slop.items():  # one scan per distinct window
+        for win, prs in by_slop.items():  # one scan per distinct window
             hit_parts.append(
                 positional.near(
                     spark.createDataFrame(
                         prs, "pair_id long, t1 string, t2 string"
                     ),
-                    window=slop,
+                    window=win,
                 ).select(F.col("pair_id").alias("fid"), "doc_id")
             )
         for window, grs in by_window.items():  # k-token unordered WITHIN

@@ -198,11 +198,40 @@ def test_pure_phrase_scores_like_phrase_bm25(spark, qidx):
 
 
 def test_near_slop_filter(spark, qidx):
+    # "a b"~N = the 2 distinct tokens within 2+N consecutive positions
+    # (|Δpos| ≤ N+1) — the same convention as the k-token WITHIN path
     s, pos, oracle, toks = qidx
-    allowed = _near_docs(toks, "term00000", "term00002", 3)
+    allowed = _near_docs(toks, "term00000", "term00002", 4)
     got = _run(spark, s, pos, ['term00004 "term00000 term00002"~3'])
     want = _expect(oracle, [("term00004", 1)], allowed=allowed)
     _check(got.get(0, []), want)
+
+
+def test_sloppy_pair_boundary_convention(spark, qidx):
+    # slop 0 stays the exact (ordered) phrase filter for every k; slop ≥ 1
+    # shares ONE unordered convention across the k=2/k=3 boundary: the k
+    # distinct tokens within k + slop consecutive positions, so "a b"~1
+    # compiles to NEAR with |Δpos| ≤ 2 (span ≤ 3), exactly what dropping a
+    # token from "a b c"~1 (WITHIN window 4) would suggest
+    s, pos, oracle, toks = qidx
+    cq0 = compile_query(s, 0, 'term00004 "term00000 term00001"~0')
+    assert cq0.phrases == ["term00000 term00001"] and not cq0.nears
+    cq1 = compile_query(s, 0, '"term00000 term00001"~1')
+    assert cq1.nears == [("term00000", "term00001", 2)]
+    allowed = _near_docs(toks, "term00000", "term00001", 2)
+    assert allowed
+    got = _run(spark, s, pos, ['term00004 "term00000 term00001"~1'])
+    want = _expect(oracle, [("term00004", 1)], allowed=allowed)
+    _check(got.get(0, []), want)
+
+
+def test_sloppy_phrase_dedups_before_window(spark, qidx):
+    # duplicates carry no extra match requirement under within()'s set
+    # semantics, so they must not inflate the window: "a b a"~1 ≡ "a b"~1
+    s, pos, oracle, toks = qidx
+    cq = compile_query(s, 0, '"term00000 term00001 term00000"~1')
+    assert cq.nears == [("term00000", "term00001", 2)]
+    assert not cq.withins
 
 
 def test_filter_only_query_scores_phrase_tokens(spark, qidx):
