@@ -908,12 +908,15 @@ def build_index(
         "fields": (
             {
                 name: {
+                    # source column recorded so append_index can re-derive
+                    # this field's token stream for delta epochs
+                    "col": col,
                     "total_cf": int(_brow[f"cf_{name}"] or 0),
                     "avgdl": (
                         int(_brow[f"cf_{name}"] or 0) / n_docs if n_docs else 0.0
                     ),
                 }
-                for name, _ in fields
+                for name, col in fields
             }
             if fields
             else None
@@ -1128,14 +1131,23 @@ def append_index(
         stats = json.load(f)
     if stats.get("segver", 1) < 2:
         raise ValueError("append_index requires a segver>=2 (idf-free) index")
-    if stats.get("fields"):
-        # a fielded epoch must re-derive per-field token streams and update
-        # per-field avgdl; not wired yet — fail loudly rather than corrupt
-        # the field statistics with a single-field epoch
-        raise NotImplementedError(
-            "append_index does not support fielded (multi-field) indexes yet; "
-            "rebuild with build_index(fields=...)"
-        )
+    fields_meta = stats.get("fields")
+    field_list: list[tuple[str, str]] = []
+    if fields_meta:
+        # FIELDED epoch (single-index BM25F): re-derive per-field token
+        # streams for the delta from the source columns the base build
+        # recorded, update per-field total_cf/avgdl, and keep the idf-free
+        # epoch mechanics identical (the reference analog stays the per-part
+        # incremental encode, encoder.py:41-67)
+        for name, meta in fields_meta.items():
+            col = meta.get("col")
+            if not col:
+                raise ValueError(
+                    "this fielded index predates field source-column "
+                    "recording (stats.json fields[*].col); rebuild with "
+                    "build_index(fields=...) to enable fielded appends"
+                )
+            field_list.append((name, col))
     bucket_size = stats["bucket_size"]
     tshards = stats["tshards"]
     epoch = stats["epochs"]
@@ -1158,40 +1170,100 @@ def append_index(
         )
     committed_urls = committed_docs.select("url")
     _stored = list(stats.get("stored_cols") or [])
-    fresh = src.select("url", "text", *_stored).join(
-        committed_urls, "url", "left_anti"
-    )
+    positions = bool(stats.get("positions", False))
+    if field_list:
+        _src_cols: list[str] = []
+        for _, c in field_list:
+            if c not in _src_cols:
+                _src_cols.append(c)
+        fresh = src.select("url", *_src_cols, *_stored).join(
+            committed_urls, "url", "left_anti"
+        )
+    else:
+        fresh = src.select("url", "text", *_stored).join(
+            committed_urls, "url", "left_anti"
+        )
     with_ids = assign_dense_rank(fresh, "url", "doc_id", unique=True)
     n_new = int(getattr(with_ids, "_dense_rank_total", 0) or 0)
     if n_new == 0:
         return stats
-    _terms = tokens_col("text")
-    if stats.get("max_doclen"):
-        # the base build's ingest-truncation contract applies to every epoch
-        _terms = F.slice(_terms, 1, int(stats["max_doclen"]))
-    if stats.get("analyzer"):
-        # the base build's analysis chain applies to every epoch
-        from colbert_spark.functions.analyzer import analyze_terms_col
-
-        with_ids = with_ids.withColumn("_raw_terms", _terms)
-        _terms = analyze_terms_col("_raw_terms", stats["analyzer"])
-    docs = (
-        with_ids.select(
+    if field_list:
+        # per-field token arrays under the base build's exact contracts
+        # (truncation per field, then the analysis chain — derive_docs_fielded)
+        sel = [
             (F.col("doc_id") + F.lit(n_committed)).cast("long").alias("doc_id"),
             "url",
             *_stored,
-            _terms.alias("terms"),
-        )
-        .withColumn("doclen", F.size("terms"))
-        .persist()
-    )
-    positions = bool(stats.get("positions", False))
-    if positions:
-        tokens = docs.select(
-            "doc_id", "doclen", F.posexplode("terms").alias("pos", "term")
-        )
+        ]
+        for name, col in field_list:
+            _t = tokens_col(col)
+            if stats.get("max_doclen"):
+                _t = F.slice(_t, 1, int(stats["max_doclen"]))
+            if stats.get("analyzer"):
+                from colbert_spark.functions.analyzer import analyze_terms_col
+
+                with_ids = with_ids.withColumn(f"_raw_{name}", _t)
+                _t = analyze_terms_col(f"_raw_{name}", stats["analyzer"])
+            sel.append(_t.alias(f"toks_{name}"))
+        docs = with_ids.select(*sel)
+        _dl_total = None
+        for name, _ in field_list:
+            docs = docs.withColumn(f"len_{name}", F.size(f"toks_{name}"))
+            _dl_total = (
+                F.col(f"len_{name}")
+                if _dl_total is None
+                else _dl_total + F.col(f"len_{name}")
+            )
+        docs = docs.withColumn("doclen", _dl_total).persist()
+        # field-prefixed token streams, unioned — the FIELD length rides as
+        # doclen and positions are within-field offsets, exactly the base
+        # build's single-shuffle shape
+        _parts = []
+        for name, _ in field_list:
+            _ex = (
+                F.posexplode(f"toks_{name}").alias("pos", "term")
+                if positions
+                else F.explode(f"toks_{name}").alias("term")
+            )
+            _parts.append(
+                docs.select(
+                    "doc_id", F.col(f"len_{name}").alias("doclen"), _ex
+                ).withColumn(
+                    "term", F.concat(F.lit(name + FIELD_SEP), F.col("term"))
+                )
+            )
+        tokens = _parts[0]
+        for _p in _parts[1:]:
+            tokens = tokens.unionByName(_p)
     else:
-        tokens = docs.select("doc_id", "doclen", F.explode("terms").alias("term"))
+        _terms = tokens_col("text")
+        if stats.get("max_doclen"):
+            # the base build's ingest-truncation contract applies per epoch
+            _terms = F.slice(_terms, 1, int(stats["max_doclen"]))
+        if stats.get("analyzer"):
+            # the base build's analysis chain applies to every epoch
+            from colbert_spark.functions.analyzer import analyze_terms_col
+
+            with_ids = with_ids.withColumn("_raw_terms", _terms)
+            _terms = analyze_terms_col("_raw_terms", stats["analyzer"])
+        docs = (
+            with_ids.select(
+                (F.col("doc_id") + F.lit(n_committed)).cast("long").alias("doc_id"),
+                "url",
+                *_stored,
+                _terms.alias("terms"),
+            )
+            .withColumn("doclen", F.size("terms"))
+            .persist()
+        )
+        if positions:
+            tokens = docs.select(
+                "doc_id", "doclen", F.posexplode("terms").alias("pos", "term")
+            )
+        else:
+            tokens = docs.select(
+                "doc_id", "doclen", F.explode("terms").alias("term")
+            )
     delta = term_stats_from_tokens(tokens).persist()
 
     # dictionary merge against the ACTIVE (immutable) dictionary
@@ -1235,10 +1307,26 @@ def append_index(
     # n_sub ≈ 16·p/tshards — full encode parallelism instead of one key
     _brow = (
         docs.groupBy(F.expr(f"doc_id DIV {bucket_size}").alias("bucket"))
-        .agg(F.sum("doclen").alias("cf"))
-        .agg(F.sum("cf").alias("s"), F.max("cf").alias("m"))
+        .agg(
+            F.sum("doclen").alias("cf"),
+            *[
+                F.sum(f"len_{name}").alias(f"cf_{name}")
+                for name, _ in field_list
+            ],
+        )
+        .agg(
+            F.sum("cf").alias("s"),
+            F.max("cf").alias("m"),
+            *[
+                F.sum(f"cf_{name}").alias(f"cf_{name}")
+                for name, _ in field_list
+            ],
+        )
         .collect()[0]
     )
+    delta_field_cf = {
+        name: int(_brow[f"cf_{name}"] or 0) for name, _ in field_list
+    }
     n_sub = choose_n_sub(
         p_shuffle, n_buckets, tshards, int(_brow["s"] or 0), int(_brow["m"] or 0)
     )
@@ -1289,7 +1377,8 @@ def append_index(
     # docs_dir (bound above) is a stats.json pointer after an expunging
     # compaction
 
-    docs_out = docs.select("doc_id", "url", "doclen", *_stored)
+    _flen_cols = [f"len_{name}" for name, _ in field_list]
+    docs_out = docs.select("doc_id", "url", "doclen", *_flen_cols, *_stored)
     # pin EVERY column (stored included) to the Arrow type Spark's schema
     # dictates, matching the base build's Spark-written parquet: a stored
     # numeric column with nulls arrives in pandas as float64 and would
@@ -1348,6 +1437,15 @@ def append_index(
     if "live_docs" in stats:
         stats["live_docs"] = stats["live_docs"] + n_new
     stats["avgdl"] = stats["total_cf"] / stats.get("live_docs", stats["N"])
+    if field_list:
+        # per-field exact statistics roll forward with the epoch (the BM25F
+        # query path prices field norms from these — fts_bm25f_index)
+        for name, _ in field_list:
+            meta = stats["fields"][name]
+            meta["total_cf"] = int(meta["total_cf"]) + delta_field_cf[name]
+            meta["avgdl"] = meta["total_cf"] / stats.get(
+                "live_docs", stats["N"]
+            )
     stats["append_secs"] = round(time.perf_counter() - t_start, 3)
     # immutable snapshot for time-travel (see build_index's e0 counterpart);
     # written BEFORE the commit pointer: a crash in between leaves stats.json

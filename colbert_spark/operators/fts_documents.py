@@ -3710,13 +3710,18 @@ def _fielded_index_dir(spark: SparkSession, sf_dir: str) -> str:
     (`build_index(fields=...)`): terms keyed f"{field}\\x1f{term}", the dl
     stream storing the FIELD length, per-field avgdl in stats.json.
     title = first TITLE_LEN tokens; body = the remaining tokens re-joined
-    (space-joining preserves the token sequence under the grammar)."""
+    (space-joining preserves the token sequence under the grammar).
+
+    Built as BASE + APPEND (first ~2/3 of the corpus, then the rest through
+    `append_index`), so the oracle gate proves the fielded incremental-epoch
+    path — per-field token re-derivation and rolled-forward field
+    statistics — reproduces a fresh two-field corpus recount exactly."""
     import json
     import os
     import shutil
     import tempfile
 
-    from colbert_spark.index.build import build_index
+    from colbert_spark.index.build import append_index, build_index
 
     base = os.path.join(
         tempfile.gettempdir(), "colbert_spark_fielded_idx_" + _corpus_key(sf_dir)
@@ -3727,11 +3732,16 @@ def _fielded_index_dir(spark: SparkSession, sf_dir: str) -> str:
         if os.path.exists(done):
             with open(done) as f:
                 st = json.load(f)
-            ok = int(st.get("N", 0)) > 0 and bool(st.get("fields"))
+            ok = (
+                int(st.get("N", 0)) > 0
+                and bool(st.get("fields"))
+                and int(st.get("epochs", 1)) >= 2  # base + appended epoch
+            )
         if not ok:
             shutil.rmtree(base, ignore_errors=True)
             toks = tokens_col("text")
             pages = load_table(spark, sf_dir, "documents").select(
+                F.col("doc_id").alias("_did"),
                 F.format_string("%012d", F.col("doc_id")).alias("url"),
                 F.array_join(F.slice(toks, 1, TITLE_LEN), " ").alias("title"),
                 F.array_join(
@@ -3740,13 +3750,19 @@ def _fielded_index_dir(spark: SparkSession, sf_dir: str) -> str:
                     F.slice(toks, TITLE_LEN + 1, F.size(toks)), " "
                 ).alias("body"),
             )
+            cut = int(
+                pages.agg(
+                    F.expr("percentile(_did, 0.66)").alias("c")
+                ).collect()[0]["c"]
+            )
             build_index(
                 spark,
-                pages,
+                pages.filter(F.col("_did") <= cut).drop("_did"),
                 base,
                 bucket_size=1000,
                 fields=[("title", "title"), ("body", "body")],
             )
+            append_index(spark, pages.filter(F.col("_did") > cut).drop("_did"), base)
         _FIELDED_IDX_BUILT.add(base)
     return base
 

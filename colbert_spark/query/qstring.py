@@ -194,6 +194,29 @@ def compile_query(searcher, qid: int, qstring: str) -> CompiledQuery:
     return cq
 
 
+def iter_query_strings(queries: DataFrame | list, cap: int):
+    """(qid, qstring) iterator with BOUNDED driver ingress: a DataFrame
+    batch of ≤ `cap` rows collects once (one job — the serving shape); a
+    larger batch streams `toLocalIterator`, so at most one partition's
+    question strings are driver-resident at a time (each string becomes
+    garbage as soon as it compiles). The plain-text path's
+    `resolve_collect_max` contract (`wand.py`), applied to query strings —
+    a 10^6-string offline batch (query-log relabeling) no longer
+    materializes on the driver."""
+    if not isinstance(queries, DataFrame):
+        yield from queries
+        return
+    sel = queries.select("qid", "query")
+    head = sel.limit(cap + 1).collect()
+    if len(head) <= cap:
+        for r in head:
+            yield (r[0], r[1])
+        return
+    del head  # over the cap: re-read streaming, partition at a time
+    for r in sel.toLocalIterator(prefetchPartitions=True):
+        yield (r[0], r[1])
+
+
 def search_query_strings(
     searcher,
     queries: DataFrame | list,
@@ -214,12 +237,14 @@ def search_query_strings(
     the (still-distributed) per-qid allowed sets plus one cogrouped
     filtered plan; pure single-phrase queries batch into one `phrase_bm25`.
     Compilation itself is driver-side (expansion LRUs; a cache-hot batch
-    schedules no dictionary job)."""
-    if isinstance(queries, DataFrame):
-        rows = [(r[0], r[1]) for r in queries.select("qid", "query").collect()]
-    else:
-        rows = list(queries)
-    compiled = [compile_query(searcher, int(qid), q) for qid, q in rows]
+    schedules no dictionary job). DataFrame batches past the searcher's
+    `resolve_collect_max` stream through `iter_query_strings` — the driver
+    compiles partition-sized slices and never holds the full string set."""
+    cap = int(getattr(searcher, "resolve_collect_max", 10_000))
+    compiled = [
+        compile_query(searcher, int(qid), q)
+        for qid, q in iter_query_strings(queries, cap)
+    ]
     return execute_compiled(searcher, compiled, k, positional)
 
 

@@ -325,6 +325,118 @@ def _score_query_in_bucket(
     return cands[sel], scores[sel]
 
 
+def _prune_score_bucket(
+    terms: list[tuple[_TermBlocks, float]],
+    k: int,
+    theta0: float,
+    k1: float,
+    b: float,
+    avgdl: float,
+    dec,
+) -> tuple[np.ndarray, np.ndarray]:
+    """`_score_query_in_bucket`'s MaxScore for the DRIVER point path: same
+    essential-term split and block-skip bounds, with two changes. (1) θ
+    starts at `theta0` — the caller's running GLOBAL top-k threshold — so a
+    bucket visited after k good docs exist skips almost everything (the
+    distributed kernel has no cross-bucket θ; the driver does). (2) the
+    exact re-score decodes only blocks that CONTAIN a candidate (searchsorted
+    containment test per block), not every block overlapping the candidate
+    id RANGE — with candidates scattered across a bucket the range test
+    degenerates to "all blocks", which is precisely the head-term decode this
+    path exists to avoid. `dec(tb, i)` is the caller's per-query decode
+    scratch (counts instrumentation). Returns the bucket's top-k keeping
+    ties at the kth score; exactness argument as `_score_query_in_bucket`
+    (θ only ever lower-bounds the true kth-best; skips require bound < θ;
+    float64 accumulation in ascending term_id order)."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    ubs = np.array([tb.unit_max * qtf for tb, qtf in terms])
+    total_ub = float(ubs.sum())
+    if total_ub < theta0:
+        return empty
+    order = np.argsort(ubs, kind="stable")
+
+    def exact_scores(cands: np.ndarray) -> np.ndarray:
+        """Exact float64 scores of sorted-unique `cands`: ascending term_id
+        accumulation, decoding only blocks that CONTAIN a candidate
+        (searchsorted containment per block, not the candidate id RANGE —
+        with spread candidates the range test degenerates to all blocks,
+        precisely the head-term decode this path exists to avoid)."""
+        scores = np.zeros(len(cands), dtype=np.float64)
+        for tb, qtf in terms:
+            ilo = np.searchsorted(cands, tb.firsts, side="left")
+            ihi = np.searchsorted(cands, tb.lasts, side="right")
+            for i in np.flatnonzero(ihi > ilo):
+                docs, tfs, dls = dec(tb, int(i))
+                idx = np.searchsorted(cands, docs)
+                valid = (idx < len(cands)) & (
+                    cands[np.minimum(idx, len(cands) - 1)] == docs
+                )
+                if valid.any():
+                    scores[idx[valid]] += qtf * _bm25(
+                        tfs[valid], dls[valid], tb.idf, k1, b, avgdl
+                    )
+        return scores
+
+    # MULTI-TERM seed: take ≥k docs from the top term's best blocks and
+    # exact-score them against ALL terms. A single-term seed (the kernel's
+    # shape) cannot prune a many-head-term query — each term's "rest" bound
+    # dwarfs any one term's score — whereas the kth best FULL score of k
+    # real docs starts θ near the final threshold, so candidate generation
+    # below keeps only a handful of blocks. Exactness unchanged: every
+    # seeded score is a real doc's exact score, hence a valid lower bound
+    # of the true kth best; seeded docs whose blocks then survive the keep
+    # test are regenerated with identical scores (one doc appears in at
+    # most one block per term).
+    theta = theta0
+    seed_parts: list[np.ndarray] = []
+    seen = 0
+    for ti in order[::-1]:  # descending upper bound; usually one term feeds
+        seed_tb, seed_qtf = terms[ti]
+        rest_t = total_ub - float(ubs[ti])
+        seed_idx = np.flatnonzero(seed_qtf * seed_tb.maxs + rest_t >= theta)
+        for i in seed_idx[np.argsort(-seed_tb.maxs[seed_idx], kind="stable")]:
+            seed_parts.append(dec(seed_tb, int(i))[0])
+            seen += len(seed_parts[-1])
+            if seen >= k:
+                break
+        if seen >= k:
+            break
+    if seen >= k:
+        seed_docs = np.unique(np.concatenate(seed_parts))
+        seed_scores = exact_scores(seed_docs)
+        if len(seed_scores) >= k:
+            theta = max(
+                theta,
+                float(
+                    np.partition(seed_scores, len(seed_scores) - k)[
+                        len(seed_scores) - k
+                    ]
+                ),
+            )
+
+    # essential suffix + block-max candidate generation (as the kernel)
+    prefix = np.concatenate([[0.0], np.cumsum(ubs[order])])
+    j = int(np.searchsorted(prefix, theta, side="left"))
+    essential = order[max(j - 1, 0):]
+    cand_parts = []
+    for ti in essential:
+        tb, qtf = terms[ti]
+        rest = total_ub - float(ubs[ti])
+        for i in np.flatnonzero(qtf * tb.maxs + rest >= theta):
+            cand_parts.append(dec(tb, int(i))[0])
+    if not cand_parts:
+        return empty
+    cands = np.unique(np.concatenate(cand_parts))
+    scores = exact_scores(cands)
+
+    top = min(k, len(cands))
+    if len(cands) > top:
+        kth = np.partition(scores, len(scores) - top)[len(scores) - top]
+        keep = scores >= kth  # keep ties; the global cut tie-breaks exactly
+        cands, scores = cands[keep], scores[keep]
+    return cands, scores
+
+
 # Batches at least this large score through the shared dense path. Block-max
 # pruning wins only while θ is selective (few queries, small k): a batch of B
 # queries collectively touches nearly every block of its terms, so per-query
@@ -928,6 +1040,27 @@ class IndexSearcher:
         # scatter-add, not a re-decode.
         self._point_tbs: dict[int, dict[int, _TermBlocks]] = {}
         self._point_budget: _DecodeBudget | None = None
+        # block-max pruning gate for the point path: an unmasked query whose
+        # terms' summed df reaches this count scores through
+        # `_score_point_pruned` — driver-side MaxScore over the cached block
+        # frames' `max_unit` upper bounds, decoding ONLY survivor blocks —
+        # instead of the dense pass's whole-term decode+scatter (which at a
+        # df≈10^7 head term means dense-scoring ~10^7 postings per query).
+        # Below the gate the dense pass wins: its budgeted whole-term arrays
+        # persist across queries, so a hot small-index query is one
+        # scatter-add with zero decodes.
+        self.point_prune_min_postings: int = 1_000_000
+        # pruning instrumentation (cumulative; tests/benches may reset):
+        # blocks_seen counts every cached block of the query's terms,
+        # blocks_decoded/postings_decoded what actually decompressed —
+        # the skipped difference is the pruning win
+        self.point_prune_stats = {
+            "queries_pruned": 0,
+            "queries_dense": 0,
+            "blocks_seen": 0,
+            "blocks_decoded": 0,
+            "postings_decoded": 0,
+        }
         # batches above this row count resolve via distributed JVM
         # tokenization (driver never holds the question strings)
         self.resolve_collect_max: int = 10_000
@@ -2015,16 +2148,22 @@ class IndexSearcher:
             else:
                 return self._score_point_locked(
                     all_ids, tids, qtfs, neg_tids, idf_map, k, empty,
-                    req_groups=req_groups,
+                    req_groups=req_groups, df_by_tid=df_by_tid,
                 )
         return _distributed_fallback()
 
     def _score_point_locked(
         self, all_ids, tids, qtfs, neg_tids, idf_map, k, empty,
         req_groups: list | None = None,
+        df_by_tid: dict[int, int] | None = None,
     ) -> pd.DataFrame:
         """Driver-numpy scoring over the resident block cache (lock held by
-        caller): identical kernels to the distributed dense pass."""
+        caller): identical kernels to the distributed dense pass, except that
+        an unmasked head-term query (summed df ≥ `point_prune_min_postings`,
+        no exclude/require/tombstones) goes through driver-side block-max
+        MaxScore (`_score_point_pruned`) — the same θ logic the distributed
+        kernel runs, applied to the cached frames' `max_unit` bounds so most
+        of a df≈10^7 term's blocks are never decoded."""
         k1, b, avgdl = (
             self.stats["k1"], self.stats["b"], self.stats["avgdl"],
         )
@@ -2050,14 +2189,28 @@ class IndexSearcher:
                 }
                 self._point_tbs[t] = tbs
             buckets.update(tbs.keys())
+        # θ pruning is sound only without masks (the same argument as the
+        # distributed kernel: a θ seeded from a doc that exclusion /
+        # require / tombstones later zero could over-prune)
+        if (
+            not neg_tids
+            and not req_groups
+            and self._tomb is None
+            and df_by_tid is not None
+            and sum(int(df_by_tid.get(int(t), 0)) for t in tids)
+            >= self.point_prune_min_postings
+        ):
+            self.point_prune_stats["queries_pruned"] += 1
+            return self._score_point_pruned(tids, qtfs, k, empty)
+        self.point_prune_stats["queries_dense"] += 1
         batch = [(0, tids, qtfs)]
         neg_map = (
             {0: np.array(neg_tids, dtype=np.int64)} if neg_tids else None
         )
         req_map = {0: req_groups} if req_groups else None
         out_d, out_s = [], []
-        # always the dense pass: exact for any mask, and its whole-term
-        # full() decodes are what the budgeted cache retains across queries
+        # dense pass: exact for any mask, and its whole-term full() decodes
+        # are what the budgeted cache retains across queries
         for bk in sorted(buckets):
             groups = {
                 t: self._point_tbs[t][bk]
@@ -2082,6 +2235,92 @@ class IndexSearcher:
                 "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
                 "doc_id": docs[sel],
                 "score": scores[sel],
+            }
+        )
+
+    def _score_point_pruned(self, tids, qtfs, k, empty) -> pd.DataFrame:
+        """Driver-side block-max MaxScore over the resident block cache
+        (point lock held by caller): the distributed kernel's θ logic
+        (`_score_query_in_bucket`) carried ACROSS buckets — a running global
+        top-k threshold θ, buckets visited in descending upper-bound order,
+        and per-term block skipping by `max_unit` bounds, so only survivor
+        blocks ever decompress. Exact by the standard MaxScore argument:
+        θ is always the score of a real kth-best doc seen so far (monotone
+        nondecreasing), every skip requires bound < θ strictly, scores upper-
+        bound by construction (encode-time maxima × idf × max_scale), and the
+        exact re-score accumulates float64 in ascending-term_id order — so
+        results are rank- AND score-identical to the dense pass / `search()`.
+
+        Decodes are per-query scratch (no cross-query block cache): the whole
+        point of this path is that the survivor set is small, so a hot head-
+        term query re-decodes a few KB instead of keeping ~10^7-posting
+        whole-term arrays resident (the dense path's budgeted cache, which at
+        the 10M soak was the p95 bottleneck — dense-scoring every posting)."""
+        k1, b, avgdl = (
+            self.stats["k1"], self.stats["b"], self.stats["avgdl"],
+        )
+        stats = self.point_prune_stats
+
+        # per-query decode scratch shared across seed/candidate/re-score
+        # phases — a block decodes at most once per query
+        dec_cache: dict[tuple[int, int], tuple] = {}
+
+        def dec(tb: _TermBlocks, i: int):
+            key = (id(tb), int(i))
+            d = dec_cache.get(key)
+            if d is None:
+                docs = np.cumsum(decode_block(tb.rows[0][i], tb.prefixed))
+                tfs = decode_block(tb.rows[1][i], tb.prefixed)
+                dls = decode_block(tb.rows[2][i], tb.prefixed)
+                d = (docs, tfs, dls)
+                dec_cache[key] = d
+                stats["blocks_decoded"] += 1
+                stats["postings_decoded"] += len(docs)
+            return d
+
+        # bucket → [(tb, qtf)] ascending term_id (tids arrive sorted)
+        per_bucket: dict[int, list[tuple[_TermBlocks, float]]] = {}
+        for t, qtf in zip(tids, qtfs):
+            for bk, tb in self._point_tbs.get(int(t), {}).items():
+                per_bucket.setdefault(int(bk), []).append((tb, float(qtf)))
+                stats["blocks_seen"] += len(tb.maxs)
+        if not per_bucket:
+            return empty
+        # visit buckets in descending total upper bound: θ rises fastest,
+        # and once a bucket's bound falls below θ every later one does too
+        bucket_list = sorted(
+            (
+                (sum(tb.unit_max * qtf for tb, qtf in terms), bk, terms)
+                for bk, terms in per_bucket.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )
+        pool_d = np.empty(0, np.int64)
+        pool_s = np.empty(0, np.float64)
+        theta = 0.0
+        for bucket_ub, _bk, terms in bucket_list:
+            if len(pool_s) >= k and bucket_ub < theta:
+                break
+            d, s = _prune_score_bucket(terms, k, theta, k1, b, avgdl, dec)
+            if not d.size:
+                continue
+            pool_d = np.concatenate([pool_d, d])
+            pool_s = np.concatenate([pool_s, s])
+            if len(pool_s) >= k:
+                # trim to the top-k scores KEEPING ties at the kth (the
+                # final (−score, doc_id) cut resolves them exactly)
+                kth = np.partition(pool_s, len(pool_s) - k)[len(pool_s) - k]
+                keep = pool_s >= kth
+                pool_d, pool_s = pool_d[keep], pool_s[keep]
+                theta = float(kth)
+        if not pool_d.size:
+            return empty
+        sel = np.lexsort((pool_d, -pool_s))[: min(k, len(pool_d))]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
+                "doc_id": pool_d[sel],
+                "score": pool_s[sel],
             }
         )
 
@@ -2619,17 +2858,23 @@ class ShardedSearcher:
         `PositionalSearcher.with_global_stats` — so N-shard PhraseQuery
         scoring equals the single-whole-index run."""
         from colbert_spark.functions.analyzer import py_analyze
-        from colbert_spark.query.qstring import compile_query, execute_compiled
+        from colbert_spark.query.qstring import (
+            compile_query,
+            execute_compiled,
+            iter_query_strings,
+        )
 
-        if isinstance(queries, DataFrame):
-            rows = [
-                (r[0], r[1])
-                for r in queries.select("qid", "query").collect()
-            ]
-        else:
-            rows = list(queries)
+        # bounded ingress (the plain-text path's resolve_collect_max
+        # contract): an offline-scale DataFrame batch streams partition-at-
+        # a-time through the compiler — question strings are never all
+        # driver-resident; the structured compiled payloads (which the
+        # kernel plan broadcasts anyway) are what accumulates
+        cap = min(s.resolve_collect_max for s in self.searchers)
         exp = _UnionExpander(self)
-        compiled = [compile_query(exp, int(qid), q) for qid, q in rows]
+        compiled = [
+            compile_query(exp, int(qid), q)
+            for qid, q in iter_query_strings(queries, cap)
+        ]
         live = []
         pures: list[tuple[int, str]] = []
         terms: set[str] = set()

@@ -211,3 +211,108 @@ def test_pruned_equals_dense_after_avgdl_raise(spark, avgdl_shift_dir):
     pruned = searcher.search(queries, k=5, dense_min=10**9).collect()
     key = lambda rows: sorted((r["qid"], r["rank"], r["doc_id"], round(r["score"], 10)) for r in rows)  # noqa: E731
     assert key(dense) == key(pruned)
+
+
+# --- fielded (single-index BM25F) appends --------------------------------
+
+
+def _fielded_pages(spark, pdf, title_len=6):
+    from colbert_spark.functions.tokenizer import tokens_col
+
+    toks = tokens_col("text")
+    return spark.createDataFrame(pdf).select(
+        "url",
+        F.array_join(F.slice(toks, 1, title_len), " ").alias("title"),
+        F.array_join(
+            F.slice(toks, title_len + 1, F.size(toks)), " "
+        ).alias("body"),
+    )
+
+
+@pytest.fixture(scope="module")
+def fielded_append_pair(spark, tiny_corpus, split_corpus, tmp_path_factory):
+    from colbert_spark.index.build import FIELD_SEP  # noqa: F401
+
+    base, extra = split_corpus
+    fields = [("title", "title"), ("body", "body")]
+    d_app = str(tmp_path_factory.mktemp("idx_fapp"))
+    build_index(
+        spark, _fielded_pages(spark, base), d_app, bucket_size=127,
+        fields=fields,
+    )
+    append_index(spark, _fielded_pages(spark, extra), d_app)
+    d_fresh = str(tmp_path_factory.mktemp("idx_ffresh"))
+    build_index(
+        spark, _fielded_pages(spark, tiny_corpus), d_fresh, bucket_size=127,
+        fields=fields,
+    )
+    return d_app, d_fresh
+
+
+def test_fielded_append_stats_match_fresh(spark, fielded_append_pair):
+    """N, n_terms and the per-field exact statistics of base+append equal a
+    fresh fielded build over the union — field avgdl rolls forward."""
+    import math
+
+    d_app, d_fresh = fielded_append_pair
+    a = json.load(open(os.path.join(d_app, "stats.json")))
+    f = json.load(open(os.path.join(d_fresh, "stats.json")))
+    assert a["N"] == f["N"]
+    assert a["n_terms"] == f["n_terms"]
+    assert a["total_cf"] == f["total_cf"]
+    for fld in ("title", "body"):
+        assert a["fields"][fld]["total_cf"] == f["fields"][fld]["total_cf"], fld
+        assert math.isclose(
+            a["fields"][fld]["avgdl"], f["fields"][fld]["avgdl"], rel_tol=1e-12
+        ), fld
+    assert a["epochs"] == 2 and f["epochs"] == 1
+
+
+def test_fielded_append_rank_identity_vs_fresh(spark, fielded_append_pair):
+    """Field-qualified retrieval (the BM25F substrate: scored disjunction of
+    f"{field}\\x1fterm" postings, dl = field length) over base+append must
+    rank identically to the fresh fielded build — the cross-index compare
+    goes through url (doc_ids are assignment-order)."""
+    from colbert_spark.index.build import FIELD_SEP
+
+    d_app, d_fresh = fielded_append_pair
+    queries = []
+    for qid, toks in enumerate(
+        [["term00001"], ["term00002", "term00005"], ["term00010", "term00001"]]
+    ):
+        scored = [
+            (fld + FIELD_SEP + t, 1.0)
+            for t in toks
+            for fld in ("title", "body")
+        ]
+        queries.append((qid, scored, [], []))
+    rows_a = IndexSearcher(spark, d_app).search_compiled(queries, k=K).collect()
+    rows_f = IndexSearcher(spark, d_fresh).search_compiled(queries, k=K).collect()
+    a = _by_url(spark, d_app, rows_a)
+    f = _by_url(spark, d_fresh, rows_f)
+    assert a and any(a.values())
+    _compare_modulo_ties(a, f)
+
+
+def test_fielded_append_requires_recorded_source_cols(spark, tmp_path):
+    """A fielded stats.json without fields[*].col (legacy index) must fail
+    the append loudly, not corrupt field statistics."""
+    d = str(tmp_path / "idx_legacy_fielded")
+    fields = [("title", "title"), ("body", "body")]
+    pages = _fielded_pages(
+        spark,
+        __import__("pandas").DataFrame(
+            {
+                "url": [f"https://ex.com/{i:04d}" for i in range(30)],
+                "text": [f"alpha beta doc{i} gamma delta" for i in range(30)],
+            }
+        ),
+    )
+    build_index(spark, pages, d, bucket_size=16, fields=fields)
+    st = json.load(open(os.path.join(d, "stats.json")))
+    for meta in st["fields"].values():
+        meta.pop("col", None)  # simulate a pre-round-5 fielded index
+    with open(os.path.join(d, "stats.json"), "w") as fh:
+        json.dump(st, fh)
+    with pytest.raises(ValueError, match="col"):
+        append_index(spark, pages.limit(5), d)

@@ -126,15 +126,32 @@ def test_dl_stream_stores_field_length(spark, fielded_idx):
         assert dl < total  # field length, not the concatenated doclen
 
 
-def test_append_refuses_fielded_index(spark, fielded_idx, tiny_corpus):
+def test_fielded_append_extends_field_stats(spark, fielded_idx, tiny_corpus):
+    """Round 5: fielded indexes append (tests/test_append.py carries the
+    rank-identity cases) — here, the epoch commits and rolls the per-field
+    statistics forward exactly."""
     from colbert_spark.index.build import append_index
 
-    d, _, _ = fielded_idx
-    extra = spark.createDataFrame(tiny_corpus.iloc[:5]).select(
-        (F.concat(F.lit("x-"), "url")).alias("url"), "text"
+    d, stats0, _ = fielded_idx
+    extra = _fielded_pages(
+        spark,
+        tiny_corpus.iloc[:5].assign(url=lambda p: "x-" + p["url"]),
     )
-    with pytest.raises(NotImplementedError):
-        append_index(spark, extra, d)
+    stats1 = append_index(spark, extra, d)
+    assert stats1["epochs"] == stats0["epochs"] + 1
+    assert stats1["N"] == stats0["N"] + 5
+    row = extra.select(
+        F.sum(F.size(tokens_col("title"))).alias("t"),
+        F.sum(F.size(tokens_col("body"))).alias("b"),
+    ).collect()[0]
+    assert (
+        stats1["fields"]["title"]["total_cf"]
+        == stats0["fields"]["title"]["total_cf"] + int(row["t"])
+    )
+    assert (
+        stats1["fields"]["body"]["total_cf"]
+        == stats0["fields"]["body"]["total_cf"] + int(row["b"])
+    )
 
 
 def test_fielded_merge_matches_whole_build(spark, tiny_corpus, tmp_path):

@@ -464,3 +464,44 @@ def test_within_oov_term_matches_nothing(spark, qidx):
         [(0, f"{t1} {t2} zzzznotaterm")], "group_id long, terms string"
     )
     assert pos.within(groups, window=50).count() == 0
+
+
+def test_large_qstring_batch_compiles_streaming(spark, qidx, monkeypatch):
+    """A DataFrame batch past resolve_collect_max must stream through
+    toLocalIterator (partition-at-a-time driver residency — the qstring
+    analog of the plain-text path's distributed-resolution contract), with
+    results identical to the list-input run."""
+    # patch the CLASSIC class: pyspark 4's pyspark.sql.DataFrame is a
+    # facade, and classic instances dispatch to their own override
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    s, pos, oracle, toks = qidx
+    qs = [(i, f"term{i % 20:05d} term{(i + 3) % 20:05d}") for i in range(40)]
+    want = _run(spark, s, pos, [q for _, q in qs])
+
+    calls = {"n": 0}
+    orig = DataFrame.toLocalIterator
+
+    def counting(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "toLocalIterator", counting)
+    s2 = IndexSearcher(spark, s.index_dir)
+    s2.resolve_collect_max = 5  # force the streaming branch (40 > 5)
+    qdf = spark.createDataFrame(qs, "qid long, query string")
+    got_rows = search_query_strings(s2, qdf, k=K, positional=pos).collect()
+    assert calls["n"] >= 1  # the streaming ingress actually engaged
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    got = {q: sorted(v) for q, v in got.items()}
+    assert got == want and got
+
+    # under the cap the serving shape stays: ONE collect, no iterator
+    calls["n"] = 0
+    s2.resolve_collect_max = 10_000
+    small = spark.createDataFrame(qs[:8], "qid long, query string")
+    r_small = search_query_strings(s2, small, k=K, positional=pos).collect()
+    assert calls["n"] == 0
+    assert len(r_small) > 0

@@ -350,6 +350,64 @@ def test_point_head_term_fetch_bound_falls_back(spark, sidx, tiny_queries):
         s.close()
 
 
+def test_point_pruned_path_rank_and_score_identity(spark, sidx, tiny_queries):
+    """The block-max pruned point path (head-term regime, forced here with
+    point_prune_min_postings=0) must be rank- AND score-identical to the
+    distributed search() — same exactness contract as the dense point pass —
+    and the decode counters must show whole blocks skipped (the pruning
+    win)."""
+    d, oracle, _ = sidx
+    s = IndexSearcher(spark, d).warm()
+    try:
+        s.point_prune_min_postings = 0  # every point query takes θ pruning
+        qdf = spark.createDataFrame(tiny_queries[:20])
+        dist = {}
+        for r in s.search(qdf, k=K).collect():
+            dist.setdefault(r["qid"], []).append(r)
+        for qid, q in zip(tiny_queries["qid"][:20], tiny_queries["question"][:20]):
+            pt = s.search_point(q, k=K)
+            exp = sorted(dist.get(qid, []), key=lambda r: r["rank"])
+            assert len(pt) == len(exp), f"qid={qid}"
+            for row, er in zip(pt.itertuples(), exp):
+                assert row.doc_id == er["doc_id"], f"qid={qid}"
+                assert math.isclose(row.score, er["score"], rel_tol=1e-12)
+        st = s.point_prune_stats
+        # every query that reached the scorer took the pruned path (queries
+        # whose tokens are all OOV return empty before scoring)
+        assert st["queries_pruned"] >= 1
+        assert st["queries_dense"] == 0
+        # θ pruning must actually skip blocks across the sweep
+        assert st["blocks_decoded"] < st["blocks_seen"], st
+        # oversized k: exactly the match set, nothing lost to pruning
+        q0 = tiny_queries["question"][0]
+        big = s.search_point(q0, k=10_000)
+        full = {doc for doc, _ in oracle.score_all(q0).items()}
+        assert set(int(x) for x in big["doc_id"]) == full
+    finally:
+        s.close()
+
+
+def test_point_pruned_gate_masks_route_dense(spark, sidx, tiny_queries):
+    """exclude/require and sub-gate queries must take the dense pass (θ
+    pruning is unsound under masks, and below the df gate dense-cached wins);
+    masked results stay parity-exact either way."""
+    d, oracle, _ = sidx
+    s = IndexSearcher(spark, d)
+    try:
+        s.point_prune_min_postings = 0
+        base = s.point_prune_stats["queries_dense"]
+        s.search_point("term00001 term00002", k=K, exclude="term00003")
+        s.search_point("term00001 term00002", k=K, require="term00002")
+        assert s.point_prune_stats["queries_dense"] == base + 2
+        pruned_before = s.point_prune_stats["queries_pruned"]
+        s.point_prune_min_postings = 1 << 60  # gate everything back to dense
+        s.search_point("term00001 term00002", k=K)
+        assert s.point_prune_stats["queries_pruned"] == pruned_before
+        assert s.point_prune_stats["queries_dense"] == base + 3
+    finally:
+        s.close()
+
+
 def test_point_concurrent_clients_rank_identical(spark, sidx, tiny_queries):
     """One resident IndexSearcher answering 8 overlapping clients: every
     answer must equal the single-threaded baseline, and the caches must not
