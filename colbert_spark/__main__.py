@@ -49,6 +49,7 @@ def _cmd_index(args) -> int:
         positions=args.positions,
         max_doclen=args.max_doclen,
         analyzer=args.analyzer,
+        reverse_dict=args.reverse_dict,
     )
     print(json.dumps(stats))
     return 0
@@ -296,6 +297,13 @@ def main(argv: list[str] | None = None) -> int:
         choices=["s_stem"],
         help="analysis chain applied after tokenization, recorded in "
         "stats.json and re-applied by every query path (S-stemmer)",
+    )
+    ip.add_argument(
+        "--reverse-dict",
+        action="store_true",
+        dest="reverse_dict",
+        help="write the reversed-term dictionary sidecar "
+        "(ReverseStringFilter) so leading-wildcard queries range-prune",
     )
     ip.set_defaults(fn=_cmd_index)
 

@@ -195,6 +195,24 @@ def write_term_dict(df: DataFrame, path: str) -> None:
     )
 
 
+def write_term_dict_rev(df: DataFrame, dict_path: str) -> None:
+    """Write the REVERSED-term sidecar next to a dictionary: (rterm, term)
+    range-partitioned and sorted by `rterm` — Lucene's ReverseStringFilter
+    field, the index structure that turns a leading-wildcard scan (`%ing`,
+    otherwise a full pass over a 10^9-term vocabulary) into a min/max-pruned
+    range scan for `gni%`. The sidecar lives at `<dict_path>_rev` so every
+    dictionary generation (base, append epochs, expunge rewrites) carries
+    its own."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.select(F.reverse("term").alias("rterm"), "term")
+        .repartitionByRange(p, "rterm")
+        .sortWithinPartitions("rterm")
+        .write.mode("overwrite")
+        .parquet(dict_path + "_rev")
+    )
+
+
 def assign_dense_rank(
     df: DataFrame,
     key: str,
@@ -752,6 +770,7 @@ def build_index(
     analyzer: str | None = None,
     stored_cols: list[str] | None = None,
     fields: list[tuple[str, str]] | None = None,
+    reverse_dict: bool = False,
 ) -> dict:
     """Full (resumable) index build. Layout under `index_dir`:
 
@@ -935,6 +954,10 @@ def build_index(
         "epochs": 1,  # bumped by append_index; epoch tags segment filenames
         "dict_dir": "term_dict",  # active dictionary (append swaps this)
         "seg_dir": "segments",  # active segment tree (compact_index swaps it)
+        # reversed-term sidecar (Lucene ReverseStringFilter): every
+        # dictionary generation also writes <dict_dir>_rev sorted by the
+        # reversed term, so leading-wildcard expansion range-prunes
+        "reverse_dict": bool(reverse_dict),
     }
 
     manifest_path = os.path.join(index_dir, "manifest")
@@ -1042,6 +1065,11 @@ def build_index(
                 .select("term", "df", "cf", "term_id")
             )
         write_term_dict(term_dict, os.path.join(index_dir, "term_dict"))
+        if reverse_dict:
+            write_term_dict_rev(
+                spark.read.parquet(os.path.join(index_dir, "term_dict")),
+                os.path.join(index_dir, "term_dict"),
+            )
         phases["seg_dict_write"] = round(time.perf_counter() - t, 3)
         t = time.perf_counter()
         (
@@ -1294,6 +1322,9 @@ def append_index(
     dict_dir = f"term_dict_e{epoch}"
     write_term_dict(merged, os.path.join(index_dir, dict_dir))
     active = spark.read.parquet(os.path.join(index_dir, dict_dir))  # lineage cut
+    if stats.get("reverse_dict"):
+        # the epoch's dictionary generation carries its own reversed sidecar
+        write_term_dict_rev(active, os.path.join(index_dir, dict_dir))
     delta_cf = int(delta.agg(F.sum("cf")).collect()[0][0] or 0)
     delta.unpersist()
 

@@ -68,6 +68,135 @@ COMPACT_SUMMARY_SCHEMA = (
 )
 
 
+def _reencode_rows(
+    pdf: pd.DataFrame,
+    bnd: np.ndarray,
+    enc_avgdls: list[float],
+    k1: float,
+    b: float,
+    tshards: int,
+    prefixed_in: bool,
+    prefixed_out: bool,
+    merge_epochs: bool,
+    merged_avgdl: float,
+    tomb,
+):
+    """Decode a slab of block rows, regroup postings per (term, bucket
+    [, epoch]), re-encode full blocks. The slab may hold any number of
+    (bucket, term) groups but must hold each group's blocks WHOLE — the
+    partition-at-once kernel satisfies this trivially, the streaming kernel
+    by slicing at group boundaries. Returns (outs, cf) where `outs` is a
+    list of (epoch, encoded block frame) and `cf` the per-(bucket, term)
+    live Σtf partials the expunge path folds into the rewritten dictionary."""
+    has_pos = "pos_bytes" in pdf.columns
+    # decode all payloads (maintenance path: per-block Python is fine —
+    # the hot paths stay vectorized)
+    docs_l, tfs_l, dls_l, pos_l = [], [], [], []
+    for i, (db, tb, lb) in enumerate(
+        zip(pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"])
+    ):
+        docs_l.append(np.cumsum(decode_block(db, prefixed_in)))
+        tf_blk = decode_block(tb, prefixed_in)
+        tfs_l.append(tf_blk)
+        dls_l.append(decode_block(lb, prefixed_in))
+        if has_pos:
+            # positions: per-posting-reset deltas → absolute (the block's
+            # tf column delimits each posting's occurrence run)
+            deltas = decode_block(pdf["pos_bytes"].iat[i], prefixed_in)
+            cs = np.cumsum(deltas)
+            offs = np.zeros(len(tf_blk) + 1, dtype=np.int64)
+            np.cumsum(tf_blk, out=offs[1:])
+            starts = offs[:-1]
+            base = cs[starts] - deltas[starts]
+            pos_l.append(cs - np.repeat(base, tf_blk))
+    ns = pdf["n"].to_numpy(np.int64)
+    docs = np.concatenate(docs_l)
+    tfs = np.concatenate(tfs_l)
+    dls = np.concatenate(dls_l)
+    if has_pos:
+        abs_pos = np.concatenate(pos_l)
+        occ0 = np.zeros(len(tfs) + 1, dtype=np.int64)
+        np.cumsum(tfs, out=occ0[1:])  # posting → global occurrence start
+    terms = np.repeat(pdf["term_id"].to_numpy(np.int64), ns)
+    buckets = np.repeat(pdf["bucket"].to_numpy(np.int64), ns)
+    if merge_epochs:
+        epochs = np.zeros(len(docs), dtype=np.int64)
+    else:
+        # epoch of a block = first boundary N_k its docs fall below;
+        # valid per POSTING too (blocks never span boundaries)
+        epochs = np.searchsorted(bnd, docs, side="right")
+    # expunge: tombstoned docs' postings simply never re-encode (the
+    # forceMergeDeletes analog); selection happens here so every gather
+    # below — including the occurrence-position one — keeps indexing
+    # the ORIGINAL decoded arrays
+    live = None if tomb is None else ~np.isin(docs, tomb)
+    outs = []
+    for e in np.unique(epochs):
+        emask = epochs == e
+        if live is not None:
+            emask &= live
+        sel = np.flatnonzero(emask)
+        if not sel.size:
+            continue
+        avgdl = merged_avgdl if merge_epochs else enc_avgdls[int(e)]
+        td, bd, dd = terms[sel], buckets[sel], docs[sel]
+        order = np.lexsort((dd, td, td % tshards, bd))
+        sel = sel[order]
+        pos_arg = None
+        if has_pos:
+            # gather this epoch's occurrences in the new posting order,
+            # then re-delta with a reset at each posting start
+            lens = tfs[sel]
+            total = int(lens.sum())
+            new_off = np.zeros(len(sel) + 1, dtype=np.int64)
+            np.cumsum(lens, out=new_off[1:])
+            gidx = (
+                np.repeat(occ0[sel], lens)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(new_off[:-1], lens)
+            )
+            ps = abs_pos[gidx]
+            deltas = np.empty_like(ps)
+            if total:
+                deltas[0] = ps[0]
+                np.subtract(ps[1:], ps[:-1], out=deltas[1:])
+                pstarts = new_off[:-1]
+                deltas[pstarts] = ps[pstarts]
+            pos_arg = (deltas, new_off[:-1])
+        out = _encode_posting_blocks(
+            terms[sel], buckets[sel], docs[sel], tfs[sel], dls[sel],
+            k1, b, avgdl, tshards, prefixed_out, pos=pos_arg,
+        )
+        outs.append((int(e), out))
+    lsel = np.flatnonzero(live) if live is not None else slice(None)
+    cf = (
+        pd.DataFrame(
+            {"bucket": buckets[lsel], "term_id": terms[lsel], "tf": tfs[lsel]}
+        )
+        .groupby(["bucket", "term_id"])
+        .agg(cf=("tf", "sum"))
+        .reset_index()
+    )
+    return outs, cf
+
+
+def _summary_frame(allb: pd.DataFrame, cf: pd.DataFrame) -> pd.DataFrame:
+    nb = (
+        allb.groupby(["bucket", "term_id"])
+        .agg(n_blocks=("n", "size"), n_postings=("n", "sum"))
+        .reset_index()
+    )
+    return nb.merge(cf, on=["bucket", "term_id"]).astype(
+        {
+            "bucket": "int64",
+            "term_id": "int64",
+            "n_blocks": "int64",
+            "n_postings": "int64",
+            "cf": "int64",
+        }
+    )
+
+
 def _compact_partition(
     k1: float,
     b: float,
@@ -84,7 +213,13 @@ def _compact_partition(
     """mapInPandas kernel over (bucket, tshard)-keyed partitions of block
     rows: decode every block, regroup postings per (term, bucket[, epoch]),
     re-encode full blocks, write them task-locally into the NEW segment
-    tree. Returns per-bucket summary rows (the job's only Spark output)."""
+    tree. Returns per-bucket summary rows (the job's only Spark output).
+
+    Memory contract: the WHOLE partition's decoded postings are resident
+    (one numpy lexsort instead of a JVM sort — the build kernel's
+    trade-off). When a partition's decoded footprint exceeds the worker
+    envelope, `compact_index` switches to `_compact_partition_streaming`,
+    which bounds per-task memory by construction."""
     bnd = np.asarray(boundaries, dtype=np.int64)
 
     def fn(batches):
@@ -92,117 +227,193 @@ def _compact_partition(
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True)
-        has_pos = "pos_bytes" in pdf.columns
-        # decode all payloads (maintenance path: per-block Python is fine —
-        # the hot paths stay vectorized)
-        docs_l, tfs_l, dls_l, pos_l = [], [], [], []
-        for i, (db, tb, lb) in enumerate(
-            zip(pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"])
-        ):
-            docs_l.append(np.cumsum(decode_block(db, prefixed_in)))
-            tf_blk = decode_block(tb, prefixed_in)
-            tfs_l.append(tf_blk)
-            dls_l.append(decode_block(lb, prefixed_in))
-            if has_pos:
-                # positions: per-posting-reset deltas → absolute (the block's
-                # tf column delimits each posting's occurrence run)
-                deltas = decode_block(pdf["pos_bytes"].iat[i], prefixed_in)
-                cs = np.cumsum(deltas)
-                offs = np.zeros(len(tf_blk) + 1, dtype=np.int64)
-                np.cumsum(tf_blk, out=offs[1:])
-                starts = offs[:-1]
-                base = cs[starts] - deltas[starts]
-                pos_l.append(cs - np.repeat(base, tf_blk))
-        ns = pdf["n"].to_numpy(np.int64)
-        docs = np.concatenate(docs_l)
-        tfs = np.concatenate(tfs_l)
-        dls = np.concatenate(dls_l)
-        if has_pos:
-            abs_pos = np.concatenate(pos_l)
-            occ0 = np.zeros(len(tfs) + 1, dtype=np.int64)
-            np.cumsum(tfs, out=occ0[1:])  # posting → global occurrence start
-        terms = np.repeat(pdf["term_id"].to_numpy(np.int64), ns)
-        buckets = np.repeat(pdf["bucket"].to_numpy(np.int64), ns)
-        if merge_epochs:
-            epochs = np.zeros(len(docs), dtype=np.int64)
-        else:
-            # epoch of a block = first boundary N_k its docs fall below;
-            # valid per POSTING too (blocks never span boundaries)
-            epochs = np.searchsorted(bnd, docs, side="right")
-        # expunge: tombstoned docs' postings simply never re-encode (the
-        # forceMergeDeletes analog); selection happens here so every gather
-        # below — including the occurrence-position one — keeps indexing
-        # the ORIGINAL decoded arrays
-        live = None if tomb is None else ~np.isin(docs, tomb)
-        outs = []
-        for e in np.unique(epochs):
-            emask = epochs == e
-            if live is not None:
-                emask &= live
-            sel = np.flatnonzero(emask)
-            if not sel.size:
-                continue
-            avgdl = merged_avgdl if merge_epochs else enc_avgdls[int(e)]
-            td, bd, dd = terms[sel], buckets[sel], docs[sel]
-            order = np.lexsort((dd, td, td % tshards, bd))
-            sel = sel[order]
-            pos_arg = None
-            if has_pos:
-                # gather this epoch's occurrences in the new posting order,
-                # then re-delta with a reset at each posting start
-                lens = tfs[sel]
-                total = int(lens.sum())
-                new_off = np.zeros(len(sel) + 1, dtype=np.int64)
-                np.cumsum(lens, out=new_off[1:])
-                gidx = (
-                    np.repeat(occ0[sel], lens)
-                    + np.arange(total, dtype=np.int64)
-                    - np.repeat(new_off[:-1], lens)
-                )
-                ps = abs_pos[gidx]
-                deltas = np.empty_like(ps)
-                if total:
-                    deltas[0] = ps[0]
-                    np.subtract(ps[1:], ps[:-1], out=deltas[1:])
-                    pstarts = new_off[:-1]
-                    deltas[pstarts] = ps[pstarts]
-                pos_arg = (deltas, new_off[:-1])
-            out = _encode_posting_blocks(
-                terms[sel], buckets[sel], docs[sel], tfs[sel], dls[sel],
-                k1, b, avgdl, tshards, prefixed_out, pos=pos_arg,
-            )
-            _write_segment_files(out, seg_dir, epoch=int(e))
-            outs.append(out)
+        outs, cf = _reencode_rows(
+            pdf, bnd, enc_avgdls, k1, b, tshards, prefixed_in,
+            prefixed_out, merge_epochs, merged_avgdl, tomb,
+        )
         if not outs:
             return
-        allb = pd.concat(outs, ignore_index=True)
-        nb = (
-            allb.groupby(["bucket", "term_id"])
-            .agg(n_blocks=("n", "size"), n_postings=("n", "sum"))
-            .reset_index()
-        )
-        # exact per-term live cf partials — the expunge path aggregates
-        # these into the rewritten dictionary's df/cf
-        lsel = np.flatnonzero(live) if live is not None else slice(None)
-        cf = (
-            pd.DataFrame(
-                {"bucket": buckets[lsel], "term_id": terms[lsel], "tf": tfs[lsel]}
-            )
-            .groupby(["bucket", "term_id"])
-            .agg(cf=("tf", "sum"))
-            .reset_index()
-        )
-        yield nb.merge(cf, on=["bucket", "term_id"]).astype(
-            {
-                "bucket": "int64",
-                "term_id": "int64",
-                "n_blocks": "int64",
-                "n_postings": "int64",
-                "cf": "int64",
-            }
-        )
+        for e, out in outs:
+            _write_segment_files(out, seg_dir, epoch=e)
+        allb = pd.concat([o for _, o in outs], ignore_index=True)
+        yield _summary_frame(allb, cf)
 
     return fn
+
+
+# streaming slab target: complete (bucket, term) groups accumulate to about
+# this many postings before one _reencode_rows pass — large enough to keep
+# the per-slab numpy/Python overhead negligible, small enough that decoded
+# arrays (~48 B/posting with positions) stay ~100 MB per task
+_STREAM_SLAB_POSTINGS = 2_000_000
+
+
+def _compact_partition_streaming(
+    k1: float,
+    b: float,
+    tshards: int,
+    seg_dir: str,
+    boundaries: list[int],
+    enc_avgdls: list[float],
+    prefixed_in: bool,
+    prefixed_out: bool,
+    merge_epochs: bool,
+    merged_avgdl: float,
+    tomb=None,
+):
+    """Streaming variant of `_compact_partition` for partitions whose
+    decoded postings exceed the worker envelope (the measured 10M-soak OOM,
+    SCALE.md §10M-doc compaction): requires the partition SORTED by
+    (bucket, tshard, term_id, first_doc) — the caller adds a
+    `sortWithinPartitions`, whose JVM external sort spills compressed block
+    rows (~5-7 B/posting) instead of holding decoded tokens. The kernel then
+    walks Arrow batches in order, accumulating COMPLETE (bucket, term)
+    groups into ~`_STREAM_SLAB_POSTINGS` slabs (a group never splits — its
+    blocks must re-encode together; sorting by first_doc also lands each
+    group's epochs contiguously, doc ranges being epoch-disjoint), re-encodes
+    slab by slab, and appends the encoded blocks to ONE incrementally-written
+    parquet file per (bucket, tshard) cell (atomic tmp→rename on cell close;
+    deterministic content, so crash-retries rewrite identical files). Per-task
+    memory is O(slab + one Arrow batch), independent of partition size."""
+    bnd = np.asarray(boundaries, dtype=np.int64)
+
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        from colbert_spark.index.build import _seg_file_schema
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+
+        writer_state = {"w": None, "tmp": None, "final": None}
+        summaries: list[pd.DataFrame] = []
+
+        def close_cell():
+            if writer_state["w"] is not None:
+                writer_state["w"].close()
+                os.replace(writer_state["tmp"], writer_state["final"])
+                writer_state["w"] = None
+
+        def open_cell(bkt: int, tsh: int, with_pos: bool):
+            close_cell()
+            d = os.path.join(seg_dir, f"bucket={bkt}", f"tshard={tsh}")
+            os.makedirs(d, exist_ok=True)
+            writer_state["tmp"] = os.path.join(
+                d, f".p{pid:06d}.e0.{os.getpid()}.tmp"
+            )
+            writer_state["final"] = os.path.join(d, f"p{pid:06d}.e0.parquet")
+            writer_state["w"] = pq.ParquetWriter(
+                writer_state["tmp"], _seg_file_schema(with_pos)
+            )
+
+        cell = None  # current (bucket, tshard)
+
+        def process_slab(slab: pd.DataFrame):
+            """Re-encode one slab of complete groups (single cell)."""
+            nonlocal cell
+            outs, cf = _reencode_rows(
+                slab, bnd, enc_avgdls, k1, b, tshards, prefixed_in,
+                prefixed_out, merge_epochs, merged_avgdl, tomb,
+            )
+            if not outs:
+                return
+            allb = pd.concat([o for _, o in outs], ignore_index=True)
+            # one file per cell regardless of epoch: the reader derives a
+            # block's epoch from its doc range, never from the filename
+            # (filename epoch tags only matter to append's orphan scrub,
+            # which targets epochs ≥ the committed count — e0 is safe)
+            with_pos = "pos_bytes" in allb.columns
+            key = (int(slab["bucket"].iat[0]), int(slab["tshard"].iat[0]))
+            if key != cell:
+                open_cell(key[0], key[1], with_pos)
+                cell = key
+            tbl = pa.Table.from_pandas(
+                allb.sort_values(["term_id", "first_doc"], kind="stable")
+                .drop(columns=["bucket", "tshard", "tf_sum"]),
+                preserve_index=False,
+            ).cast(_seg_file_schema(with_pos))
+            writer_state["w"].write_table(tbl)
+            summaries.append(_summary_frame(allb, cf))
+
+        pend: pd.DataFrame | None = None
+        slab_parts: list[pd.DataFrame] = []
+        slab_n = 0
+
+        def flush_slabs():
+            nonlocal slab_parts, slab_n
+            if slab_parts:
+                process_slab(pd.concat(slab_parts, ignore_index=True))
+                slab_parts, slab_n = [], 0
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cur = (
+                pd.concat([pend, pdf], ignore_index=True)
+                if pend is not None
+                else pdf
+            )
+            bk = cur["bucket"].to_numpy(np.int64)
+            ts = cur["tshard"].to_numpy(np.int64)
+            tm = cur["term_id"].to_numpy(np.int64)
+            change = (
+                (bk[:-1] != bk[1:]) | (ts[:-1] != ts[1:]) | (tm[:-1] != tm[1:])
+            )
+            starts = np.concatenate(
+                [[0], np.flatnonzero(change) + 1]
+            )
+            # everything before the LAST group is complete; the last group
+            # may continue into the next batch
+            cut = int(starts[-1])
+            complete, pend = cur.iloc[:cut], cur.iloc[cut:]
+            if not len(complete):
+                continue
+            # slab by cell: groups of different cells never share a slab
+            cbk = complete["bucket"].to_numpy(np.int64)
+            cts = complete["tshard"].to_numpy(np.int64)
+            cell_change = np.concatenate(
+                [[0], np.flatnonzero(
+                    (cbk[:-1] != cbk[1:]) | (cts[:-1] != cts[1:])
+                ) + 1, [len(complete)]]
+            )
+            for s, e in zip(cell_change[:-1], cell_change[1:]):
+                part = complete.iloc[int(s):int(e)]
+                if slab_parts and (
+                    int(part["bucket"].iat[0]),
+                    int(part["tshard"].iat[0]),
+                ) != (
+                    int(slab_parts[0]["bucket"].iat[0]),
+                    int(slab_parts[0]["tshard"].iat[0]),
+                ):
+                    flush_slabs()
+                slab_parts.append(part)
+                slab_n += int(part["n"].sum())
+                if slab_n >= _STREAM_SLAB_POSTINGS:
+                    flush_slabs()
+        if pend is not None and len(pend):
+            if slab_parts and (
+                int(pend["bucket"].iat[0]),
+                int(pend["tshard"].iat[0]),
+            ) != (
+                int(slab_parts[0]["bucket"].iat[0]),
+                int(slab_parts[0]["tshard"].iat[0]),
+            ):
+                flush_slabs()
+            slab_parts.append(pend)
+        flush_slabs()
+        close_cell()
+        if summaries:
+            yield pd.concat(summaries, ignore_index=True)
+
+    return fn
+
+
+# auto-streaming threshold: estimated per-task DECODED bytes above which
+# compact_index switches to the sorted streaming kernel (decoded token
+# expansion ≈ 24 B/posting + 24 B/occurrence for positional indexes)
+_STREAM_AUTO_BYTES = 512 << 20
 
 
 def compact_index(
@@ -211,6 +422,7 @@ def compact_index(
     preserve_epochs: bool = True,
     remove_old: bool = True,
     expunge_deletes: bool = False,
+    streaming: bool | None = None,
 ) -> dict:
     """Rewrite the index's segment tree with defragmented full blocks and
     atomically swap it live (see module docstring for epoch semantics and
@@ -301,8 +513,30 @@ def compact_index(
     n_before = segments.count()
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     tshards = stats.get("tshards", DEFAULT_TSHARDS)
-    summaries = segments.repartition(p, "bucket", "tshard").mapInPandas(
-        _compact_partition(
+    if streaming is None:
+        # estimated decoded footprint per task: postings expand to ~24 B
+        # each (doc/tf/dl int64) plus ~24 B per occurrence for positions.
+        # Above the envelope, the in-memory kernel's concat-then-lexsort is
+        # the measured OOM at soak scale (SCALE.md §10M-doc compaction) —
+        # stream instead: the JVM sort spills COMPRESSED rows, the kernel
+        # holds one slab.
+        occ = int(stats.get("total_cf", 0))
+        n_post_est = n_before * 96  # blocks ≈ n/96 avg fill; conservative
+        est = (n_post_est * 24 + (occ * 24 if stats.get("positions") else 0))
+        streaming = est / max(p, 1) > _STREAM_AUTO_BYTES
+    kernel_factory = (
+        _compact_partition_streaming if streaming else _compact_partition
+    )
+    shuffled = segments.repartition(p, "bucket", "tshard")
+    if streaming:
+        # the streaming kernel's group-walk contract: cells contiguous,
+        # groups contiguous, epochs contiguous within a group (doc ranges
+        # are epoch-disjoint, so first_doc order lands them so)
+        shuffled = shuffled.sortWithinPartitions(
+            "bucket", "tshard", "term_id", "first_doc"
+        )
+    summaries = shuffled.mapInPandas(
+        kernel_factory(
             stats["k1"], stats["b"], tshards, new_dir,
             boundaries, enc_avgdls, prefixed_in, prefixed_out,
             merge_epochs=not preserve_epochs, merged_avgdl=merged_avgdl,
@@ -328,12 +562,17 @@ def compact_index(
             os.path.join(index_dir, stats.get("dict_dir", "term_dict"))
         ).drop("df", "cf")
         new_dict_name = f"term_dict_x{gen}"
-        from colbert_spark.index.build import write_term_dict
+        from colbert_spark.index.build import write_term_dict, write_term_dict_rev
 
         write_term_dict(
             old_dict.join(ts, "term_id"),
             os.path.join(index_dir, new_dict_name),
         )
+        if stats.get("reverse_dict"):
+            write_term_dict_rev(
+                spark.read.parquet(os.path.join(index_dir, new_dict_name)),
+                os.path.join(index_dir, new_dict_name),
+            )
         new_docs_name = f"docs_x{gen}"
         docs_df.write.mode("overwrite").parquet(
             os.path.join(index_dir, new_docs_name)

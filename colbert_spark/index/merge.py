@@ -456,17 +456,25 @@ def merge_indexes(
         "epochs": 1,
         "dict_dir": "term_dict",
         "seg_dir": "segments",
+        # the reversed-term sidecar survives a merge only when every input
+        # carries one (the merged vocabulary rewrites it from scratch)
+        "reverse_dict": all(bool(s.get("reverse_dict")) for s in stats_l),
     }
     os.makedirs(out_dir, exist_ok=True)
     # commit order mirrors build_index: segments (kernel task-local writes,
     # realized by the manifest job below) + dictionary + docs BEFORE the
     # manifest marks buckets done; stats.json replace is the final commit
-    from colbert_spark.index.build import write_term_dict
+    from colbert_spark.index.build import write_term_dict, write_term_dict_rev
 
     write_term_dict(
         merged_dict.select("term", "df", "cf", "term_id"),
         os.path.join(out_dir, "term_dict"),
     )
+    if stats.get("reverse_dict"):
+        write_term_dict_rev(
+            spark.read.parquet(os.path.join(out_dir, "term_dict")),
+            os.path.join(out_dir, "term_dict"),
+        )
     docs.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
     (
         man_src

@@ -345,6 +345,7 @@ def _positional_index_dir(spark: SparkSession, sf_dir: str) -> str:
                 bool(s.get("positions"))
                 and s.get("bucket_size") == 1000
                 and s.get("stored_cols") == ["n_chars", "lang", "source"]
+                and bool(s.get("reverse_dict"))
             )
         if not ok:
             shutil.rmtree(idx, ignore_errors=True)
@@ -358,6 +359,7 @@ def _positional_index_dir(spark: SparkSession, sf_dir: str) -> str:
             build_index(
                 spark, pages, idx, bucket_size=1000, positions=True,
                 stored_cols=["n_chars", "lang", "source"],
+                reverse_dict=True,
             )
         _PIDX_BUILT.add(idx)
     return idx
@@ -3188,6 +3190,69 @@ QUERIES["fts_range_bm25"] = fts_range_bm25
 QUERIES["fts_range_index"] = fts_range_index
 QUERIES["fts_wildcard_bm25"] = fts_wildcard_bm25
 QUERIES["fts_wildcard_index"] = fts_wildcard_index
+
+
+# ---------------------------------------------------------------------------
+# LEADING-wildcard queries (`*ing` → LIKE '%ing') — the pattern class a
+# term-sorted dictionary cannot prune (no literal prefix; Lucene's
+# documented full-scan warning). The engine's index answer routes through
+# the REVERSED-TERM SIDECAR (`build_index(reverse_dict=True)`, Lucene
+# ReverseStringFilter): LIKE(t, p) ⇔ LIKE(reverse(t), reverse(p)), and the
+# reversed pattern's literal prefix range-prunes the rterm-sorted sidecar's
+# parquet row groups — a leading wildcard costs the same as a trailing one.
+
+LEADING_WILDCARD_QUERIES = [
+    (0, "%am", 1),   # stream, …
+    (1, "%ta", 1),   # data, …
+    (2, "%ow", 1),   # window, row, …
+    (3, "%zzq", 1),  # matches nothing ⇒ no rows
+    (4, "%sh", 2),   # hash, …, doubled weight
+]
+
+
+def fts_wildcard_leading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for LEADING-wildcard queries by corpus scan (the
+    exact-semantics oracle for `fts_wildcard_leading_index`)."""
+    qw = spark.createDataFrame(
+        LEADING_WILDCARD_QUERIES, "qid long, pat string, qtf long"
+    )
+    return _expanded_bm25_scan(spark, sf_dir, qw, _wildcard_cond)
+
+
+def fts_wildcard_leading_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fts_wildcard_leading` answered from the segment index THROUGH the
+    reversed-term sidecar: `IndexSearcher.expand_like('%am')` scans the
+    rterm-sorted sidecar with the pushed `ma%` range (plan-asserted in
+    tests/test_reverse_dict.py), then the expansions score as a weighted
+    disjunction through the standard compiled kernel plan."""
+    from colbert_spark.query.wand import IndexSearcher
+
+    idx = _positional_index_dir(spark, sf_dir)
+    s = IndexSearcher(spark, idx)
+    compiled = []
+    for qid, pat, qtf in LEADING_WILDCARD_QUERIES:
+        scored = [(t, float(qtf)) for t in s.expand_like(pat)]
+        if scored:
+            compiled.append((qid, scored, [], []))
+    if not compiled:
+        return spark.createDataFrame([], "qid long, rank long, doc_id long, score_r double")
+    hits = s.search_compiled(compiled, k=TOPK + 5)
+    mapped = _map_index_docs(
+        spark, idx, hits.select("qid", "doc_id", "score"), "qid", "score"
+    )
+    return _rank_topk(mapped)
+
+
+_LEADING_VALUES = ", ".join(
+    f"({qid}, '{pat}', {qtf})" for qid, pat, qtf in LEADING_WILDCARD_QUERIES
+)
+
+ORACLES["fts_wildcard_leading"] = ORACLES["fts_wildcard_bm25"].replace(
+    _WILDCARD_VALUES, _LEADING_VALUES
+)
+ORACLES["fts_wildcard_leading_index"] = ORACLES["fts_wildcard_leading"]
+QUERIES["fts_wildcard_leading"] = fts_wildcard_leading
+QUERIES["fts_wildcard_leading_index"] = fts_wildcard_leading_index
 
 
 # ---------------------------------------------------------------------------

@@ -196,7 +196,7 @@ class _TermBlocks:
 
     __slots__ = (
         "idf", "unit_max", "firsts", "lasts", "maxs", "rows", "_dec", "_full",
-        "prefixed", "budget",
+        "prefixed", "budget", "_fsorted", "_seed",
     )
 
     def __init__(
@@ -221,6 +221,8 @@ class _TermBlocks:
         )
         self._dec: dict[int, tuple] = {}
         self._full: tuple[np.ndarray, np.ndarray] | None = None
+        self._fsorted: tuple | None = None  # doc-sorted view of _full
+        self._seed: np.ndarray | None = None  # top-unit doc ids (point seed)
 
     def decode(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         dec = self._dec.get(i)
@@ -256,6 +258,42 @@ class _TermBlocks:
         elif self.budget is not None:
             self.budget.touch(self)
         return self._full
+
+    def full_sorted(
+        self, k1: float, b: float, avgdl: float
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """`full()` with the (docs, units) arrays DOC-SORTED — the layout
+        the driver point path's MaxScore needs for binary-search probes of
+        non-essential terms. The sorted arrays REPLACE `_full` (scatter-add
+        consumers are order-independent, so the dense pass is unaffected);
+        the sort runs once per (term, bucket) and survives budget eviction
+        by rebuilding through `full()`."""
+        if self._full is not None and self._fsorted is self._full:
+            if self.budget is not None:
+                self.budget.touch(self)
+            return self._fsorted
+        docs, units = self.full(k1, b, avgdl)
+        if len(docs) > 1 and not (np.diff(docs) > 0).all():
+            order = np.argsort(docs, kind="stable")
+            self._full = (docs[order], units[order])
+            if self.budget is not None:  # same bytes; refresh the LRU entry
+                self.budget.admit(self)
+        self._fsorted = self._full
+        return self._fsorted
+
+    def seed_docs(self, k1: float, b: float, avgdl: float, n: int = 1024) -> np.ndarray:
+        """Doc ids of this term's top-`n` unit scores in the bucket — the
+        point path's θ-seed candidates (scored FULLY against all query
+        terms, their kth best is a tight lower bound of the true kth best).
+        Cached forever: ~8 KB, deterministic, eviction-independent."""
+        if self._seed is None:
+            docs, units = self.full_sorted(k1, b, avgdl)
+            if len(units) > n:
+                top = np.argpartition(units, len(units) - n)[len(units) - n:]
+                self._seed = np.sort(docs[top])
+            else:
+                self._seed = docs.copy()
+        return self._seed
 
 
 def _score_query_in_bucket(
@@ -332,108 +370,139 @@ def _prune_score_bucket(
     k1: float,
     b: float,
     avgdl: float,
-    dec,
+    stats: dict,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """`_score_query_in_bucket`'s MaxScore for the DRIVER point path: same
-    essential-term split and block-skip bounds, with two changes. (1) θ
-    starts at `theta0` — the caller's running GLOBAL top-k threshold — so a
-    bucket visited after k good docs exist skips almost everything (the
-    distributed kernel has no cross-bucket θ; the driver does). (2) the
-    exact re-score decodes only blocks that CONTAIN a candidate (searchsorted
-    containment test per block), not every block overlapping the candidate
-    id RANGE — with candidates scattered across a bucket the range test
-    degenerates to "all blocks", which is precisely the head-term decode this
-    path exists to avoid. `dec(tb, i)` is the caller's per-query decode
-    scratch (counts instrumentation). Returns the bucket's top-k keeping
-    ties at the kth score; exactness argument as `_score_query_in_bucket`
-    (θ only ever lower-bounds the true kth-best; skips require bound < θ;
-    float64 accumulation in ascending term_id order)."""
+    """Classic MaxScore over the point path's budget-cached whole-term
+    arrays, for ONE query in one bucket. θ starts at `theta0` — the
+    caller's running GLOBAL top-k threshold (the distributed kernel has no
+    cross-bucket θ; the driver does). Three phases:
+
+      1. SEED: the top-upper-bound term's cached top-unit docs are scored
+         FULLY (all terms, binary-search probes) — their kth best is a
+         tight lower bound of the true kth best, so θ starts near the final
+         threshold even when every term has a similar bound (where the
+         kernel's single-term seed cannot prune at all).
+      2. SELECT: terms split at the largest ascending-upper-bound prefix
+         with mass P_m < θ (a doc containing ONLY those non-essential terms
+         scores < θ). One scatter-add accumulates the ESSENTIAL terms'
+         exact contributions; docs survive iff acc_E + P_m ≥ θ. This is the
+         pruning win: non-essential terms — for a Zipf query, the head-term
+         streams — are never scanned.
+      3. RESCORE: survivors (few, by construction) are re-scored from
+         scratch in ascending term_id order via sorted-array probes, so
+         final scores are float64 sums in the oracle's accumulation order —
+         bit-identical to the dense pass.
+
+    Every bound is slackened by a 1e-9 relative margin before a skip
+    (conservative only — extra survivors re-score exactly), so float
+    rounding in the bound arithmetic can never drop a true top-k doc.
+    Returns the bucket's top-k keeping ties at the kth score."""
     empty = (np.empty(0, np.int64), np.empty(0, np.float64))
     ubs = np.array([tb.unit_max * qtf for tb, qtf in terms])
     total_ub = float(ubs.sum())
-    if total_ub < theta0:
+    slack0 = 1e-9 * theta0
+    if total_ub < theta0 - slack0:
         return empty
+    # cached doc-sorted (docs, units) per term; count cold whole-term
+    # decodes (the instrumentation the hot path must show near-zero)
+    arrs = []
+    for tb, _ in terms:
+        cold = tb._full is None
+        arrs.append(tb.full_sorted(k1, b, avgdl))
+        if cold:
+            stats["blocks_decoded"] += len(tb.maxs)
+            stats["postings_decoded"] += len(arrs[-1][0])
     order = np.argsort(ubs, kind="stable")
 
     def exact_scores(cands: np.ndarray) -> np.ndarray:
-        """Exact float64 scores of sorted-unique `cands`: ascending term_id
-        accumulation, decoding only blocks that CONTAIN a candidate
-        (searchsorted containment per block, not the candidate id RANGE —
-        with spread candidates the range test degenerates to all blocks,
-        precisely the head-term decode this path exists to avoid)."""
+        """Exact float64 scores of a sorted doc array: ascending term_id
+        accumulation via binary-search probes of the sorted term arrays
+        (a doc has at most one posting per term, so per-doc addition order
+        is exactly the oracle's)."""
         scores = np.zeros(len(cands), dtype=np.float64)
-        for tb, qtf in terms:
-            ilo = np.searchsorted(cands, tb.firsts, side="left")
-            ihi = np.searchsorted(cands, tb.lasts, side="right")
-            for i in np.flatnonzero(ihi > ilo):
-                docs, tfs, dls = dec(tb, int(i))
-                idx = np.searchsorted(cands, docs)
-                valid = (idx < len(cands)) & (
-                    cands[np.minimum(idx, len(cands) - 1)] == docs
-                )
-                if valid.any():
-                    scores[idx[valid]] += qtf * _bm25(
-                        tfs[valid], dls[valid], tb.idf, k1, b, avgdl
-                    )
+        for (tb, qtf), (docs, units) in zip(terms, arrs):
+            pos = np.searchsorted(docs, cands)
+            valid = (pos < len(docs)) & (
+                docs[np.minimum(pos, len(docs) - 1)] == cands
+            )
+            if valid.any():
+                scores[valid] += qtf * units[pos[valid]]
         return scores
 
-    # MULTI-TERM seed: take ≥k docs from the top term's best blocks and
-    # exact-score them against ALL terms. A single-term seed (the kernel's
-    # shape) cannot prune a many-head-term query — each term's "rest" bound
-    # dwarfs any one term's score — whereas the kth best FULL score of k
-    # real docs starts θ near the final threshold, so candidate generation
-    # below keeps only a handful of blocks. Exactness unchanged: every
-    # seeded score is a real doc's exact score, hence a valid lower bound
-    # of the true kth best; seeded docs whose blocks then survive the keep
-    # test are regenerated with identical scores (one doc appears in at
-    # most one block per term).
     theta = theta0
-    seed_parts: list[np.ndarray] = []
-    seen = 0
-    for ti in order[::-1]:  # descending upper bound; usually one term feeds
-        seed_tb, seed_qtf = terms[ti]
-        rest_t = total_ub - float(ubs[ti])
-        seed_idx = np.flatnonzero(seed_qtf * seed_tb.maxs + rest_t >= theta)
-        for i in seed_idx[np.argsort(-seed_tb.maxs[seed_idx], kind="stable")]:
-            seed_parts.append(dec(seed_tb, int(i))[0])
-            seen += len(seed_parts[-1])
-            if seen >= k:
-                break
-        if seen >= k:
-            break
-    if seen >= k:
-        seed_docs = np.unique(np.concatenate(seed_parts))
-        seed_scores = exact_scores(seed_docs)
-        if len(seed_scores) >= k:
-            theta = max(
-                theta,
-                float(
-                    np.partition(seed_scores, len(seed_scores) - k)[
-                        len(seed_scores) - k
-                    ]
-                ),
-            )
+    seed_tb = terms[order[-1]][0]
+    sd = seed_tb.seed_docs(k1, b, avgdl)
+    if len(sd) >= k:
+        ss = exact_scores(sd)
+        theta = max(
+            theta, float(np.partition(ss, len(ss) - k)[len(ss) - k])
+        )
 
-    # essential suffix + block-max candidate generation (as the kernel)
+    slack = 1e-9 * theta
     prefix = np.concatenate([[0.0], np.cumsum(ubs[order])])
-    j = int(np.searchsorted(prefix, theta, side="left"))
-    essential = order[max(j - 1, 0):]
-    cand_parts = []
+    j = int(np.searchsorted(prefix, theta - slack, side="left"))
+    m = max(j - 1, 0)  # number of non-essential (never-scanned) terms
+    p_m = float(prefix[m])
+    essential = order[m:]
+
+    lo = min(int(tb.firsts.min()) for tb, _ in terms)
+    hi = max(int(tb.lasts.max()) for tb, _ in terms)
+    acc = np.zeros(hi - lo + 1, dtype=np.float64)
     for ti in essential:
-        tb, qtf = terms[ti]
-        rest = total_ub - float(ubs[ti])
-        for i in np.flatnonzero(qtf * tb.maxs + rest >= theta):
-            cand_parts.append(dec(tb, int(i))[0])
-    if not cand_parts:
+        docs, units = arrs[ti]
+        acc[docs - lo] += terms[ti][1] * units
+        stats["postings_scanned"] += len(docs)
+    stats["postings_skipped"] += sum(
+        len(arrs[ti][0]) for ti in order[:m]
+    )
+    # acc > 0 excludes empty slots of the bucket span (and docs matching
+    # only non-essential terms — their score ≤ P_m < θ by the split)
+    surv = np.flatnonzero((acc > 0) & (acc + p_m >= theta - slack))
+    if not surv.size:
         return empty
-    cands = np.unique(np.concatenate(cand_parts))
+    total_postings = sum(len(a[0]) for a in arrs)
+    if surv.size * len(terms) > total_postings:
+        # WEAK selection (uniform near-stopword bounds: P_m ≈ θ, so almost
+        # every matching doc survives): per-survivor probes would cost more
+        # than scanning every posting. Degrade to the dense exact scatter
+        # over the SAME cached arrays — one pass per term in ascending
+        # term_id order, so per-doc float accumulation stays the oracle's
+        # (a doc has one posting per term; dense-slot adds happen in term
+        # iteration order). This bounds the pruned path at ~the dense
+        # pass's per-query cost instead of regressing past it.
+        acc[:] = 0.0
+        for (tb, qtf), (docs, units) in zip(terms, arrs):
+            acc[docs - lo] += qtf * units
+            stats["postings_scanned"] += len(docs)
+        stats["postings_skipped"] -= sum(len(arrs[ti][0]) for ti in order[:m])
+        nz = np.flatnonzero(acc)
+        if not nz.size:
+            return empty
+        sub = acc[nz]
+        keepd = sub >= theta - slack
+        nz, sub = nz[keepd], sub[keepd]
+        if not nz.size:
+            return empty
+        if len(nz) > k:
+            kth = np.partition(sub, len(sub) - k)[len(sub) - k]
+            km = sub >= kth
+            nz, sub = nz[km], sub[km]
+        return nz + lo, sub.copy()
+    cands = surv + lo
     scores = exact_scores(cands)
+    # θ is the exact score of a real kth-best doc seen so far (pool or this
+    # bucket's seed), so anything strictly below it cannot reach the global
+    # top-k; the slack keeps boundary ties
+    keep = scores >= theta - slack
+    cands, scores = cands[keep], scores[keep]
+    if not len(cands):
+        return empty
 
     top = min(k, len(cands))
     if len(cands) > top:
         kth = np.partition(scores, len(scores) - top)[len(scores) - top]
-        keep = scores >= kth  # keep ties; the global cut tie-breaks exactly
-        cands, scores = cands[keep], scores[keep]
+        km = scores >= kth  # keep ties; the global cut tie-breaks exactly
+        cands, scores = cands[km], scores[km]
     return cands, scores
 
 
@@ -1060,6 +1129,8 @@ class IndexSearcher:
             "blocks_seen": 0,
             "blocks_decoded": 0,
             "postings_decoded": 0,
+            "postings_scanned": 0,  # essential-term scatter work per query
+            "postings_skipped": 0,  # non-essential postings never scanned
         }
         # batches above this row count resolve via distributed JVM
         # tokenization (driver never holds the question strings)
@@ -1606,10 +1677,14 @@ class IndexSearcher:
         layout that prunes parquet row groups by min/max stats, so `str%`
         touches only the `str…` neighborhood of a 10^9-term vocabulary
         (same pruning as `complete_point`). A leading-wildcard pattern
-        (`%ing`) is the documented full-scan case, exactly as Lucene warns.
-        Results ride an LRU keyed by pattern (`_expand_cache` — sound for
-        the searcher's immutable snapshot). Raises ValueError above
-        `max_expansions` (Lucene BooleanQuery.maxClauseCount)."""
+        (`%ing`) routes through the reversed-term sidecar when the index
+        was built with `reverse_dict=True` (Lucene ReverseStringFilter:
+        the reversed pattern `gni%` range-prunes the rterm-sorted sidecar);
+        without a sidecar it stays the documented full-scan case, exactly
+        as Lucene warns. Results ride an LRU keyed by pattern
+        (`_expand_cache` — sound for the searcher's immutable snapshot).
+        Raises ValueError above `max_expansions` (Lucene
+        BooleanQuery.maxClauseCount)."""
         return self._expand(("like", pattern))
 
     def expand_term_range(self, lo: str, hi: str) -> list[str]:
@@ -1639,12 +1714,26 @@ class IndexSearcher:
             return [term]
         return self._expand(("fuzzy", term, max_edits))
 
+    def _reversed_dict(self) -> "DataFrame | None":
+        """Lazy reader over the ACTIVE dictionary's reversed-term sidecar
+        (`<dict_dir>_rev`, written when the index was built with
+        `reverse_dict=True`) — None when the index carries no sidecar."""
+        if not self.stats.get("reverse_dict"):
+            return None
+        if getattr(self, "_rev_dict_df", None) is None:
+            path = os.path.join(
+                self.index_dir, self.stats.get("dict_dir", "term_dict") + "_rev"
+            )
+            self._rev_dict_df = self.spark.read.parquet(path)
+        return self._rev_dict_df
+
     def _expand(self, key: tuple) -> list[str]:
         with self._point_lock:
             hit = self._expand_cache.get(key)
             if hit is not None:
                 self._expand_cache.move_to_end(key)
                 return hit
+        src = self.term_dict
         if key[0] == "like":
             pred = F.col("term").like(key[1])
             prefix = _like_literal_prefix(key[1])
@@ -1654,6 +1743,26 @@ class IndexSearcher:
                     & (F.col("term") >= prefix)
                     & (F.col("term") < prefix + "￿")
                 )
+            elif "\\" not in key[1]:
+                # leading wildcard (`%ing`): on a reverse_dict index, route
+                # through the reversed-term sidecar (ReverseStringFilter) —
+                # LIKE(t, p) ⇔ LIKE(reverse(t), reverse(p)) for %/_ patterns
+                # without escapes, and the reversed pattern has a literal
+                # prefix (`gni%`) that min/max-prunes the rterm-sorted
+                # sidecar's row groups. Without a sidecar this stays the
+                # documented full-dictionary-scan case (Lucene's warning).
+                rsrc = self._reversed_dict()
+                if rsrc is not None:
+                    rpat = key[1][::-1]
+                    rprefix = _like_literal_prefix(rpat)
+                    pred = F.col("rterm").like(rpat)
+                    if rprefix:
+                        pred = (
+                            pred
+                            & (F.col("rterm") >= rprefix)
+                            & (F.col("rterm") < rprefix + "￿")
+                        )
+                    src = rsrc
         elif key[0] == "fuzzy":
             q, n = key[1], int(key[2])
             # length band first (column-stats prunable), then the
@@ -1665,7 +1774,7 @@ class IndexSearcher:
         else:
             pred = (F.col("term") >= key[1]) & (F.col("term") <= key[2])
         rows = (
-            self.term_dict.filter(pred)
+            src.filter(pred)
             .select("term")
             .limit(self.max_expansions + 1)
             .collect()
@@ -2239,44 +2348,30 @@ class IndexSearcher:
         )
 
     def _score_point_pruned(self, tids, qtfs, k, empty) -> pd.DataFrame:
-        """Driver-side block-max MaxScore over the resident block cache
-        (point lock held by caller): the distributed kernel's θ logic
-        (`_score_query_in_bucket`) carried ACROSS buckets — a running global
-        top-k threshold θ, buckets visited in descending upper-bound order,
-        and per-term block skipping by `max_unit` bounds, so only survivor
-        blocks ever decompress. Exact by the standard MaxScore argument:
+        """Driver-side MaxScore over the resident block cache (point lock
+        held by caller): a running global top-k threshold θ carried ACROSS
+        buckets (visited in descending upper-bound order), essential/non-
+        essential term split per bucket, survivors probed exactly
+        (`_prune_score_bucket`). Exact by the standard MaxScore argument:
         θ is always the score of a real kth-best doc seen so far (monotone
-        nondecreasing), every skip requires bound < θ strictly, scores upper-
-        bound by construction (encode-time maxima × idf × max_scale), and the
-        exact re-score accumulates float64 in ascending-term_id order — so
-        results are rank- AND score-identical to the dense pass / `search()`.
+        nondecreasing), every skip bound is conservative by construction
+        (encode-time maxima × idf × max_scale, 1e-9 relative slack against
+        float rounding), and the survivor re-score accumulates float64 in
+        ascending-term_id order — so results are rank- AND score-identical
+        to the dense pass / `search()`.
 
-        Decodes are per-query scratch (no cross-query block cache): the whole
-        point of this path is that the survivor set is small, so a hot head-
-        term query re-decodes a few KB instead of keeping ~10^7-posting
-        whole-term arrays resident (the dense path's budgeted cache, which at
-        the 10M soak was the p95 bottleneck — dense-scoring every posting)."""
+        Memory model: the dense path's — budget-cached whole-term (docs,
+        units) arrays (doc-sorted here, `full_sorted`), decoded once per
+        (term, bucket) and shared across queries. The win over the dense
+        pass is PER-QUERY WORK: the dense pass scatter-adds every posting of
+        every query term (at the 10M soak, ~10^7-posting head-term streams
+        per query — the p95 bottleneck); here non-essential terms cost a
+        binary-search probe per survivor instead of a full scan, and the
+        `postings_scanned`/`postings_skipped` counters expose the split."""
         k1, b, avgdl = (
             self.stats["k1"], self.stats["b"], self.stats["avgdl"],
         )
         stats = self.point_prune_stats
-
-        # per-query decode scratch shared across seed/candidate/re-score
-        # phases — a block decodes at most once per query
-        dec_cache: dict[tuple[int, int], tuple] = {}
-
-        def dec(tb: _TermBlocks, i: int):
-            key = (id(tb), int(i))
-            d = dec_cache.get(key)
-            if d is None:
-                docs = np.cumsum(decode_block(tb.rows[0][i], tb.prefixed))
-                tfs = decode_block(tb.rows[1][i], tb.prefixed)
-                dls = decode_block(tb.rows[2][i], tb.prefixed)
-                d = (docs, tfs, dls)
-                dec_cache[key] = d
-                stats["blocks_decoded"] += 1
-                stats["postings_decoded"] += len(docs)
-            return d
 
         # bucket → [(tb, qtf)] ascending term_id (tids arrive sorted)
         per_bucket: dict[int, list[tuple[_TermBlocks, float]]] = {}
@@ -2299,9 +2394,9 @@ class IndexSearcher:
         pool_s = np.empty(0, np.float64)
         theta = 0.0
         for bucket_ub, _bk, terms in bucket_list:
-            if len(pool_s) >= k and bucket_ub < theta:
+            if len(pool_s) >= k and bucket_ub < theta - 1e-9 * theta:
                 break
-            d, s = _prune_score_bucket(terms, k, theta, k1, b, avgdl, dec)
+            d, s = _prune_score_bucket(terms, k, theta, k1, b, avgdl, stats)
             if not d.size:
                 continue
             pool_d = np.concatenate([pool_d, d])

@@ -115,3 +115,51 @@ def test_append_after_compaction(spark, tiny_corpus, tiny_queries, tmp_path_fact
     want = _topk_rows(spark, twin, queries)
     score_multiset = lambda rows: sorted((q, round(s, 6)) for q, _, _, s in rows)  # noqa: E731
     assert score_multiset(got) == score_multiset(want)
+
+
+def test_streaming_compaction_identical_to_in_memory(
+    spark, fragmented_dir, tiny_queries
+):
+    """The streaming kernel (sorted partitions, slab re-encode, incremental
+    per-cell writers — the bounded-memory path for soak-scale partitions)
+    must produce an index EQUIVALENT to the in-memory kernel: identical
+    block-level content (term/doc/payload multisets), identical results on
+    the live view and every epoch snapshot, fsck-clean."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from colbert_spark.index.inspect import index_fsck
+
+    queries = spark.createDataFrame(tiny_queries[:20])
+    twin = fragmented_dir + "_twin"
+    shutil.copytree(fragmented_dir, twin)
+
+    compact_index(spark, fragmented_dir, preserve_epochs=True, streaming=False)
+    compact_index(spark, twin, preserve_epochs=True, streaming=True)
+
+    st_a = json.load(open(os.path.join(fragmented_dir, "stats.json")))
+    st_b = json.load(open(os.path.join(twin, "stats.json")))
+    assert st_a["n_blocks_after"] == st_b["n_blocks_after"]
+
+    def block_multiset(d, st):
+        seg = spark.read.parquet(os.path.join(d, st["seg_dir"]))
+        return sorted(
+            (
+                r["bucket"], r["term_id"], r["first_doc"], r["last_doc"],
+                r["n"], bytes(r["doc_bytes"]), bytes(r["tf_bytes"]),
+                bytes(r["dl_bytes"]),
+            )
+            for r in seg.select(
+                "bucket", "term_id", "first_doc", "last_doc", "n",
+                "doc_bytes", "tf_bytes", "dl_bytes",
+            ).collect()
+        )
+
+    assert block_multiset(fragmented_dir, st_a) == block_multiset(twin, st_b)
+    for kw in ({}, {"as_of_epoch": 0}, {"as_of_epoch": 1}):
+        assert _topk_rows(spark, fragmented_dir, queries, **kw) == _topk_rows(
+            spark, twin, queries, **kw
+        )
+    res = index_fsck(spark, twin, deep=True)
+    assert res["ok"], res
