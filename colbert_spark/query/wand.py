@@ -371,7 +371,8 @@ def _prune_score_bucket(
     b: float,
     avgdl: float,
     stats: dict,
-) -> tuple[np.ndarray, np.ndarray]:
+    dense_hint: bool = False,
+) -> tuple[np.ndarray, np.ndarray, bool]:
     """Classic MaxScore over the point path's budget-cached whole-term
     arrays, for ONE query in one bucket. θ starts at `theta0` — the
     caller's running GLOBAL top-k threshold (the distributed kernel has no
@@ -396,8 +397,11 @@ def _prune_score_bucket(
     Every bound is slackened by a 1e-9 relative margin before a skip
     (conservative only — extra survivors re-score exactly), so float
     rounding in the bound arithmetic can never drop a true top-k doc.
-    Returns the bucket's top-k keeping ties at the kth score."""
-    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    Returns (docs, scores, used_dense): the bucket's top-k keeping ties at
+    the kth score, plus whether this bucket degraded to the dense scatter —
+    the caller passes that back as `dense_hint` so a query whose first
+    (highest-bound) bucket proved unselective skips selection in the rest."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64), dense_hint)
     ubs = np.array([tb.unit_max * qtf for tb, qtf in terms])
     total_ub = float(ubs.sum())
     slack0 = 1e-9 * theta0
@@ -447,49 +451,90 @@ def _prune_score_bucket(
 
     lo = min(int(tb.firsts.min()) for tb, _ in terms)
     hi = max(int(tb.lasts.max()) for tb, _ in terms)
-    acc = np.zeros(hi - lo + 1, dtype=np.float64)
-    for ti in essential:
-        docs, units = arrs[ti]
-        acc[docs - lo] += terms[ti][1] * units
-        stats["postings_scanned"] += len(docs)
-    stats["postings_skipped"] += sum(
-        len(arrs[ti][0]) for ti in order[:m]
-    )
-    # acc > 0 excludes empty slots of the bucket span (and docs matching
-    # only non-essential terms — their score ≤ P_m < θ by the split)
-    surv = np.flatnonzero((acc > 0) & (acc + p_m >= theta - slack))
-    if not surv.size:
-        return empty
+    span = hi - lo + 1
     total_postings = sum(len(a[0]) for a in arrs)
-    if surv.size * len(terms) > total_postings:
-        # WEAK selection (uniform near-stopword bounds: P_m ≈ θ, so almost
-        # every matching doc survives): per-survivor probes would cost more
-        # than scanning every posting. Degrade to the dense exact scatter
-        # over the SAME cached arrays — one pass per term in ascending
-        # term_id order, so per-doc float accumulation stays the oracle's
-        # (a doc has one posting per term; dense-slot adds happen in term
-        # iteration order). This bounds the pruned path at ~the dense
-        # pass's per-query cost instead of regressing past it.
-        acc[:] = 0.0
+
+    empty2 = (np.empty(0, np.int64), np.empty(0, np.float64))
+
+    def dense_exact() -> tuple[np.ndarray, np.ndarray]:
+        """Exact scatter of EVERY term over the same cached arrays — one
+        pass per term in ascending term_id order, so per-doc float
+        accumulation stays the oracle's (a doc has one posting per term;
+        dense-slot adds happen in term iteration order). The pruned path's
+        cost floor: ≈ the dense pass's per-query work, never more."""
+        acc = np.zeros(span, dtype=np.float64)
         for (tb, qtf), (docs, units) in zip(terms, arrs):
             acc[docs - lo] += qtf * units
             stats["postings_scanned"] += len(docs)
-        stats["postings_skipped"] -= sum(len(arrs[ti][0]) for ti in order[:m])
         nz = np.flatnonzero(acc)
         if not nz.size:
-            return empty
+            return empty2
         sub = acc[nz]
         keepd = sub >= theta - slack
         nz, sub = nz[keepd], sub[keepd]
         if not nz.size:
-            return empty
+            return empty2
         if len(nz) > k:
             kth = np.partition(sub, len(sub) - k)[len(sub) - k]
             km = sub >= kth
             nz, sub = nz[km], sub[km]
         return nz + lo, sub.copy()
-    cands = surv + lo
-    scores = exact_scores(cands)
+
+    ess_postings = sum(len(arrs[ti][0]) for ti in essential)
+    if dense_hint or 2 * ess_postings > total_postings:
+        # PRE-checks: the query's first (highest-bound) bucket already
+        # proved unselective (`dense_hint` — bucket bounds are near-uniform
+        # for one query, so later buckets will too), or the essential lists
+        # alone carry most of the bucket's postings. Either way selection
+        # cannot pay for itself: go dense directly.
+        d, s = dense_exact()
+        return d, s, True
+
+    if 4 * ess_postings < span:
+        # SPARSE selection: the essential lists are tiny next to the bucket
+        # span, so O(span) dense arrays (zeros + flatnonzero sweeps) would
+        # dominate the query — build the candidate union directly and
+        # accumulate essential contributions by searchsorted position
+        # (each term's docs are unique, so positional += never collides
+        # within one term's add)
+        cand0 = np.unique(
+            np.concatenate([arrs[ti][0] for ti in essential])
+        )
+        acc_e = np.zeros(len(cand0), dtype=np.float64)
+        for ti in essential:
+            docs, units = arrs[ti]
+            acc_e[np.searchsorted(cand0, docs)] += terms[ti][1] * units
+            stats["postings_scanned"] += len(docs)
+        stats["postings_skipped"] += total_postings - ess_postings
+        sel = acc_e + p_m >= theta - slack
+        cands = cand0[sel]
+        if not cands.size:
+            return empty
+        if cands.size * len(terms) > total_postings:
+            stats["postings_skipped"] -= total_postings - ess_postings
+            d, s = dense_exact()
+            return d, s, True
+        scores = exact_scores(cands)
+    else:
+        acc = np.zeros(span, dtype=np.float64)
+        for ti in essential:
+            docs, units = arrs[ti]
+            acc[docs - lo] += terms[ti][1] * units
+            stats["postings_scanned"] += len(docs)
+        stats["postings_skipped"] += total_postings - ess_postings
+        # acc > 0 excludes empty slots of the bucket span (and docs
+        # matching only non-essential terms — score ≤ P_m < θ by the split)
+        surv = np.flatnonzero((acc > 0) & (acc + p_m >= theta - slack))
+        if not surv.size:
+            return empty
+        if surv.size * len(terms) > total_postings:
+            # POST-check (weak DATA selectivity despite a real split): the
+            # per-survivor probes would cost more than scanning everything
+            stats["postings_skipped"] -= total_postings - ess_postings
+            d, s = dense_exact()
+            return d, s, True
+        cands = surv + lo
+        scores = exact_scores(cands)
     # θ is the exact score of a real kth-best doc seen so far (pool or this
     # bucket's seed), so anything strictly below it cannot reach the global
     # top-k; the slack keeps boundary ties
@@ -503,7 +548,7 @@ def _prune_score_bucket(
         kth = np.partition(scores, len(scores) - top)[len(scores) - top]
         km = scores >= kth  # keep ties; the global cut tie-breaks exactly
         cands, scores = cands[km], scores[km]
-    return cands, scores
+    return cands, scores, dense_hint
 
 
 # Batches at least this large score through the shared dense path. Block-max
@@ -1220,6 +1265,55 @@ class IndexSearcher:
             self.term_dict = self.term_dict.persist()
             self.term_dict.count()
         return self
+
+    def prefetch_point(self, budget_bytes: int | None = None) -> int:
+        """Pre-load the heaviest (top-df) terms' compressed blocks into the
+        point LRU during warm-up: a fresh service's first queries hit head
+        terms disproportionately (Zipf), and each cold head term otherwise
+        pays a block-fetch job at request time (the measured 42 s/100q cold
+        federated fanout, BENCH_r04). Fills up to `budget_bytes` (default
+        half of `point_cache_bytes`) by the same ~10 B/posting estimate
+        `_fetch_blocks` uses, skipping any term over the per-fetch guard,
+        and fetches in guard-sized slices. Returns the number of terms
+        prefetched. Cost: one dictionary top-df job + a few block fetches —
+        all at warm time, zero at request time."""
+        budget = int(
+            budget_bytes
+            if budget_bytes is not None
+            else self.point_cache_bytes // 2
+        )
+        rows = (
+            self.term_dict.select("term", "term_id", "df")
+            .orderBy(F.desc("df"))
+            .limit(4096)
+            .collect()
+        )
+        pick: list[int] = []
+        df_map: dict[int, int] = {}
+        est = 0
+        with self._point_lock:
+            for r in rows:
+                nb = 10 * int(r["df"])
+                if nb > self.point_fetch_max_bytes or est + nb > budget:
+                    continue  # keep filling with smaller head terms
+                est += nb
+                tid = int(r["term_id"])
+                pick.append(tid)
+                df_map[tid] = int(r["df"])
+                self._term_cache[r["term"]] = (tid, int(r["df"]))
+            # slice the fetch under the per-fetch byte guard
+            chunk: list[int] = []
+            acc = 0
+            for tid in pick:
+                nb = 10 * df_map[tid]
+                if chunk and acc + nb > self.point_fetch_max_bytes:
+                    self._fetch_blocks(chunk, df_map)
+                    chunk, acc = [], 0
+                chunk.append(tid)
+                acc += nb
+            if chunk:
+                self._fetch_blocks(chunk, df_map)
+        return len(pick)
 
     def close(self) -> None:
         if self._warm is not None:
@@ -2393,10 +2487,13 @@ class IndexSearcher:
         pool_d = np.empty(0, np.int64)
         pool_s = np.empty(0, np.float64)
         theta = 0.0
+        dense_hint = False
         for bucket_ub, _bk, terms in bucket_list:
             if len(pool_s) >= k and bucket_ub < theta - 1e-9 * theta:
                 break
-            d, s = _prune_score_bucket(terms, k, theta, k1, b, avgdl, stats)
+            d, s, dense_hint = _prune_score_bucket(
+                terms, k, theta, k1, b, avgdl, stats, dense_hint=dense_hint
+            )
             if not d.size:
                 continue
             pool_d = np.concatenate([pool_d, d])
@@ -2811,7 +2908,29 @@ class ShardedSearcher:
             max_workers=max(2, len(self.searchers))
         )
         if warm:
-            list(self._pool.map(lambda s: s.warm(), self.searchers))
+            self.warm()
+
+    def warm(self, prefetch_point: bool = True) -> "ShardedSearcher":
+        """Warm every shard (resident segment cache + dictionary) and, by
+        default, PREFETCH each shard's head-term blocks into its point LRU
+        (`IndexSearcher.prefetch_point`) with the union head vocabulary
+        priced at global df first — so a fresh federation's first point
+        queries skip both the global-df resolution jobs and the cold block
+        fetches that made the round-4 cold fanout 42 s/100q."""
+        list(self._pool.map(lambda s: s.warm(), self.searchers))
+        if prefetch_point:
+            heads: set[str] = set()
+            for s in self.searchers:
+                rows = (
+                    s.term_dict.select("term", "df")
+                    .orderBy(F.desc("df"))
+                    .limit(1024)
+                    .collect()
+                )
+                heads.update(r["term"] for r in rows)
+            self._ensure_global_df(sorted(heads))
+            list(self._pool.map(lambda s: s.prefetch_point(), self.searchers))
+        return self
 
     def close(self) -> None:
         self._pool.shutdown(wait=True)

@@ -394,3 +394,40 @@ def test_sharded_phrase_filter_needs_positional_shards(spark, uneven_shards):
     with pytest.raises(ValueError, match="positional"):
         sh.search_strings([(0, 'term00007 "term00000 term00001"')], k=5)
     sh.close()
+
+
+def test_warm_prefetch_makes_head_point_queries_fetch_free(
+    spark, uneven_shards, tiny_queries
+):
+    """ShardedSearcher.warm() prefetches head-term blocks + global df, so a
+    head-term point query on a fresh warmed federation schedules ZERO
+    dictionary/block-fetch jobs and returns exactly the unwarmed service's
+    answers (the round-4 cold-fanout fix)."""
+    from colbert_spark.query.wand import ShardedSearcher
+
+    a, b_, whole = uneven_shards
+    # the corpus head vocabulary: term00001 etc. are in every doc's tail
+    head_qs = ["term00001 term00002", "term00003", "term00001 term00005"]
+    svc_cold = ShardedSearcher(spark, [a, b_])
+    try:
+        base = {
+            q: [(r.url, round(float(r.score), 10))
+                for r in svc_cold.search_point(q, k=10).itertuples()]
+            for q in head_qs
+        }
+    finally:
+        svc_cold.close()
+    svc = ShardedSearcher(spark, [a, b_]).warm()
+    try:
+        fetches0 = [s._block_fetch_jobs for s in svc.searchers]
+        assert any(n >= 1 for n in fetches0)  # prefetch actually ran
+        dict0 = [s._dict_lookup_jobs for s in svc.searchers]
+        for q in head_qs:
+            got = [(r.url, round(float(r.score), 10))
+                   for r in svc.search_point(q, k=10).itertuples()]
+            assert got == base[q], q
+        # head-term serving is fetch-free after warm()
+        assert [s._block_fetch_jobs for s in svc.searchers] == fetches0
+        assert [s._dict_lookup_jobs for s in svc.searchers] == dict0
+    finally:
+        svc.close()
