@@ -111,13 +111,15 @@ def vb_encode_payloads(
     buf, sizes = vb_encode_concat(values)
     offs = np.zeros(len(values) + 1, dtype=np.int64)
     np.cumsum(sizes, out=offs[1:])
-    offs_l = offs.tolist()  # plain ints: cheap indexing in the slice loop
+    # materialize plain ints ONLY at the block boundaries: a .tolist() of
+    # every value offset is ~28 B per Python int — for an occurrence-level
+    # stream (Σtf values, ~16× the posting count on Zipf-head slabs) that
+    # transient alone was ~1 GB per encode task (measured on the 10M soak)
+    lo = offs[np.asarray(starts, dtype=np.int64)].tolist()
+    hi = offs[np.asarray(ends, dtype=np.int64)].tolist()
     raw = buf.tobytes()
     tag = bytes([CODEC_VARBYTE])
-    return [
-        tag + raw[offs_l[s]:offs_l[e]]
-        for s, e in zip(np.asarray(starts).tolist(), np.asarray(ends).tolist())
-    ]
+    return [tag + raw[s:e] for s, e in zip(lo, hi)]
 
 
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
@@ -306,9 +308,15 @@ def encode_block_payloads(
                 packed_off[block_rows] = 0  # pb is 0 too; nothing packed
                 continue
             mat = pv[int(val_base[c0]):int(val_base[c1])].reshape(m, nn)
-            bits = (
-                (mat[:, :, None] >> _SHIFTS_U64[:w]) & np.uint64(1)
-            ).astype(np.uint8)
+            # one uint8 bit-plane per shift: the one-shot broadcast
+            # `(mat[:, :, None] >> shifts) & 1` materializes an (m, n, w)
+            # UINT64 intermediate — 8 bytes per BIT, ~2 GB transient per
+            # 1M-posting slab, the allocation that dominated encode-task
+            # memory. The loop keeps the big array uint8 (1 byte per bit)
+            # with one (m, n) uint64 temp per plane.
+            bits = np.empty((m, nn, w), dtype=np.uint8)
+            for j in range(w):
+                bits[:, :, j] = (mat >> _SHIFTS_U64[j]) & np.uint64(1)
             rows = np.packbits(
                 bits.reshape(m, nn * w), axis=1, bitorder="little"
             )  # (m, ceil(n*w/8)) — packbits zero-pads each row's last byte

@@ -243,9 +243,14 @@ def _compact_partition(
 
 # streaming slab target: complete (bucket, term) groups accumulate to about
 # this many postings before one _reencode_rows pass — large enough to keep
-# the per-slab numpy/Python overhead negligible, small enough that decoded
-# arrays (~48 B/posting with positions) stay ~100 MB per task
-_STREAM_SLAB_POSTINGS = 2_000_000
+# the per-slab numpy/Python overhead negligible, small enough that the
+# decode/gather transients (~0.3-0.5 KB/posting peak for positional
+# payloads) keep a REUSED worker's RSS high-water mark under ~1 GB: with 32
+# concurrent long-lived workers, per-worker watermarks ADD, and a 2M-posting
+# slab's ~3 GB watermark × 32 + the JVM sort OOMed the 125 GiB host
+# (measured 2026-08-21; a group larger than the target still processes
+# whole — the ceiling is one term's postings in one bucket)
+_STREAM_SLAB_POSTINGS = 500_000
 
 
 def _compact_partition_streaming(
@@ -267,14 +272,21 @@ def _compact_partition_streaming(
     (bucket, tshard, term_id, first_doc) — the caller adds a
     `sortWithinPartitions`, whose JVM external sort spills compressed block
     rows (~5-7 B/posting) instead of holding decoded tokens. The kernel then
-    walks Arrow batches in order, accumulating COMPLETE (bucket, term)
-    groups into ~`_STREAM_SLAB_POSTINGS` slabs (a group never splits — its
-    blocks must re-encode together; sorting by first_doc also lands each
-    group's epochs contiguously, doc ranges being epoch-disjoint), re-encodes
-    slab by slab, and appends the encoded blocks to ONE incrementally-written
-    parquet file per (bucket, tshard) cell (atomic tmp→rename on cell close;
-    deterministic content, so crash-retries rewrite identical files). Per-task
-    memory is O(slab + one Arrow batch), independent of partition size."""
+    walks Arrow batches in order, accumulating (bucket, term) groups into
+    ~`_STREAM_SLAB_POSTINGS` VALUE-weighted slabs (weight = postings +
+    occurrences: positional decode/gather transients scale with Σtf, ~16×
+    the posting count on Zipf-head groups at the 10M soak; sorting by
+    first_doc also lands each group's epochs contiguously, doc ranges being
+    epoch-disjoint), re-encodes slab by slab, and appends the encoded blocks
+    to ONE incrementally-written parquet file per (bucket, tshard) cell
+    (atomic tmp→rename on cell close; deterministic content, so
+    crash-retries rewrite identical files). A group larger than the budget
+    sub-chunks at block-row boundaries — each sub-chunk becomes its own
+    doc-range block run, legal under the reader's sub-split merge contract
+    (blocks of one (term, bucket) are never assumed doc-contiguous; every
+    doc stays in exactly one block) at a fill cost of ≤1 short block per
+    sub-chunk. Per-task memory is O(slab + one Arrow batch), independent of
+    partition size AND of any single term's posting volume."""
     bnd = np.asarray(boundaries, dtype=np.int64)
 
     def fn(batches):
@@ -341,6 +353,17 @@ def _compact_partition_streaming(
         slab_parts: list[pd.DataFrame] = []
         slab_n = 0
 
+        def part_weight(part: pd.DataFrame) -> int:
+            """Slab budget unit = decoded VALUES, not posting rows: a
+            positional Zipf-head slab carries ~Σtf occurrences (measured
+            ~16× the posting count on the 10M soak), and the decode/gather
+            transients scale with occurrences. pos payload bytes ≈ 1 per
+            occurrence, so the byte length is the cheap estimator."""
+            w = int(part["n"].sum())
+            if "pos_bytes" in part.columns:
+                w += int(sum(len(b) for b in part["pos_bytes"]))
+            return w
+
         def flush_slabs():
             nonlocal slab_parts, slab_n
             if slab_parts:
@@ -370,7 +393,11 @@ def _compact_partition_streaming(
             complete, pend = cur.iloc[:cut], cur.iloc[cut:]
             if not len(complete):
                 continue
-            # slab by cell: groups of different cells never share a slab
+            # slab by cell: groups of different cells never share a slab;
+            # WITHIN a cell, append group-by-group so one fat Arrow batch
+            # cannot blow the slab budget (a single GROUP may still exceed
+            # it — one term's postings in one bucket is the irreducible
+            # re-encode unit — but that is the designed ceiling)
             cbk = complete["bucket"].to_numpy(np.int64)
             cts = complete["tshard"].to_numpy(np.int64)
             cell_change = np.concatenate(
@@ -379,19 +406,46 @@ def _compact_partition_streaming(
                 ) + 1, [len(complete)]]
             )
             for s, e in zip(cell_change[:-1], cell_change[1:]):
-                part = complete.iloc[int(s):int(e)]
+                s, e = int(s), int(e)
                 if slab_parts and (
-                    int(part["bucket"].iat[0]),
-                    int(part["tshard"].iat[0]),
+                    int(complete["bucket"].iat[s]),
+                    int(complete["tshard"].iat[s]),
                 ) != (
                     int(slab_parts[0]["bucket"].iat[0]),
                     int(slab_parts[0]["tshard"].iat[0]),
                 ):
                     flush_slabs()
-                slab_parts.append(part)
-                slab_n += int(part["n"].sum())
-                if slab_n >= _STREAM_SLAB_POSTINGS:
-                    flush_slabs()
+                gstarts = starts[(starts >= s) & (starts < e)]
+                gbounds = np.append(gstarts, e)
+                for gs, ge in zip(gbounds[:-1], gbounds[1:]):
+                    grp = complete.iloc[int(gs):int(ge)]
+                    w = part_weight(grp)
+                    if w > _STREAM_SLAB_POSTINGS and len(grp) > 1:
+                        # a HEAD-TERM group can alone dwarf the slab budget
+                        # (bucket_size postings × Σtf occurrences — ~18M
+                        # units measured at the 10M soak ⇒ ~2 GB of decode/
+                        # gather transients). Sub-chunk it at BLOCK-ROW
+                        # boundaries: each sub-chunk re-encodes into its own
+                        # doc-range block run, which the reader already
+                        # merges by first_doc (the build's sub-split
+                        # contract — blocks of one (term, bucket) are never
+                        # assumed doc-contiguous), and every doc still lives
+                        # in exactly one block (fsck invariant). Cost: at
+                        # most one short block per sub-chunk of fill.
+                        rows_per = max(
+                            1, int(len(grp) * _STREAM_SLAB_POSTINGS / w)
+                        )
+                        for c0 in range(0, len(grp), rows_per):
+                            sub = grp.iloc[c0:c0 + rows_per]
+                            slab_parts.append(sub)
+                            slab_n += part_weight(sub)
+                            if slab_n >= _STREAM_SLAB_POSTINGS:
+                                flush_slabs()
+                        continue
+                    slab_parts.append(grp)
+                    slab_n += w
+                    if slab_n >= _STREAM_SLAB_POSTINGS:
+                        flush_slabs()
         if pend is not None and len(pend):
             if slab_parts and (
                 int(pend["bucket"].iat[0]),
@@ -401,7 +455,14 @@ def _compact_partition_streaming(
                 int(slab_parts[0]["tshard"].iat[0]),
             ):
                 flush_slabs()
-            slab_parts.append(pend)
+            w = part_weight(pend)
+            if w > _STREAM_SLAB_POSTINGS and len(pend) > 1:
+                rows_per = max(1, int(len(pend) * _STREAM_SLAB_POSTINGS / w))
+                for c0 in range(0, len(pend), rows_per):
+                    slab_parts.append(pend.iloc[c0:c0 + rows_per])
+                    flush_slabs()
+            else:
+                slab_parts.append(pend)
         flush_slabs()
         close_cell()
         if summaries:
