@@ -1285,7 +1285,11 @@ class IndexSearcher:
         rows = (
             self.term_dict.select("term", "term_id", "df")
             .orderBy(F.desc("df"))
-            .limit(4096)
+            # candidate depth, not a fetch bound — the byte budget below
+            # governs what actually loads. 64k df-ranked rows collect in a
+            # few MB even against a 10^9-term dictionary, and let a small
+            # index prefetch its WHOLE vocabulary (cold pass ≈ hot pass)
+            .limit(65536)
             .collect()
         )
         pick: list[int] = []
@@ -1320,6 +1324,8 @@ class IndexSearcher:
             self._warm.unpersist()
             self._warm = None
             self.term_dict.unpersist()
+        if self._docs_df is not None:
+            self._docs_df.unpersist()  # no-op unless warm() persisted it
         self._term_cache.clear()
         self._block_cache.clear()
         self._block_cache_bytes = 0
@@ -2919,12 +2925,37 @@ class ShardedSearcher:
         fetches that made the round-4 cold fanout 42 s/100q."""
         list(self._pool.map(lambda s: s.warm(), self.searchers))
         if prefetch_point:
+            # resident url map per shard: the point path's result
+            # resolution (`_lookup_urls`) otherwise pays one parquet-scan
+            # job per shard per NOVEL query — measured as the dominant
+            # cold-pass cost once blocks are prefetched. An InMemory scan
+            # turns that into ~ms; the (doc_id, url) projection is
+            # ~40 B/doc of executor cache, which shards by construction.
+            def _warm_docs(s: "IndexSearcher") -> None:
+                if s._docs_df is None:
+                    s._docs_df = s.spark.read.parquet(
+                        os.path.join(
+                            s.index_dir, s.stats.get("docs_dir", "docs")
+                        )
+                    ).select("doc_id", "url")
+                s._docs_df = s._docs_df.persist()
+                n = s._docs_df.count()
+                if n <= s.url_cache_max:
+                    # the whole shard's url map fits the driver LRU:
+                    # resolve it ONCE at warm so result resolution never
+                    # schedules a per-query job at all (above the cap, the
+                    # persisted frame keeps misses at InMemory-scan cost)
+                    with s._point_lock:
+                        for r in s._docs_df.collect():
+                            s._url_cache[int(r["doc_id"])] = r["url"]
+
+            list(self._pool.map(_warm_docs, self.searchers))
             heads: set[str] = set()
             for s in self.searchers:
                 rows = (
                     s.term_dict.select("term", "df")
                     .orderBy(F.desc("df"))
-                    .limit(1024)
+                    .limit(65536)
                     .collect()
                 )
                 heads.update(r["term"] for r in rows)
